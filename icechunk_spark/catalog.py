@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -32,11 +33,20 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
-    # The driver-generated parquet uses TIMESTAMP(NANOS); Spark needs this
-    # conf to read it (arrives as timestamp_ntz). Set at runtime so it also
-    # applies under the driver's own SparkSession.
+    # events.ts is parquet TIMESTAMP(NANOS): Spark only reads it with
+    # nanosAsLong=true (→ raw int64 nanoseconds). Convert back to a naive
+    # timestamp; session TZ pinned to UTC so the LTZ→NTZ cast is exact.
+    # Set at runtime so it also applies under the driver's own session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return {name: spark.read.parquet(table_path(sf_dir, name)) for name in TABLES}
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = {name: spark.read.parquet(table_path(sf_dir, name)) for name in TABLES}
+    ts_type = dict(out["events"].dtypes).get("ts")
+    if ts_type == "bigint":
+        out["events"] = out["events"].withColumn(
+            "ts",
+            F.expr("CAST(timestamp_micros(CAST(ts DIV 1000 AS BIGINT)) AS TIMESTAMP_NTZ)"),
+        )
+    return out
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
