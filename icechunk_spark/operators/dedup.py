@@ -1,0 +1,370 @@
+"""Deduplication operators for LLM-data pipelines (SURVEY.md §2c):
+exact (content-hash), MinHash+LSH, n-gram Jaccard, SimHash, and
+embedding near-dup.
+
+Scale design:
+- Exact dedup is one hash-groupBy (map-side combined).
+- MinHash/LSH: signatures are computed per-row JVM-side (higher-order
+  functions over the shingle array, md5 as the hash family), then the
+  candidate join shuffles only (band_idx, band_key) pairs — O(docs ×
+  n_bands) rows, never O(n²).  Verification recomputes exact Jaccard
+  only on candidates.
+- n-gram Jaccard uses the explode-join on shared shingles; at 100 TB
+  you'd cap per-shingle doc frequency (hot-shingle skew) — kept exact
+  here because the oracle must agree.
+- All hashing is md5 (identical in Spark and DuckDB) so every
+  candidate decision is reproducible cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from icechunk_spark.catalog import load_tables
+from icechunk_spark.functions import cosine, normalized_text, tokenize
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+JACCARD_THRESHOLD = 0.5
+
+# --- shared shingle expressions -----------------------------------------
+
+def shingles_col(text: Column) -> Column:
+    """Distinct 3-token shingles of the whitespace tokenization."""
+    toks = tokenize(text)
+    mk = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    return F.when(F.size(toks) >= 3, F.array_distinct(mk)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+DUCK_SHINGLES = """
+list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])
+"""
+
+DUCK_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+
+# --- exact dedup ---------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup decision per document: group size and
+    keep/drop flag (keep = smallest doc_id in its hash group)."""
+    t = load_tables(spark, sf_dir)
+    df = t["documents"].withColumn("content_hash", F.md5(normalized_text(F.col("text"))))
+    w = Window.partitionBy("content_hash")
+    return (
+        df.withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("keep", (F.col("doc_id") == F.min("doc_id").over(w)).cast("int"))
+        .select("doc_id", "content_hash", "group_size", "keep")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+       count(*) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS group_size,
+       CAST(doc_id = min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS INT) AS keep
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving set after exact dedup (first doc_id per content hash)."""
+    t = load_tables(spark, sf_dir)
+    df = t["documents"].withColumn("content_hash", F.md5(normalized_text(F.col("text"))))
+    return (
+        df.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "content_hash")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_KEEP_FIRST_SQL = """
+SELECT min(doc_id) AS doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+FROM documents
+GROUP BY content_hash
+ORDER BY doc_id
+"""
+
+
+# --- n-gram jaccard ------------------------------------------------------
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All near-dup pairs with shingle-set Jaccard ≥ 0.5, found via the
+    shared-shingle explode-join (no full cross product)."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", shingles_col(F.col("text")).alias("sh"))
+    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 3))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {DUCK_SHINGLES} AS sh
+  FROM (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents)
+), ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 3) AS jaccard
+FROM shared
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --- minhash + LSH -------------------------------------------------------
+
+def _minhash_sigs(sh: Column) -> Column:
+    """Array of N_HASHES min-hashes: lexicographic min of md5(k:shingle)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, k=k: F.md5(F.concat(F.lit(f"{k}:"), s))))
+            for k in range(N_HASHES)
+        ]
+    )
+
+
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band-bucket candidates, then exact
+    Jaccard ≥ 0.5 verification on candidates only."""
+    t = load_tables(spark, sf_dir)
+    docs = (
+        t["documents"]
+        .select("doc_id", shingles_col(F.col("text")).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("sig", _minhash_sigs(F.col("sh")))
+    )
+    bands = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at("sig", b * ROWS_PER_BAND + r + 1)
+                                    for r in range(ROWS_PER_BAND)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
+    return (
+        cands.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("jaccard", F.round(jac, 3))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_SIG_ITEMS = ", ".join(
+    f"list_min(list_transform(sh, s -> md5('{k}:' || s)))" for k in range(N_HASHES)
+)
+_BAND_ITEMS = ", ".join(
+    "md5("
+    + " || '|' || ".join(f"sig[{b * ROWS_PER_BAND + r + 1}]" for r in range(ROWS_PER_BAND))
+    + f") AS band_{b}"
+    for b in range(N_BANDS)
+)
+_BAND_UNNEST = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, band_{b} AS band_key FROM sigs" for b in range(N_BANDS)
+)
+
+MINHASH_LSH_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {DUCK_SHINGLES} AS sh
+  FROM (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents)
+  WHERE len({DUCK_SHINGLES}) > 0
+), sigs AS (
+  SELECT doc_id, sh, [{_SIG_ITEMS}] AS sig FROM (SELECT doc_id, sh FROM sh) t(doc_id, sh)
+), sigb AS (
+  SELECT doc_id, {_BAND_ITEMS} FROM sigs
+), bands AS (
+  {_BAND_UNNEST.replace('FROM sigs', 'FROM sigb')}
+), cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 3) AS jaccard
+FROM cands
+JOIN sh sa ON doc_a = sa.doc_id
+JOIN sh sb ON doc_b = sb.doc_id
+WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --- simhash (rows-only: 32-bit bit-voting isn't reasonable oracle SQL) --
+
+SIMHASH_BITS = 32
+HAMMING_MAX = 3
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash near-dup pairs (hamming ≤ 3), candidates bucketed
+    by 8-bit blocks (a pair within hamming 3 shares ≥1 of 4 blocks)."""
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+    toks = toks.withColumn("h", h)
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(1) * 2 - 1).alias(f"b{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sim = votes.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(0) for i in range(SIMHASH_BITS)],
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("simhash"),
+    )
+    blocks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk_idx"),
+                        F.shiftright(F.col("simhash"), i * 8).bitwiseAND(255).alias("blk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "simhash", "e.blk_idx", "e.blk")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk_idx") == F.col("b.blk_idx"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("bigint").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- embedding near-dup (rows-only) --------------------------------------
+
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vectors: sign-LSH bucket on the first dims, then
+    cosine-threshold verify within buckets.  The test embeddings are
+    random (max pairwise cos ≈ 0.51) so the demo threshold is 0.4; real
+    corpora would use 0.95+ with more sign bits and multi-probe."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].withColumn(
+        "bucket",
+        F.concat_ws(
+            "",
+            *[
+                F.when(F.element_at("embedding", i + 1) >= 0, "1").otherwise("0")
+                for i in range(4)
+            ],
+        ),
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket")
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", F.round(cos, 4))
+        .filter(F.col("cos_sim") >= 0.40)
+        .select("vec_a", "vec_b", "cos_sim")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_exact_keep_first": dedup_exact_keep_first,
+    "ngram_jaccard": ngram_jaccard,
+    "minhash_lsh": minhash_lsh,
+    "simhash": simhash,
+    "embedding_neardup": embedding_neardup,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_exact_keep_first": DEDUP_KEEP_FIRST_SQL,
+    "ngram_jaccard": NGRAM_JACCARD_SQL,
+    "minhash_lsh": MINHASH_LSH_SQL,
+}

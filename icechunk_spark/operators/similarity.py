@@ -1,0 +1,239 @@
+"""Similarity search over the embeddings table (SURVEY.md §2d):
+brute-force cosine top-k (the exactness baseline), random-hyperplane
+LSH, and an IVF-style coarse-quantizer ANN (the scale paths).
+
+Scale design:
+- Brute force broadcasts the (small) query set against the full vector
+  table: one pass, no shuffle of the big side; per-query top-k via a
+  window over (query, rounded-cos, id).  At 100 TB you'd cap queries
+  per pass and use mapPartitions-local heaps; semantics identical.
+- LSH: bucket = sign bits of projections onto deterministic
+  pseudo-random hyperplanes (derived from md5, no RNG state), join on
+  bucket — candidates per query ≈ n / 2^bits.
+- IVF: coarse centroids (deterministic sample), assign each vector to
+  its nearest centroid (JVM-side argmax over a literal centroid
+  array), probe the query's top cells only.
+- Cosine is a sequential left-fold in both engines (F.aggregate vs
+  list_reduce) so doubles match bit-for-bit in the oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from icechunk_spark.catalog import load_tables
+from icechunk_spark.functions import cosine
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+DIM = 64
+
+
+def _fold_cosine(a: Column, b: Column) -> Column:
+    """Cosine with deterministic left-fold summation (oracle-exact)."""
+    return cosine(a, b)
+
+
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for each query vector."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    pairs = emb.join(broadcast(q), F.col("vec_id") != F.col("query_id"))
+    pairs = pairs.withColumn("cos_sim", F.round(_fold_cosine(F.col("qe"), F.col("embedding")), 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "rnk", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+        .orderBy("query_id", "rnk")
+    )
+
+
+_D_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "[CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, {d})]), "
+    "(x, y) -> x + y)"
+).format(d=DIM + 1)
+_D_NORM_A = (
+    "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "[CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE) FOR i IN range(1, {d})]), "
+    "(x, y) -> x + y))"
+).format(d=DIM + 1)
+_D_NORM_B = (
+    "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "[CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) FOR i IN range(1, {d})]), "
+    "(x, y) -> x + y))"
+).format(d=DIM + 1)
+
+KNN_BRUTE_SQL = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round({_D_DOT} / ({_D_NORM_A} * {_D_NORM_B}), 4) AS cos_sim
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < {N_QUERIES}
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+  FROM pairs
+)
+SELECT query_id, rnk, neighbor_id, cos_sim
+FROM ranked WHERE rnk <= {TOP_K}
+ORDER BY query_id, rnk
+"""
+
+
+def pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most similar vector pairs within each label class."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    a = emb.select("label", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(
+        F.col("label").alias("label_b"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+    pairs = pairs.withColumn("cos_sim", F.round(_fold_cosine(F.col("ea"), F.col("eb")), 4))
+    w = Window.partitionBy("label").orderBy(F.desc("cos_sim"), F.asc("vec_a"), F.asc("vec_b"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("label", "rnk", "vec_a", "vec_b", "cos_sim")
+        .orderBy("label", "rnk")
+    )
+
+
+PAIRWISE_TOPK_SQL = f"""
+WITH pairs AS (
+  SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({_D_DOT} / ({_D_NORM_A} * {_D_NORM_B}), 4) AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+), ranked AS (
+  SELECT label, vec_a, vec_b, cos_sim,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY cos_sim DESC, vec_a ASC, vec_b ASC) AS rnk
+  FROM pairs
+)
+SELECT label, rnk, vec_a, vec_b, cos_sim
+FROM ranked WHERE rnk <= 3
+ORDER BY label, rnk
+"""
+
+
+# --- LSH ANN (rows-only) -------------------------------------------------
+
+N_PLANES = 8
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from md5 bits (no RNG state)."""
+    planes = []
+    for j in range(N_PLANES):
+        bits = []
+        for i in range(DIM):
+            h = hashlib.md5(f"{j}:{i}".encode()).hexdigest()
+            bits.append(1.0 if int(h[0], 16) < 8 else -1.0)
+        planes.append(bits)
+    return planes
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH buckets (single
+    probe; recall traded for a 2^8 candidate reduction)."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    planes = _hyperplanes()
+
+    def bucket(col: Column) -> Column:
+        bits = []
+        for p in planes:
+            w = F.array(*[F.lit(x) for x in p])
+            proj = F.aggregate(
+                F.zip_with(col, w, lambda e, ww: e.cast("double") * ww),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj >= 0, "1").otherwise("0"))
+        return F.concat_ws("", *bits)
+
+    emb_b = emb.withColumn("bucket", bucket(F.col("embedding")))
+    q = emb_b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    cands = emb_b.join(broadcast(q), "bucket").filter(F.col("vec_id") != F.col("query_id"))
+    cands = cands.withColumn("cos_sim", F.round(_fold_cosine(F.col("qe"), F.col("embedding")), 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "rnk", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+        .orderBy("query_id", "rnk")
+    )
+
+
+# --- IVF ANN (rows-only) -------------------------------------------------
+
+N_CELLS = 16
+N_PROBE = 4
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign vectors to nearest of N_CELLS coarse
+    centroids (deterministic sample: vec_id 0..15 at sf0.001 scale),
+    probe the query's N_PROBE closest cells only."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < N_CELLS).collect()
+    ]
+
+    def cell_scores(col: Column) -> Column:
+        scored = [
+            F.struct(
+                F.round(_fold_cosine(col, F.array(*[F.lit(x) for x in c])), 6).alias("cos"),
+                F.lit(cid).alias("cell"),
+            )
+            for cid, c in cents
+        ]
+        return F.reverse(F.array_sort(F.array(*scored)))
+
+    emb_c = emb.withColumn("cell", F.element_at(cell_scores(F.col("embedding")), 1)["cell"])
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("probes", F.slice(cell_scores(F.col("embedding")), 1, N_PROBE))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(F.transform("probes", lambda s: s["cell"])).alias("cell"),
+        )
+    )
+    cands = emb_c.join(broadcast(q), "cell").filter(F.col("vec_id") != F.col("query_id"))
+    cands = cands.withColumn("cos_sim", F.round(_fold_cosine(F.col("qe"), F.col("embedding")), 4))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        cands.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "rnk", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+        .orderBy("query_id", "rnk")
+    )
+
+
+QUERIES = {
+    "knn_brute_force": knn_brute_force,
+    "pairwise_topk": pairwise_topk,
+    "knn_lsh": knn_lsh,
+    "knn_ivf": knn_ivf,
+}
+
+ORACLES = {
+    "knn_brute_force": KNN_BRUTE_SQL,
+    "pairwise_topk": PAIRWISE_TOPK_SQL,
+}

@@ -1,0 +1,67 @@
+"""Shared correctness-comparison helpers (used by tools/check.py and
+the pytest suite) — a local replica of the driver's oracle gate:
+row count + column names + order-insensitive value hash."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+TABLE_NAMES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_value(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_value(x) for x in v) + "]"
+    return str(v)
+
+
+def fingerprint(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm_value(r[i]) for i in order) for r in rows)
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+def duck_connection(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def compare(spark, con, fn, sql: str, sf_dir: str) -> list[str]:
+    """Run the Spark query and oracle SQL; return a list of problems
+    (empty = match)."""
+    sdf = fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    problems = []
+    if len(srows) != len(drows):
+        problems.append(f"row count {len(srows)} vs {len(drows)}")
+    if sorted(scols) != sorted(dcols):
+        problems.append(f"columns {sorted(scols)} vs {sorted(dcols)}")
+    if not problems and fingerprint(scols, srows) != fingerprint(dcols, drows):
+        diffs = [
+            (a, b) for a, b in zip(sorted(srows), sorted(drows)) if norm_row(a) != norm_row(b)
+        ][:3]
+        problems.append(f"value-hash mismatch; first diffs: {diffs}")
+    return problems
+
+
+def norm_row(r: tuple) -> tuple:
+    return tuple(norm_value(v) for v in r)
