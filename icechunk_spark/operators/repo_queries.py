@@ -1,0 +1,157 @@
+"""Driver-facing queries that exercise the versioned chunk store
+end-to-end (SURVEY.md §2a): write TPC-H-derived arrays into a repo,
+commit, time-travel, slice-read with chunk pruning, and report
+manifest statistics.
+
+``array_store_roundtrip`` and ``repo_time_travel`` have DuckDB
+oracles: the store must reproduce exactly the aggregate a plain SQL
+engine computes, after a full encode → commit → (second commit) →
+time-travel → decode cycle.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icechunk_spark.catalog import load_tables
+from icechunk_spark.repo import Repository
+
+EPOCH = "1995-01-01"
+N_DAYS = 4096
+CHUNK = 64
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .withColumn("i0", F.datediff(F.col("l_shipdate").cast("date"), F.lit(EPOCH).cast("date")).cast("long"))
+        .filter((F.col("i0") >= 0) & (F.col("i0") < N_DAYS))
+        .groupBy("i0")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("value"))
+    )
+
+
+def _materialize(spark: SparkSession, df: DataFrame, schema: str) -> DataFrame:
+    rows = df.collect()
+    return spark.createDataFrame(rows, schema)
+
+
+def array_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode daily revenue into a chunked array, commit, slice-read
+    days [128, 512) back via manifest pruning."""
+    root = os.path.join(tempfile.gettempdir(), f"icr_{uuid.uuid4().hex}")
+    try:
+        repo = Repository.create(spark, root)
+        with repo.transaction(message="daily revenue v1") as s:
+            s.create_array("/revenue", shape=[N_DAYS], chunk_shape=[CHUNK])
+            s.write_array_df("/revenue", _daily_revenue(spark, sf_dir))
+        out = (
+            repo.readonly_session()
+            .read_array_df("/revenue", slices=[(128, 512)])
+            .filter(F.col("value") != 0.0)  # fill cells are not revenue days
+            .select(F.col("i0").alias("day_idx"), F.col("value").alias("revenue"))
+            .orderBy("day_idx")
+        )
+        return _materialize(spark, out, "day_idx bigint, revenue double")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ARRAY_ROUNDTRIP_SQL = f"""
+SELECT CAST(datediff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) AS BIGINT) AS day_idx,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE datediff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) >= 128
+  AND datediff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) < 512
+GROUP BY day_idx
+HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) <> 0.0
+ORDER BY day_idx
+"""
+
+
+def repo_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two commits (v2 doubles every value); read BACK at the v1
+    snapshot — time travel must return the original values."""
+    root = os.path.join(tempfile.gettempdir(), f"icr_{uuid.uuid4().hex}")
+    try:
+        repo = Repository.create(spark, root)
+        rev = _daily_revenue(spark, sf_dir)
+        with repo.transaction(message="v1") as s:
+            s.create_array("/revenue", shape=[N_DAYS], chunk_shape=[CHUNK])
+            s.write_array_df("/revenue", rev)
+        v1 = repo.lookup_branch("main")
+        with repo.transaction(message="v2") as s:
+            s.write_array_df("/revenue", rev.withColumn("value", F.col("value") * 2))
+        out = (
+            repo.readonly_session(snapshot_id=v1)
+            .read_array_df("/revenue", slices=[(0, 256)])
+            .filter(F.col("value") != 0.0)
+            .select(F.col("i0").alias("day_idx"), F.col("value").alias("revenue"))
+            .orderBy("day_idx")
+        )
+        return _materialize(spark, out, "day_idx bigint, revenue double")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+TIME_TRAVEL_SQL = f"""
+SELECT CAST(datediff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) AS BIGINT) AS day_idx,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE datediff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) >= 0
+  AND datediff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) < 256
+GROUP BY day_idx
+HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) <> 0.0
+ORDER BY day_idx
+"""
+
+
+def repo_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage statistics + compaction invariant: manifest count drops
+    to 1 after rewrite_manifests while stats stay identical."""
+    root = os.path.join(tempfile.gettempdir(), f"icr_{uuid.uuid4().hex}")
+    try:
+        repo = Repository.create(spark, root)
+        rev = _daily_revenue(spark, sf_dir)
+        with repo.transaction(message="v1") as s:
+            s.create_array("/revenue", shape=[N_DAYS], chunk_shape=[CHUNK])
+            s.write_array_df("/revenue", rev)
+        with repo.transaction(message="v2") as s:
+            s.write_array_df("/revenue", rev.limit(10))
+        before = len(repo.lookup_snapshot(repo.lookup_branch("main")).manifests)
+        repo.rewrite_manifests()
+        after = len(repo.lookup_snapshot(repo.lookup_branch("main")).manifests)
+        stats = repo.chunk_storage_stats().select(
+            "path",
+            "n_chunks",
+            "total_bytes",
+            F.lit(before).cast("bigint").alias("manifests_before_compaction"),
+            F.lit(after).cast("bigint").alias("manifests_after_compaction"),
+        )
+        return _materialize(
+            spark,
+            stats,
+            "path string, n_chunks bigint, total_bytes bigint, "
+            "manifests_before_compaction bigint, manifests_after_compaction bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+QUERIES = {
+    "array_store_roundtrip": array_store_roundtrip,
+    "repo_time_travel": repo_time_travel,
+    "repo_manifest_stats": repo_manifest_stats,
+}
+
+ORACLES = {
+    "array_store_roundtrip": ARRAY_ROUNDTRIP_SQL,
+    "repo_time_travel": TIME_TRAVEL_SQL,
+}

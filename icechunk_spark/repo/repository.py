@@ -1,0 +1,428 @@
+"""Repository: lifecycle, refs, ancestry, diff, and maintenance ops.
+
+Mirrors icechunk-python/python/icechunk/repository.py; maintenance
+(garbage_collect / expire_snapshots / rewrite_manifests /
+chunk_storage_stats — icechunk/src/ops/) runs as Spark jobs over the
+manifest tables so none of it ever materializes chunk lists on the
+driver.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from contextlib import contextmanager
+from dataclasses import dataclass
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from icechunk_spark.repo import format as fmt
+from icechunk_spark.repo import manifests as mf
+from icechunk_spark.repo.format import RefError, SnapshotInfo, new_id
+from icechunk_spark.repo.session import ConflictSolver, Diff, Session, VersionSelector
+
+MAIN = "main"
+
+
+@dataclass
+class GCSummary:
+    chunk_files_deleted: int = 0
+    manifests_deleted: int = 0
+    snapshots_deleted: int = 0
+    txlogs_deleted: int = 0
+
+
+class Repository:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # --- lifecycle --------------------------------------------------------
+
+    @classmethod
+    def create(cls, spark: SparkSession, root: str, metadata: dict | None = None) -> "Repository":
+        if cls.exists(root):
+            raise RefError(f"repository already exists at {root}")
+        os.makedirs(root, exist_ok=True)
+        root_snap = SnapshotInfo(
+            id=new_id(),
+            parent_id=None,
+            message="Repository initialized",
+            metadata={},
+            written_at=time.time(),
+            seq=0,
+            manifests=[],
+            nodes={"/": {"node_id": new_id(), "kind": "group", "attrs": {}}},
+        )
+        fmt.write_snapshot(root, root_snap)
+        fmt.create_branch(root, MAIN, root_snap.id)
+        fmt.write_repo_info(
+            root,
+            {"format_version": 1, "metadata": metadata or {}, "default_commit_metadata": {}},
+        )
+        return cls(spark, root)
+
+    @classmethod
+    def open(cls, spark: SparkSession, root: str) -> "Repository":
+        if not cls.exists(root):
+            raise RefError(f"no repository at {root}")
+        return cls(spark, root)
+
+    @classmethod
+    def open_or_create(cls, spark: SparkSession, root: str) -> "Repository":
+        return cls.open(spark, root) if cls.exists(root) else cls.create(spark, root)
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        return os.path.exists(fmt.repo_info_path(root))
+
+    # --- repo metadata ----------------------------------------------------
+
+    def metadata(self) -> dict[str, Any]:
+        return fmt.read_repo_info(self.root)["metadata"]
+
+    def set_metadata(self, metadata: dict[str, Any]) -> None:
+        info = fmt.read_repo_info(self.root)
+        info["metadata"] = metadata
+        fmt.write_repo_info(self.root, info)
+
+    def update_metadata(self, metadata: dict[str, Any]) -> dict[str, Any]:
+        merged = {**self.metadata(), **metadata}
+        self.set_metadata(merged)
+        return merged
+
+    def default_commit_metadata(self) -> dict[str, Any]:
+        return fmt.read_repo_info(self.root).get("default_commit_metadata", {})
+
+    def set_default_commit_metadata(self, metadata: dict[str, Any]) -> None:
+        info = fmt.read_repo_info(self.root)
+        info["default_commit_metadata"] = metadata
+        fmt.write_repo_info(self.root, info)
+
+    # --- refs -------------------------------------------------------------
+
+    def create_branch(self, branch: str, snapshot_id: str) -> None:
+        fmt.read_snapshot(self.root, snapshot_id)  # must exist
+        fmt.create_branch(self.root, branch, snapshot_id)
+
+    def list_branches(self) -> set[str]:
+        return fmt.list_branches(self.root)
+
+    def lookup_branch(self, branch: str) -> str:
+        return fmt.branch_tip(self.root, branch)[1]
+
+    def reset_branch(self, branch: str, snapshot_id: str) -> None:
+        fmt.read_snapshot(self.root, snapshot_id)
+        gen, _ = fmt.branch_tip(self.root, branch)
+        fmt.update_branch(self.root, branch, snapshot_id, expected_gen=gen)
+
+    def delete_branch(self, branch: str) -> None:
+        if branch == MAIN:
+            raise RefError("cannot delete main")
+        fmt.delete_branch(self.root, branch)
+
+    def create_tag(self, tag: str, snapshot_id: str) -> None:
+        if fmt.tag_was_deleted(self.root, tag):
+            raise RefError(f"tag {tag} was deleted; names are never reused")
+        fmt.read_snapshot(self.root, snapshot_id)
+        fmt.create_tag(self.root, tag, snapshot_id)
+
+    def delete_tag(self, tag: str) -> None:
+        fmt.delete_tag(self.root, tag)
+
+    def list_tags(self) -> set[str]:
+        return fmt.list_tags(self.root)
+
+    def lookup_tag(self, tag: str) -> str:
+        return fmt.read_tag(self.root, tag)
+
+    def lookup_snapshot(self, snapshot_id: str) -> SnapshotInfo:
+        return fmt.read_snapshot(self.root, snapshot_id)
+
+    # --- history ----------------------------------------------------------
+
+    def ancestry(
+        self,
+        *,
+        branch: str | None = None,
+        tag: str | None = None,
+        snapshot_id: str | None = None,
+    ) -> Iterator[SnapshotInfo]:
+        sid = VersionSelector(branch, tag, snapshot_id).resolve(self.root)
+        while sid is not None:
+            snap = fmt.read_snapshot(self.root, sid)
+            yield snap
+            sid = snap.parent_id
+
+    def ancestry_graph(self) -> dict[str, str | None]:
+        """snapshot_id -> parent_id over all refs' histories."""
+        out: dict[str, str | None] = {}
+        for ref in self.list_branches():
+            for s in self.ancestry(branch=ref):
+                if s.id in out:
+                    break
+                out[s.id] = s.parent_id
+        for ref in self.list_tags():
+            for s in self.ancestry(tag=ref):
+                if s.id in out:
+                    break
+                out[s.id] = s.parent_id
+        return out
+
+    def inspect_snapshot(self, snapshot_id: str) -> dict[str, Any]:
+        snap = fmt.read_snapshot(self.root, snapshot_id)
+        man = mf.read_manifest_files(self.spark, self.root, snap.manifests)
+        stats = man.agg(
+            F.count(F.lit(1)).alias("manifest_rows"),
+            F.sum(F.when(F.col("op") == "set", 1).otherwise(0)).alias("chunk_refs"),
+        ).collect()[0]
+        return {
+            "id": snap.id,
+            "parent_id": snap.parent_id,
+            "message": snap.message,
+            "metadata": snap.metadata,
+            "written_at": snap.written_at_iso,
+            "seq": snap.seq,
+            "manifest_files": len(snap.manifests),
+            "manifest_rows": stats["manifest_rows"] or 0,
+            "chunk_refs": stats["chunk_refs"] or 0,
+            "nodes": {p: n["kind"] for p, n in sorted(snap.nodes.items())},
+        }
+
+    def list_manifest_files(self, snapshot_id: str) -> list[str]:
+        return list(fmt.read_snapshot(self.root, snapshot_id).manifests)
+
+    # --- sessions ---------------------------------------------------------
+
+    def readonly_session(
+        self,
+        branch: str | None = None,
+        *,
+        tag: str | None = None,
+        snapshot_id: str | None = None,
+    ) -> Session:
+        if branch is None and tag is None and snapshot_id is None:
+            branch = MAIN
+        sid = VersionSelector(branch, tag, snapshot_id).resolve(self.root)
+        return Session(self.spark, self.root, sid, branch=None, read_only=True)
+
+    def writable_session(self, branch: str = MAIN) -> Session:
+        _, sid = fmt.branch_tip(self.root, branch)
+        return Session(self.spark, self.root, sid, branch=branch, read_only=False)
+
+    @contextmanager
+    def transaction(
+        self,
+        branch: str = MAIN,
+        *,
+        message: str,
+        metadata: dict | None = None,
+        rebase_with: ConflictSolver | None = None,
+    ):
+        """Context manager: commit on clean exit, discard on error."""
+        session = self.writable_session(branch)
+        try:
+            yield session
+        except Exception:
+            session.discard_changes()
+            raise
+        md = {**self.default_commit_metadata(), **(metadata or {})}
+        session.commit(message, metadata=md, rebase_with=rebase_with)
+
+    # --- diff -------------------------------------------------------------
+
+    def diff(
+        self,
+        *,
+        from_branch: str | None = None,
+        from_tag: str | None = None,
+        from_snapshot_id: str | None = None,
+        to_branch: str | None = None,
+        to_tag: str | None = None,
+        to_snapshot_id: str | None = None,
+    ) -> Diff:
+        """Structural diff between two snapshots: node changes plus
+        chunk-level add/delete/update counts (manifest join, no chunk
+        reads — icechunk/src/diff.rs)."""
+        a_id = VersionSelector(from_branch, from_tag, from_snapshot_id).resolve(self.root)
+        b_id = VersionSelector(to_branch, to_tag, to_snapshot_id).resolve(self.root)
+        a, b = fmt.read_snapshot(self.root, a_id), fmt.read_snapshot(self.root, b_id)
+        ma = mf.resolve_manifests(self.spark, self.root, a).select(
+            "node_id", "chunk_key", F.col("chunk_id").alias("chunk_a"), F.col("vpath").alias("vp_a")
+        )
+        mb = mf.resolve_manifests(self.spark, self.root, b).select(
+            "node_id", "chunk_key", F.col("chunk_id").alias("chunk_b"), F.col("vpath").alias("vp_b")
+        )
+        j = ma.join(mb, ["node_id", "chunk_key"], "full_outer")
+        counts = j.agg(
+            F.sum(F.when(F.col("chunk_a").isNull() & F.col("vp_a").isNull(), 1).otherwise(0)).alias("added"),
+            F.sum(F.when(F.col("chunk_b").isNull() & F.col("vp_b").isNull(), 1).otherwise(0)).alias("deleted"),
+            F.sum(
+                F.when(
+                    (F.coalesce(F.col("chunk_a"), F.col("vp_a")).isNotNull())
+                    & (F.coalesce(F.col("chunk_b"), F.col("vp_b")).isNotNull())
+                    & (
+                        F.coalesce(F.col("chunk_a"), F.col("vp_a"))
+                        != F.coalesce(F.col("chunk_b"), F.col("vp_b"))
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("updated"),
+        ).collect()[0]
+        d = Diff(chunks_written=(counts["added"] or 0) + (counts["updated"] or 0), chunks_deleted=counts["deleted"] or 0)
+        a_nodes = {n["node_id"]: p for p, n in a.nodes.items()}
+        b_nodes = {n["node_id"]: p for p, n in b.nodes.items()}
+        d.new_nodes = sorted(b_nodes[i] for i in b_nodes.keys() - a_nodes.keys())
+        d.deleted_nodes = sorted(a_nodes[i] for i in a_nodes.keys() - b_nodes.keys())
+        d.updated_nodes = sorted(
+            b_nodes[i]
+            for i in a_nodes.keys() & b_nodes.keys()
+            if a.nodes[a_nodes[i]] != b.nodes[b_nodes[i]] or a_nodes[i] != b_nodes[i]
+        )
+        return d
+
+    # --- maintenance ops (Spark jobs) -------------------------------------
+
+    def expire_snapshots(self, older_than_seconds: float, now: float | None = None) -> set[str]:
+        """Re-parent history so snapshots older than the cutoff (and not
+        pointed to by any ref) become unreachable; returns the expired
+        ids (design-docs/007-basic-expiration.md).  Files are reclaimed
+        by garbage_collect."""
+        now = time.time() if now is None else now
+        cutoff = now - older_than_seconds
+        pinned = {fmt.branch_tip(self.root, b)[1] for b in self.list_branches()}
+        pinned |= {fmt.read_tag(self.root, t) for t in self.list_tags()}
+        expired: set[str] = set()
+        for ref_kind, names in (("branch", self.list_branches()), ("tag", self.list_tags())):
+            for name in names:
+                chain = list(
+                    self.ancestry(branch=name)
+                    if ref_kind == "branch"
+                    else self.ancestry(tag=name)
+                )
+                # root snapshot is never expired; walk from tip
+                keep_up_to = len(chain) - 1
+                for i in range(len(chain) - 2, 0, -1):
+                    if chain[i].written_at < cutoff and chain[i].id not in pinned:
+                        expired.add(chain[i].id)
+                    else:
+                        keep_up_to = i
+                        break
+                # re-parent the oldest kept snapshot onto the root
+                if expired & {s.id for s in chain}:
+                    oldest_kept = chain[keep_up_to - 1] if keep_up_to > 0 else chain[0]
+                    root_snap = chain[-1]
+                    if oldest_kept.parent_id != root_snap.id and oldest_kept.id not in expired:
+                        oldest_kept.parent_id = root_snap.id
+                        fmt.write_snapshot(self.root, oldest_kept)
+        return expired
+
+    def _reachable_snapshots(self) -> set[str]:
+        return set(self.ancestry_graph().keys())
+
+    def garbage_collect(self) -> GCSummary:
+        """Delete chunk files, manifests, txlogs and snapshots no longer
+        reachable from any ref.  Chunk-file liveness is a Spark
+        anti-join of the file listing against live manifest refs —
+        never a driver-side chunk list (src/ops/gc.rs)."""
+        live_snaps = self._reachable_snapshots()
+        summary = GCSummary()
+        live_manifests: set[str] = set()
+        for sid in live_snaps:
+            live_manifests.update(fmt.read_snapshot(self.root, sid).manifests)
+        # drop unreachable snapshots + their txlogs
+        for sid in fmt.list_snapshot_ids(self.root):
+            if sid not in live_snaps:
+                os.remove(fmt.snapshot_path(self.root, sid))
+                summary.snapshots_deleted += 1
+                tx = os.path.join(self.root, "txlogs", f"{sid}.parquet")
+                if os.path.exists(tx):
+                    shutil.rmtree(tx)
+                    summary.txlogs_deleted += 1
+        # drop unreferenced manifest files
+        mdir = os.path.join(self.root, "manifests")
+        if os.path.isdir(mdir):
+            for f in os.listdir(mdir):
+                rel = os.path.join("manifests", f)
+                if rel not in live_manifests:
+                    shutil.rmtree(os.path.join(mdir, f))
+                    summary.manifests_deleted += 1
+        # chunk files referenced by no live manifest: Spark anti-join
+        cdir = os.path.join(self.root, "chunks")
+        if os.path.isdir(cdir):
+            all_files = self.spark.createDataFrame(
+                [(os.path.join("chunks", f),) for f in os.listdir(cdir)], "file string"
+            )
+            if live_manifests:
+                referenced = (
+                    mf.read_manifest_files(self.spark, self.root, sorted(live_manifests))
+                    .filter(F.col("file").isNotNull())
+                    .select("file")
+                    .distinct()
+                )
+                doomed = all_files.join(referenced, "file", "left_anti")
+            else:
+                doomed = all_files
+            for r in doomed.collect():
+                shutil.rmtree(os.path.join(self.root, r["file"]), ignore_errors=True)
+                summary.chunk_files_deleted += 1
+        # orphaned staging dirs
+        sdir = os.path.join(self.root, "staging")
+        if os.path.isdir(sdir):
+            shutil.rmtree(sdir, ignore_errors=True)
+        return summary
+
+    def rewrite_manifests(self, branch: str = MAIN, message: str = "rewrite manifests") -> str:
+        """Compaction: collapse a snapshot's manifest list into one
+        sorted, deduplicated manifest file and commit the result
+        (src/ops/manifests.rs; design-docs/005).  Sorting by (node_id,
+        c0..c3) makes subsequent slice reads scan contiguous row
+        groups."""
+        gen, tip_id = fmt.branch_tip(self.root, branch)
+        tip = fmt.read_snapshot(self.root, tip_id)
+        resolved = mf.resolve_manifests(self.spark, self.root, tip)
+        compacted = resolved.withColumn("seq", F.lit(0).cast("bigint")).sortWithinPartitions(
+            "node_id", "c0", "c1", "c2", "c3"
+        )
+        rel = mf.write_manifest(compacted, self.root)
+        snap = SnapshotInfo(
+            id=new_id(),
+            parent_id=tip.id,
+            message=message,
+            metadata={"op": "rewrite_manifests"},
+            written_at=time.time(),
+            seq=tip.seq + 1,
+            manifests=[rel],
+            nodes=tip.nodes,
+        )
+        fmt.write_snapshot(self.root, snap)
+        fmt.update_branch(self.root, branch, snap.id, expected_gen=gen)
+        return snap.id
+
+    def chunk_storage_stats(self, snapshot_id: str | None = None) -> DataFrame:
+        """Per-node storage stats at a snapshot (Spark agg over the
+        resolved manifest)."""
+        sid = snapshot_id or self.lookup_branch(MAIN)
+        snap = fmt.read_snapshot(self.root, sid)
+        resolved = mf.resolve_manifests(self.spark, self.root, snap)
+        path_by_node = [(n["node_id"], p) for p, n in snap.nodes.items()]
+        paths = self.spark.createDataFrame(path_by_node, "node_id string, path string")
+        return (
+            resolved.groupBy("node_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_chunks"),
+                F.sum(F.coalesce(F.col("n_bytes"), F.lit(0))).alias("total_bytes"),
+                F.sum(F.col("is_virtual").cast("int")).alias("n_virtual"),
+            )
+            .join(paths, "node_id", "left")
+            .select("path", "node_id", "n_chunks", "total_bytes", "n_virtual")
+            .orderBy("path")
+        )
+
+    def total_chunks_storage(self, snapshot_id: str | None = None) -> int:
+        df = self.chunk_storage_stats(snapshot_id)
+        row = df.agg(F.sum("total_bytes").alias("b")).collect()[0]
+        return int(row["b"] or 0)

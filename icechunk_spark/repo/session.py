@@ -1,0 +1,815 @@
+"""Sessions: transactional read/write views over the chunk store.
+
+Mirrors icechunk-python/python/icechunk/session.py — commit, amend,
+rebase with conflict solvers, fork/merge for cooperative distributed
+writes, status/discard, move/shift/reindex array ops, and a Zarr-ish
+byte-store facade (store.py).
+
+Commit protocol (optimistic concurrency, icechunk/src/session.rs):
+  1. stage writes (chunk parquet + staged manifest files, node ops)
+  2. at commit: if the branch tip moved past our base, detect
+     conflicts by joining our txlog against txlogs of the
+     intervening snapshots; a ConflictSolver resolves or we raise
+  3. write manifest + txlog + snapshot (all immutable files)
+  4. CAS-advance the branch ref (generation file create-exclusive);
+     losing the race re-enters step 2
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icechunk_spark.repo import format as fmt
+from icechunk_spark.repo import manifests as mf
+from icechunk_spark.repo.arrays import (
+    decode_chunks_to_rows,
+    encode_array_chunks,
+    slice_chunk_filter,
+    staged_manifest_from_chunk_dir,
+)
+from icechunk_spark.repo.format import (
+    MANIFEST_SCHEMA,
+    TXLOG_SCHEMA,
+    ArrayMeta,
+    GroupMeta,
+    RefError,
+    SnapshotInfo,
+    new_id,
+    node_from_dict,
+)
+
+
+class ConflictError(Exception):
+    def __init__(self, conflicts: list[dict[str, Any]]):
+        self.conflicts = conflicts
+        super().__init__(f"{len(conflicts)} conflicting change(s); sample: {conflicts[:5]}")
+
+
+@dataclass
+class ConflictSolver:
+    """Resolution policy, mirroring icechunk's BasicConflictSolver:
+    ``fail`` raises, ``use_ours`` keeps the session's writes,
+    ``use_theirs`` keeps the committed writes."""
+
+    on_chunk_conflict: str = "fail"  # fail | use_ours | use_theirs
+    on_node_conflict: str = "fail"
+
+
+@dataclass
+class Diff:
+    new_nodes: list[str] = field(default_factory=list)
+    deleted_nodes: list[str] = field(default_factory=list)
+    updated_nodes: list[str] = field(default_factory=list)
+    chunks_written: int = 0
+    chunks_deleted: int = 0
+
+    def __bool__(self) -> bool:
+        return bool(
+            self.new_nodes
+            or self.deleted_nodes
+            or self.updated_nodes
+            or self.chunks_written
+            or self.chunks_deleted
+        )
+
+
+@dataclass
+class VersionSelector:
+    """Pick a version by branch, tag, or snapshot id (exactly one)."""
+
+    branch: str | None = None
+    tag: str | None = None
+    snapshot_id: str | None = None
+
+    def resolve(self, root: str) -> str:
+        picks = [x for x in (self.branch, self.tag, self.snapshot_id) if x is not None]
+        if len(picks) != 1:
+            raise ValueError("specify exactly one of branch/tag/snapshot_id")
+        if self.branch:
+            return fmt.branch_tip(root, self.branch)[1]
+        if self.tag:
+            return fmt.read_tag(root, self.tag)
+        return self.snapshot_id  # type: ignore[return-value]
+
+
+class Session:
+    """A transaction over the repo at a base snapshot."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        snapshot_id: str,
+        branch: str | None = None,
+        read_only: bool = True,
+        _session_id: str | None = None,
+    ):
+        self.spark = spark
+        self.root = root
+        self._base = fmt.read_snapshot(root, snapshot_id)
+        self._branch = branch
+        self._read_only = read_only
+        self.session_id = _session_id or new_id()
+        # path -> node dict; mutated by node ops
+        self._nodes: dict[str, dict[str, Any]] = dict(self._base.nodes)
+        self._staged_manifests: list[str] = []  # relpaths under staging/
+        self._node_ops: list[dict[str, str]] = []  # {op, path, node_id}
+        self._chunk_buffer: list[dict[str, Any]] = []  # small set_bytes/virtual writes
+
+    # --- introspection ----------------------------------------------------
+
+    @property
+    def read_only(self) -> bool:
+        return self._read_only
+
+    @property
+    def branch(self) -> str | None:
+        return self._branch
+
+    @property
+    def snapshot_id(self) -> str:
+        return self._base.id
+
+    def has_uncommitted_changes(self) -> bool:
+        return bool(self._staged_manifests or self._node_ops or self._chunk_buffer)
+
+    def status(self) -> Diff:
+        d = Diff()
+        for op in self._node_ops:
+            if op["op"] == "create":
+                d.new_nodes.append(op["path"])
+            elif op["op"] == "delete":
+                d.deleted_nodes.append(op["path"])
+            else:
+                d.updated_nodes.append(op["path"])
+        staged = self._staged_manifest_df()
+        if staged is not None:
+            counts = staged.groupBy("op").count().collect()
+            for r in counts:
+                if r["op"] == "set":
+                    d.chunks_written = r["count"]
+                else:
+                    d.chunks_deleted = r["count"]
+        d.chunks_written += sum(1 for c in self._chunk_buffer if c["op"] == "set")
+        return d
+
+    def discard_changes(self) -> None:
+        stage = self._staging_dir()
+        if os.path.isdir(stage):
+            shutil.rmtree(stage)
+        self._staged_manifests.clear()
+        self._node_ops.clear()
+        self._chunk_buffer.clear()
+        self._nodes = dict(self._base.nodes)
+
+    # --- node ops ---------------------------------------------------------
+
+    def _require_writable(self) -> None:
+        if self._read_only:
+            raise RefError("session is read-only")
+
+    def create_group(self, path: str, attrs: dict | None = None) -> GroupMeta:
+        self._require_writable()
+        path = _norm(path)
+        if path in self._nodes:
+            raise RefError(f"node exists at {path}")
+        meta = GroupMeta(node_id=new_id(), attrs=attrs or {})
+        self._nodes[path] = _asdict(meta)
+        self._node_ops.append({"op": "create", "path": path, "node_id": meta.node_id})
+        return meta
+
+    def create_array(
+        self,
+        path: str,
+        shape: list[int],
+        chunk_shape: list[int],
+        dtype: str = "float64",
+        fill_value: float = 0.0,
+        attrs: dict | None = None,
+    ) -> ArrayMeta:
+        self._require_writable()
+        path = _norm(path)
+        if path in self._nodes:
+            raise RefError(f"node exists at {path}")
+        meta = ArrayMeta(
+            node_id=new_id(),
+            shape=list(shape),
+            chunk_shape=list(chunk_shape),
+            dtype=dtype,
+            fill_value=fill_value,
+            attrs=attrs or {},
+        )
+        self._nodes[path] = _asdict(meta)
+        self._node_ops.append({"op": "create", "path": path, "node_id": meta.node_id})
+        return meta
+
+    def update_attrs(self, path: str, attrs: dict) -> None:
+        self._require_writable()
+        node = self._node(path)
+        node["attrs"] = {**node.get("attrs", {}), **attrs}
+        self._node_ops.append({"op": "update", "path": _norm(path), "node_id": node["node_id"]})
+
+    def delete_node(self, path: str) -> None:
+        """Delete an array or group (group deletes cascade).  Chunk refs
+        of deleted nodes become unreachable (no tombstones needed: the
+        node_id is never reused) and are reclaimed by GC."""
+        self._require_writable()
+        path = _norm(path)
+        doomed = [p for p in self._nodes if p == path or p.startswith(path.rstrip("/") + "/")]
+        if not doomed:
+            raise RefError(f"no node at {path}")
+        for p in doomed:
+            node = self._nodes.pop(p)
+            self._node_ops.append({"op": "delete", "path": p, "node_id": node["node_id"]})
+
+    def move(self, from_path: str, to_path: str) -> None:
+        """Rename a node (and descendants).  Pure metadata: manifests
+        key chunks by node_id, so no chunk or manifest rewrite happens
+        (same design as icechunk-types Move / session.move)."""
+        self._require_writable()
+        src, dst = _norm(from_path), _norm(to_path)
+        if dst in self._nodes:
+            raise RefError(f"destination {dst} exists")
+        moved = {p: n for p, n in self._nodes.items() if p == src or p.startswith(src.rstrip("/") + "/")}
+        if not moved:
+            raise RefError(f"no node at {src}")
+        for p, node in moved.items():
+            np_ = dst + p[len(src) :]
+            del self._nodes[p]
+            self._nodes[np_] = node
+            self._node_ops.append({"op": "move", "path": np_, "node_id": node["node_id"]})
+
+    def get_node_id(self, path: str) -> str:
+        return self._node(path)["node_id"]
+
+    def list_nodes(self) -> dict[str, str]:
+        return {p: n["kind"] for p, n in sorted(self._nodes.items())}
+
+    def array_meta(self, path: str) -> ArrayMeta:
+        node = self._node(path)
+        if node["kind"] != "array":
+            raise RefError(f"{path} is not an array")
+        return node_from_dict(node)  # type: ignore[return-value]
+
+    def _node(self, path: str) -> dict[str, Any]:
+        path = _norm(path)
+        if path not in self._nodes:
+            raise RefError(f"no node at {path}")
+        return self._nodes[path]
+
+    # --- chunk data plane -------------------------------------------------
+
+    def write_array_df(self, path: str, df: DataFrame) -> None:
+        """Distributed write: pack (i0..ik, value) rows into chunks."""
+        self._require_writable()
+        meta = self.array_meta(path)
+        rel = os.path.join("chunks", f"{new_id()}.parquet")
+        encode_array_chunks(df, meta, os.path.join(self.root, rel))
+        staged = staged_manifest_from_chunk_dir(
+            self.spark, os.path.join(self.root, rel), rel, meta.node_id
+        )
+        self._stage_manifest(staged)
+
+    def read_array_df(
+        self, path: str, slices: list[tuple[int, int]] | None = None
+    ) -> DataFrame:
+        """Distributed read of an array region as coordinate rows."""
+        meta = self.array_meta(path)
+        manifest = self._resolved_manifest(meta.node_id, slice_chunk_filter(meta, slices))
+        return decode_chunks_to_rows(self.spark, self.root, manifest, meta, slices)
+
+    def chunk_manifest_df(self, path: str | None = None) -> DataFrame:
+        """The live chunk-ref manifest (optionally for one node) as a
+        DataFrame — the queryable metadata surface."""
+        node_id = self.array_meta(path).node_id if path else None
+        return self._resolved_manifest(node_id, None)
+
+    def set_chunk_bytes(self, path: str, chunk_key: str, payload: bytes) -> None:
+        """Store-level single-chunk write (buffered; flushed at commit)."""
+        self._require_writable()
+        meta = self.array_meta(path)
+        self._chunk_buffer.append(
+            {
+                "node_id": meta.node_id,
+                "chunk_key": chunk_key,
+                "payload": payload,
+                "op": "set",
+                "is_virtual": False,
+            }
+        )
+
+    def delete_chunk(self, path: str, chunk_key: str) -> None:
+        self._require_writable()
+        meta = self.array_meta(path)
+        self._chunk_buffer.append(
+            {"node_id": meta.node_id, "chunk_key": chunk_key, "payload": None, "op": "del", "is_virtual": False}
+        )
+
+    def set_virtual_ref(
+        self, path: str, chunk_key: str, location: str, offset: int, length: int
+    ) -> None:
+        """Reference a byte range in an external file as a chunk
+        (icechunk/src/virtual_chunks.rs)."""
+        self._require_writable()
+        meta = self.array_meta(path)
+        self._chunk_buffer.append(
+            {
+                "node_id": meta.node_id,
+                "chunk_key": chunk_key,
+                "payload": None,
+                "op": "set",
+                "is_virtual": True,
+                "vpath": location,
+                "voffset": offset,
+                "vlength": length,
+            }
+        )
+
+    def set_virtual_refs(self, path: str, refs: list[tuple[str, str, int, int]]) -> None:
+        for chunk_key, location, offset, length in refs:
+            self.set_virtual_ref(path, chunk_key, location, offset, length)
+
+    def all_virtual_chunk_locations(self) -> list[str]:
+        df = self._resolved_manifest(None, None).filter(F.col("is_virtual"))
+        return sorted({r["vpath"] for r in df.select("vpath").distinct().collect()})
+
+    def get_chunk_bytes(self, path: str, chunk_key: str) -> bytes | None:
+        meta = self.array_meta(path)
+        for c in reversed(self._chunk_buffer):
+            if c["node_id"] == meta.node_id and c["chunk_key"] == chunk_key:
+                return c["payload"] if c["op"] == "set" and not c["is_virtual"] else None
+        row = (
+            self._resolved_manifest(meta.node_id, None)
+            .filter(F.col("chunk_key") == chunk_key)
+            .collect()
+        )
+        if not row:
+            return None
+        r = row[0]
+        if r["is_virtual"]:
+            with open(r["vpath"], "rb") as f:
+                f.seek(r["voffset"])
+                return f.read(r["vlength"])
+        payload = (
+            self.spark.read.parquet(os.path.join(self.root, r["file"]))
+            .filter(F.col("chunk_id") == r["chunk_id"])
+            .select("payload")
+            .collect()
+        )
+        return bytes(payload[0]["payload"]) if payload else None
+
+    # --- array reorganization (rearrange sessions) ------------------------
+
+    def shift_array(self, array_path: str, chunk_offset: list[int]) -> None:
+        """Shift all chunks by a per-dimension chunk offset;
+        out-of-bounds chunks are discarded, vacated positions cleared
+        (session.py:shift_array, design-docs/018)."""
+        self._require_writable()
+        meta = self.array_meta(array_path)
+        ndim = len(meta.shape)
+        if len(chunk_offset) != ndim:
+            raise ValueError("chunk_offset rank mismatch")
+        live = self._resolved_manifest(meta.node_id, None)
+        grid = meta.grid_shape()
+        newc = [F.col(f"c{d}") + chunk_offset[d] for d in range(ndim)]
+        in_bounds = F.lit(True)
+        for d in range(ndim):
+            in_bounds = in_bounds & (newc[d] >= 0) & (newc[d] < grid[d])
+        moved = live.filter(in_bounds)
+        for d in range(ndim):
+            moved = moved.withColumn(f"c{d}", F.col(f"c{d}") + chunk_offset[d])
+        moved = moved.withColumn(
+            "chunk_key", F.concat_ws(".", *[F.col(f"c{d}").cast("string") for d in range(ndim)])
+        ).withColumn("op", F.lit("set"))
+        # vacate every previously occupied position not re-covered
+        tombs = live.select(
+            "node_id", "chunk_key", "c0", "c1", "c2", "c3"
+        ).withColumn("op", F.lit("del"))
+        for col, typ in [
+            ("chunk_id", "string"),
+            ("file", "string"),
+            ("n_bytes", "bigint"),
+            ("vpath", "string"),
+            ("voffset", "bigint"),
+            ("vlength", "bigint"),
+        ]:
+            tombs = tombs.withColumn(col, F.lit(None).cast(typ))
+        tombs = tombs.withColumn("is_virtual", F.lit(False)).withColumn(
+            "seq", F.lit(0).cast("bigint")
+        )
+        cols = [c.strip().split(" ")[0] for c in MANIFEST_SCHEMA.split(",")]
+        # tombstones first, then moved rows (higher staged idx shadows)
+        self._stage_manifest(tombs.select(*cols))
+        self._stage_manifest(moved.select(*cols))
+
+    def reindex_array(self, array_path: str, forward, backward=None) -> None:
+        """Remap chunk coordinates with a Python function — applied
+        distributed over the manifest rows (mapInPandas), never over
+        chunk payloads (session.py:reindex_array)."""
+        self._require_writable()
+        import pandas as pd
+
+        meta = self.array_meta(array_path)
+        ndim = len(meta.shape)
+        grid = meta.grid_shape()
+        live = self._resolved_manifest(meta.node_id, None)
+
+        def remap(batches):
+            for pdf in batches:
+                rows = []
+                for _, r in pdf.iterrows():
+                    old = [int(x) for x in r["chunk_key"].split(".")]
+                    new = forward(old)
+                    if new is None:
+                        continue
+                    new = list(new)
+                    if len(new) != ndim or any(x < 0 or x >= g for x, g in zip(new, grid)):
+                        raise ValueError(f"forward mapped {old} out of bounds: {new}")
+                    d = r.to_dict()
+                    d["chunk_key"] = ".".join(str(x) for x in new)
+                    for i in range(4):
+                        d[f"c{i}"] = new[i] if i < ndim else None
+                    rows.append(d)
+                yield pd.DataFrame(rows, columns=pdf.columns) if rows else pd.DataFrame(
+                    columns=pdf.columns
+                )
+
+        moved = live.mapInPandas(remap, MANIFEST_SCHEMA)
+        if backward is not None:
+            # visit every grid position; clear positions whose source is empty
+            tombs_keys = []
+            live_keys = {r["chunk_key"] for r in live.select("chunk_key").collect()}
+            import itertools
+
+            for pos in itertools.product(*[range(g) for g in grid]):
+                src = backward(list(pos))
+                if src is None:
+                    continue
+                if ".".join(str(x) for x in src) not in live_keys:
+                    tombs_keys.append(pos)
+            if tombs_keys:
+                rows = [
+                    {
+                        "node_id": meta.node_id,
+                        "chunk_key": ".".join(str(x) for x in pos),
+                        **{f"c{i}": (pos[i] if i < ndim else None) for i in range(4)},
+                        "chunk_id": None,
+                        "file": None,
+                        "n_bytes": None,
+                        "op": "del",
+                        "is_virtual": False,
+                        "vpath": None,
+                        "voffset": None,
+                        "vlength": None,
+                        "seq": 0,
+                    }
+                    for pos in tombs_keys
+                ]
+                self._stage_manifest(self.spark.createDataFrame(rows, MANIFEST_SCHEMA))
+        cols = [c.strip().split(" ")[0] for c in MANIFEST_SCHEMA.split(",")]
+        self._stage_manifest(moved.select(*cols))
+
+    # --- staging ----------------------------------------------------------
+
+    def _staging_dir(self) -> str:
+        return os.path.join(self.root, "staging", self.session_id)
+
+    def _stage_manifest(self, df: DataFrame) -> None:
+        rel = os.path.join("staging", self.session_id, f"m{len(self._staged_manifests):05d}.parquet")
+        df.write.parquet(os.path.join(self.root, rel))
+        self._staged_manifests.append(rel)
+
+    def _flush_chunk_buffer(self) -> None:
+        if not self._chunk_buffer:
+            return
+        rel = os.path.join("chunks", f"{new_id()}.parquet")
+        rows = []
+        refs = []
+        for c in self._chunk_buffer:
+            ck = [int(x) for x in c["chunk_key"].split(".")] if c["chunk_key"] else []
+            coords = {f"c{i}": (ck[i] if i < len(ck) else None) for i in range(4)}
+            chunk_id = new_id() if (c["op"] == "set" and not c["is_virtual"]) else None
+            if chunk_id:
+                rows.append({"chunk_id": chunk_id, "payload": c["payload"]})
+            refs.append(
+                {
+                    "node_id": c["node_id"],
+                    "chunk_key": c["chunk_key"],
+                    **coords,
+                    "chunk_id": chunk_id,
+                    "file": rel if chunk_id else None,
+                    "n_bytes": len(c["payload"]) if c.get("payload") else None,
+                    "op": c["op"],
+                    "is_virtual": bool(c.get("is_virtual")),
+                    "vpath": c.get("vpath"),
+                    "voffset": c.get("voffset"),
+                    "vlength": c.get("vlength"),
+                    "seq": 0,
+                }
+            )
+        if rows:
+            self.spark.createDataFrame(rows, "chunk_id string, payload binary").coalesce(
+                1
+            ).write.parquet(os.path.join(self.root, rel))
+        self._stage_manifest(self.spark.createDataFrame(refs, MANIFEST_SCHEMA))
+        self._chunk_buffer.clear()
+
+    def _staged_manifest_df(self) -> DataFrame | None:
+        if not self._staged_manifests:
+            return None
+        paths = [os.path.join(self.root, p) for p in self._staged_manifests]
+        # staged file index becomes the intra-commit sub-sequence
+        dfs = [
+            self.spark.read.schema(MANIFEST_SCHEMA)
+            .parquet(p)
+            .withColumn("seq", F.lit(i).cast("bigint"))
+            for i, p in enumerate(paths)
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def _resolved_manifest(self, node_id, chunk_filter) -> DataFrame:
+        """Base-snapshot manifest overlaid with staged (uncommitted)
+        writes — read-your-writes inside the transaction."""
+        base = mf.resolve_manifests(self.spark, self.root, self._base, node_id, chunk_filter)
+        staged = self._staged_manifest_df()
+        if self._chunk_buffer:
+            # make small buffered writes visible without forcing a flush
+            pass
+        if staged is None:
+            return base
+        if node_id is not None:
+            staged = staged.filter(F.col("node_id") == node_id)
+        if chunk_filter is not None:
+            staged = staged.filter(chunk_filter)
+        staged = staged.withColumn("seq", F.col("seq") + F.lit(10**15))
+        from pyspark.sql import Window
+
+        union = base.unionByName(staged)
+        w = Window.partitionBy("node_id", "chunk_key").orderBy(F.desc("seq"))
+        return (
+            union.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & (F.col("op") == "set"))
+            .drop("__rn")
+        )
+
+    # --- commit machinery -------------------------------------------------
+
+    def commit(
+        self,
+        message: str,
+        metadata: dict | None = None,
+        rebase_with: ConflictSolver | None = None,
+    ) -> str:
+        """Commit staged changes; returns the new snapshot id."""
+        self._require_writable()
+        if self._branch is None:
+            raise RefError("no branch to commit to")
+        self._flush_chunk_buffer()
+        while True:
+            gen, tip_id = fmt.branch_tip(self.root, self._branch)
+            parent = self._base
+            if tip_id != self._base.id:
+                self._rebase_onto(tip_id, rebase_with)
+                parent = fmt.read_snapshot(self.root, tip_id)
+            snap_id = new_id()
+            staged = self._staged_manifest_df()
+            manifests = list(parent.manifests)
+            if staged is not None:
+                seq_base = (parent.seq + 1) * 100_000
+                rel = mf.write_manifest(
+                    staged.withColumn("seq", F.col("seq") + seq_base), self.root
+                )
+                manifests.append(rel)
+                self._write_txlog(snap_id, staged)
+            snap = SnapshotInfo(
+                id=snap_id,
+                parent_id=parent.id,
+                message=message,
+                metadata=metadata or {},
+                written_at=time.time(),
+                seq=parent.seq + 1,
+                manifests=manifests,
+                nodes=self._nodes,
+            )
+            fmt.write_snapshot(self.root, snap)
+            try:
+                fmt.update_branch(self.root, self._branch, snap_id, expected_gen=gen)
+            except RefError:
+                continue  # lost the CAS race: re-detect conflicts against new tip
+            stage = self._staging_dir()
+            if os.path.isdir(stage):
+                shutil.rmtree(stage)
+            self._staged_manifests.clear()
+            self._node_ops.clear()
+            self._base = snap
+            return snap_id
+
+    def amend(self, message: str | None = None, metadata: dict | None = None) -> str:
+        """Replace the tip commit with tip+staged (same parent) —
+        session.py:amend."""
+        self._require_writable()
+        if self._branch is None:
+            raise RefError("no branch to amend")
+        self._flush_chunk_buffer()
+        gen, tip_id = fmt.branch_tip(self.root, self._branch)
+        tip = fmt.read_snapshot(self.root, tip_id)
+        if tip.parent_id is None:
+            raise RefError("cannot amend the root snapshot")
+        if tip_id != self._base.id:
+            raise RefError("session base is not the branch tip; rebase first")
+        snap_id = new_id()
+        staged = self._staged_manifest_df()
+        manifests = list(tip.manifests)
+        if staged is not None:
+            seq_base = (tip.seq + 1) * 100_000
+            manifests.append(
+                mf.write_manifest(staged.withColumn("seq", F.col("seq") + seq_base), self.root)
+            )
+            self._write_txlog(snap_id, staged)
+        snap = SnapshotInfo(
+            id=snap_id,
+            parent_id=tip.parent_id,
+            message=message if message is not None else tip.message,
+            metadata=metadata if metadata is not None else tip.metadata,
+            written_at=time.time(),
+            seq=tip.seq + 1,
+            manifests=manifests,
+            nodes=self._nodes,
+        )
+        fmt.write_snapshot(self.root, snap)
+        fmt.update_branch(self.root, self._branch, snap_id, expected_gen=gen)
+        self._staged_manifests.clear()
+        self._node_ops.clear()
+        self._base = snap
+        return snap_id
+
+    def rebase(self, solver: ConflictSolver) -> None:
+        """Move the session base to the branch tip, resolving conflicts."""
+        self._require_writable()
+        _, tip_id = fmt.branch_tip(self.root, self._branch or "")
+        if tip_id != self._base.id:
+            self._rebase_onto(tip_id, solver)
+
+    def _write_txlog(self, snap_id: str, staged: DataFrame) -> None:
+        tx = staged.select("node_id", "chunk_key", "op")
+        node_rows = [
+            {"node_id": op["node_id"], "chunk_key": "", "op": f"node_{op['op']}"}
+            for op in self._node_ops
+        ]
+        if node_rows:
+            tx = tx.unionByName(self.spark.createDataFrame(node_rows, TXLOG_SCHEMA))
+        tx.coalesce(1).write.parquet(os.path.join(self.root, "txlogs", f"{snap_id}.parquet"))
+
+    def _txlogs_between(self, old_id: str, new_id_: str) -> list[str]:
+        """Snapshot ids on the path new_id_ → ... → old_id (exclusive)."""
+        out = []
+        cur = fmt.read_snapshot(self.root, new_id_)
+        while cur.id != old_id:
+            out.append(cur.id)
+            if cur.parent_id is None:
+                raise RefError(f"{old_id} is not an ancestor of {new_id_}")
+            cur = fmt.read_snapshot(self.root, cur.parent_id)
+        return out
+
+    def _rebase_onto(self, tip_id: str, solver: ConflictSolver | None) -> None:
+        theirs_ids = self._txlogs_between(self._base.id, tip_id)
+        their_logs = [
+            os.path.join(self.root, "txlogs", f"{sid}.parquet")
+            for sid in theirs_ids
+            if os.path.exists(os.path.join(self.root, "txlogs", f"{sid}.parquet"))
+        ]
+        staged = self._staged_manifest_df()
+        ours_chunks = (
+            staged.select("node_id", "chunk_key").distinct()
+            if staged is not None
+            else self.spark.createDataFrame([], "node_id string, chunk_key string")
+        )
+        if their_logs:
+            theirs = self.spark.read.schema(TXLOG_SCHEMA).parquet(*their_logs)
+        else:
+            theirs = self.spark.createDataFrame([], TXLOG_SCHEMA)
+        chunk_conf = (
+            ours_chunks.join(
+                theirs.filter(F.col("chunk_key") != ""), ["node_id", "chunk_key"]
+            )
+            .select("node_id", "chunk_key")
+            .distinct()
+        )
+        conflicts = [
+            {"kind": "chunk", "node_id": r["node_id"], "chunk_key": r["chunk_key"]}
+            for r in chunk_conf.limit(100).collect()
+        ]
+        tip = fmt.read_snapshot(self.root, tip_id)
+        ours_nodes = {op["node_id"] for op in self._node_ops}
+        their_nodes = {
+            r["node_id"] for r in theirs.filter(F.col("chunk_key") == "").collect()
+        }
+        node_conflicts = ours_nodes & their_nodes
+        conflicts += [{"kind": "node", "node_id": n} for n in sorted(node_conflicts)]
+        if conflicts:
+            if solver is None:
+                raise ConflictError(conflicts)
+            mode = solver.on_chunk_conflict
+            if any(c["kind"] == "node" for c in conflicts) and solver.on_node_conflict == "fail":
+                raise ConflictError([c for c in conflicts if c["kind"] == "node"])
+            if mode == "fail" and any(c["kind"] == "chunk" for c in conflicts):
+                raise ConflictError([c for c in conflicts if c["kind"] == "chunk"])
+            if mode == "use_theirs" and staged is not None:
+                kept = staged.join(chunk_conf, ["node_id", "chunk_key"], "left_anti")
+                self._replace_staging(kept)
+            # use_ours: nothing to do — our staged rows get a higher seq
+        # merge their node table with our ops replayed on top
+        merged = dict(tip.nodes)
+        for op in self._node_ops:
+            path = op["path"]
+            if op["op"] == "delete":
+                merged.pop(path, None)
+            else:
+                if path in self._nodes:
+                    merged[path] = self._nodes[path]
+        self._nodes = merged
+        self._base = tip
+
+    def _replace_staging(self, df: DataFrame) -> None:
+        materialized = df.collect()  # conflict remainders are small
+        schema = df.schema
+        stage = self._staging_dir()
+        if os.path.isdir(stage):
+            shutil.rmtree(stage)
+        self._staged_manifests.clear()
+        if materialized:
+            self._stage_manifest(self.spark.createDataFrame(materialized, schema))
+
+    # --- fork/merge (distributed cooperative writes) ----------------------
+
+    def fork(self) -> "ForkSession":
+        """A picklable writer session for cooperative multi-writer jobs
+        (session.py:fork / ForkSession).  Forks stage independently;
+        ``merge`` folds their staged manifests back before one commit."""
+        if self.has_uncommitted_changes() and self._node_ops:
+            pass  # node table is copied; chunk staging stays separate
+        return ForkSession(
+            spark=self.spark,
+            root=self.root,
+            snapshot_id=self._base.id,
+            nodes=dict(self._nodes),
+        )
+
+    def merge(self, *others: "ForkSession") -> None:
+        self._require_writable()
+        for o in others:
+            self._staged_manifests.extend(o._staged_manifests)
+            self._node_ops.extend(o._node_ops)
+
+
+class ForkSession(Session):
+    def __init__(self, spark, root, snapshot_id, nodes):
+        super().__init__(spark, root, snapshot_id, branch=None, read_only=False)
+        self._nodes = nodes
+
+    def commit(self, *a, **k):  # type: ignore[override]
+        raise RefError("ForkSession cannot commit; merge into the parent session")
+
+    def __getstate__(self):
+        return {
+            "root": self.root,
+            "snapshot_id": self._base.id,
+            "nodes": self._nodes,
+            "staged": self._staged_manifests,
+            "session_id": self.session_id,
+        }
+
+    def __setstate__(self, state):
+        from pyspark.sql import SparkSession
+
+        self.spark = SparkSession.getActiveSession()
+        self.root = state["root"]
+        self._base = fmt.read_snapshot(self.root, state["snapshot_id"])
+        self._branch = None
+        self._read_only = False
+        self.session_id = state["session_id"]
+        self._nodes = state["nodes"]
+        self._staged_manifests = state["staged"]
+        self._node_ops = []
+        self._chunk_buffer = []
+
+
+def _norm(path: str) -> str:
+    return "/" + path.strip("/")
+
+
+def _asdict(meta: ArrayMeta | GroupMeta) -> dict[str, Any]:
+    from dataclasses import asdict
+
+    return asdict(meta)

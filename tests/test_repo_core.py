@@ -1,0 +1,335 @@
+"""Version-control core tests, mirroring the reference's coverage
+groups (session lifecycle, refs, time travel, conflicts, maintenance
+— SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from icechunk_spark.repo import ConflictError, ConflictSolver, RefError, Repository
+
+
+@pytest.fixture()
+def repo(spark, tmp_path):
+    return Repository.create(spark, str(tmp_path / "repo"))
+
+
+def grid_df(spark, n=8, m=8, scale=1.0):
+    return spark.range(n * m).select(
+        (F.col("id") / m).cast("long").alias("i0"),
+        (F.col("id") % m).alias("i1"),
+        (F.col("id") * scale).cast("double").alias("value"),
+    )
+
+
+def test_create_open_exists(spark, tmp_path):
+    root = str(tmp_path / "r1")
+    assert not Repository.exists(root)
+    Repository.create(spark, root)
+    assert Repository.exists(root)
+    Repository.open(spark, root)
+    with pytest.raises(RefError):
+        Repository.create(spark, root)
+
+
+def test_array_roundtrip_and_time_travel(spark, repo):
+    s = repo.writable_session()
+    s.create_array("/temp", shape=[8, 8], chunk_shape=[4, 4])
+    s.write_array_df("/temp", grid_df(spark))
+    snap1 = s.commit("v1")
+
+    s2 = repo.writable_session()
+    s2.write_array_df("/temp", grid_df(spark, scale=2.0))
+    snap2 = s2.commit("v2")
+
+    old = repo.readonly_session(snapshot_id=snap1).read_array_df("/temp").collect()
+    new = repo.readonly_session(snapshot_id=snap2).read_array_df("/temp").collect()
+    assert len(old) == 64 and len(new) == 64
+    old_map = {(r["i0"], r["i1"]): r["value"] for r in old}
+    new_map = {(r["i0"], r["i1"]): r["value"] for r in new}
+    assert old_map[(2, 3)] == 2 * 8 + 3
+    assert new_map[(2, 3)] == (2 * 8 + 3) * 2.0
+
+
+def test_slice_read_prunes(spark, repo):
+    with repo.transaction(message="init") as s:
+        s.create_array("/a", shape=[8, 8], chunk_shape=[4, 4])
+        s.write_array_df("/a", grid_df(spark))
+    s = repo.readonly_session()
+    rows = s.read_array_df("/a", slices=[(0, 4), (4, 8)]).collect()
+    assert len(rows) == 16
+    assert all(r["i0"] < 4 and r["i1"] >= 4 for r in rows)
+    # pruning: only 1 of 4 chunks survives the manifest filter
+    from icechunk_spark.repo.arrays import slice_chunk_filter
+
+    meta = s.array_meta("/a")
+    man = s.chunk_manifest_df("/a").filter(slice_chunk_filter(meta, [(0, 4), (4, 8)]))
+    assert man.count() == 1
+
+
+def test_branches_tags_ancestry(spark, repo):
+    with repo.transaction(message="c1") as s:
+        s.create_array("/x", shape=[4], chunk_shape=[2])
+        s.write_array_df(
+            "/x", spark.range(4).select(F.col("id").alias("i0"), F.col("id").cast("double").alias("value"))
+        )
+    main_tip = repo.lookup_branch("main")
+    repo.create_branch("dev", main_tip)
+    repo.create_tag("v1.0", main_tip)
+    assert repo.list_branches() == {"main", "dev"}
+    assert repo.list_tags() == {"v1.0"}
+    assert repo.lookup_tag("v1.0") == main_tip
+
+    with repo.transaction("dev", message="c2") as s:
+        s.update_attrs("/x", {"units": "K"})
+    dev_tip = repo.lookup_branch("dev")
+    assert dev_tip != main_tip
+    hist = [s.id for s in repo.ancestry(branch="dev")]
+    assert hist[0] == dev_tip and main_tip in hist
+    # tags immutable
+    with pytest.raises(RefError):
+        repo.create_tag("v1.0", dev_tip)
+    repo.delete_tag("v1.0")
+    with pytest.raises(RefError):
+        repo.create_tag("v1.0", dev_tip)  # names never reused
+    # reset + delete branches
+    repo.reset_branch("dev", main_tip)
+    assert repo.lookup_branch("dev") == main_tip
+    repo.delete_branch("dev")
+    assert repo.list_branches() == {"main"}
+    with pytest.raises(RefError):
+        repo.delete_branch("main")
+
+
+def test_status_discard(spark, repo):
+    s = repo.writable_session()
+    s.create_array("/a", shape=[4], chunk_shape=[2])
+    s.write_array_df(
+        "/a", spark.range(4).select(F.col("id").alias("i0"), F.lit(1.0).alias("value"))
+    )
+    st = s.status()
+    assert st.new_nodes == ["/a"] and st.chunks_written == 2
+    assert s.has_uncommitted_changes()
+    s.discard_changes()
+    assert not s.has_uncommitted_changes()
+    assert "/a" not in s.list_nodes()
+
+
+def test_conflict_detection_and_solvers(spark, repo):
+    with repo.transaction(message="init") as s:
+        s.create_array("/a", shape=[4], chunk_shape=[2])
+        s.write_array_df(
+            "/a", spark.range(4).select(F.col("id").alias("i0"), F.lit(0.0).alias("value"))
+        )
+
+    s1 = repo.writable_session()
+    s2 = repo.writable_session()
+    df1 = spark.range(2).select(F.col("id").alias("i0"), F.lit(1.0).alias("value"))
+    df2 = spark.range(2).select(F.col("id").alias("i0"), F.lit(2.0).alias("value"))
+    s1.write_array_df("/a", df1)
+    s2.write_array_df("/a", df2)
+    s1.commit("one")
+    with pytest.raises(ConflictError):
+        s2.commit("two")
+    # use_theirs: drop conflicting writes → values from s1 survive
+    s2.commit("two", rebase_with=ConflictSolver(on_chunk_conflict="use_theirs"))
+    vals = {
+        (r["i0"]): r["value"]
+        for r in repo.readonly_session().read_array_df("/a").collect()
+    }
+    assert vals[0] == 1.0
+
+    s3 = repo.writable_session()
+    s4 = repo.writable_session()
+    s3.write_array_df("/a", df1.select("i0", (F.col("value") * 3).alias("value")))
+    s4.write_array_df("/a", df2.select("i0", (F.col("value") * 2).alias("value")))
+    s3.commit("three")
+    s4.commit("four", rebase_with=ConflictSolver(on_chunk_conflict="use_ours"))
+    vals = {
+        (r["i0"]): r["value"]
+        for r in repo.readonly_session().read_array_df("/a").collect()
+    }
+    assert vals[0] == 4.0  # ours (s4) won
+
+
+def test_amend(spark, repo):
+    with repo.transaction(message="base") as s:
+        s.create_array("/a", shape=[4], chunk_shape=[2])
+    s = repo.writable_session()
+    s.write_array_df(
+        "/a", spark.range(4).select(F.col("id").alias("i0"), F.lit(5.0).alias("value"))
+    )
+    base_parent = repo.lookup_snapshot(repo.lookup_branch("main")).parent_id
+    new_id = s.amend(message="base amended")
+    tip = repo.lookup_snapshot(repo.lookup_branch("main"))
+    assert tip.id == new_id
+    assert tip.parent_id == base_parent
+    assert tip.message == "base amended"
+    assert repo.readonly_session().read_array_df("/a").count() == 4
+
+
+def test_move_is_metadata_only(spark, repo):
+    with repo.transaction(message="init") as s:
+        s.create_group("/g")
+        s.create_array("/g/a", shape=[4], chunk_shape=[2])
+        s.write_array_df(
+            "/g/a", spark.range(4).select(F.col("id").alias("i0"), F.lit(1.0).alias("value"))
+        )
+    tip_before = repo.lookup_snapshot(repo.lookup_branch("main"))
+    with repo.transaction(message="mv") as s:
+        s.move("/g", "/h")
+    tip_after = repo.lookup_snapshot(repo.lookup_branch("main"))
+    # no new manifests were written — move touches only the node table
+    assert tip_after.manifests == tip_before.manifests
+    assert repo.readonly_session().read_array_df("/h/a").count() == 4
+
+
+def test_gc_and_compaction_and_stats(spark, repo):
+    for v in range(3):
+        with repo.transaction(message=f"v{v}") as s:
+            if v == 0:
+                s.create_array("/a", shape=[8], chunk_shape=[2])
+            s.write_array_df(
+                "/a",
+                spark.range(8).select(F.col("id").alias("i0"), F.lit(float(v)).alias("value")),
+            )
+    tip = repo.lookup_snapshot(repo.lookup_branch("main"))
+    assert len(tip.manifests) == 3
+    snap_id = repo.rewrite_manifests()
+    assert len(repo.lookup_snapshot(snap_id).manifests) == 1
+    rows = repo.readonly_session().read_array_df("/a").collect()
+    assert len(rows) == 8 and all(r["value"] == 2.0 for r in rows)
+
+    stats = repo.chunk_storage_stats().collect()
+    by_path = {r["path"]: r for r in stats}
+    assert by_path["/a"]["n_chunks"] == 4
+    assert repo.total_chunks_storage() > 0
+
+    # cut history, then GC must reclaim unreachable snapshots+chunks
+    repo.reset_branch("main", snap_id)
+    expired = repo.expire_snapshots(older_than_seconds=-1)  # everything unpinned
+    summary = repo.garbage_collect()
+    assert summary.snapshots_deleted >= 1 or expired
+    # live data still reads fine after GC
+    rows = repo.readonly_session().read_array_df("/a").collect()
+    assert len(rows) == 8
+
+
+def test_virtual_chunk_refs(spark, repo, tmp_path):
+    import numpy as np
+
+    ext = tmp_path / "external.bin"
+    block = np.arange(4, dtype="float64")
+    with open(ext, "wb") as f:
+        f.write(b"HDR!")  # offset 4
+        f.write(block.tobytes())
+    with repo.transaction(message="virt") as s:
+        s.create_array("/v", shape=[4], chunk_shape=[4])
+        s.set_virtual_ref("/v", "0", str(ext), offset=4, length=32)
+    sess = repo.readonly_session()
+    rows = {r["i0"]: r["value"] for r in sess.read_array_df("/v").collect()}
+    assert rows == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0}
+    assert sess.all_virtual_chunk_locations() == [str(ext)]
+
+
+def test_shift_array(spark, repo):
+    with repo.transaction(message="init") as s:
+        s.create_array("/a", shape=[8], chunk_shape=[2])
+        s.write_array_df(
+            "/a", spark.range(4).select(F.col("id").alias("i0"), (F.col("id") + 1.0).alias("value"))
+        )
+    with repo.transaction(message="shift") as s:
+        s.shift_array("/a", [1])
+    vals = {r["i0"]: r["value"] for r in repo.readonly_session().read_array_df("/a").collect()}
+    # chunks [0,1] moved to positions [1,2] (element offset 2); originals vacated
+    assert vals == {2: 1.0, 3: 2.0, 4: 3.0, 5: 4.0}
+
+
+def test_reindex_array(spark, repo):
+    with repo.transaction(message="init") as s:
+        s.create_array("/a", shape=[8], chunk_shape=[2])
+        s.write_array_df(
+            "/a", spark.range(8).select(F.col("id").alias("i0"), F.col("id").cast("double").alias("value"))
+        )
+    with repo.transaction(message="reverse") as s:
+        s.reindex_array("/a", forward=lambda c: [3 - c[0]])
+    vals = {r["i0"]: r["value"] for r in repo.readonly_session().read_array_df("/a").collect()}
+    assert vals[0] == 6.0 and vals[1] == 7.0 and vals[6] == 0.0
+
+
+def test_fork_merge(spark, repo):
+    with repo.transaction(message="init") as s:
+        s.create_array("/a", shape=[8], chunk_shape=[2])
+    s = repo.writable_session()
+    f1, f2 = s.fork(), s.fork()
+    f1.write_array_df(
+        "/a", spark.range(4).select(F.col("id").alias("i0"), F.lit(1.0).alias("value"))
+    )
+    f2.write_array_df(
+        "/a",
+        spark.range(4, 8).select(F.col("id").alias("i0"), F.lit(2.0).alias("value")),
+    )
+    with pytest.raises(RefError):
+        f1.commit("nope")
+    s.merge(f1, f2)
+    s.commit("merged")
+    vals = {r["i0"]: r["value"] for r in repo.readonly_session().read_array_df("/a").collect()}
+    assert vals[0] == 1.0 and vals[7] == 2.0
+
+
+def test_repo_metadata(spark, repo):
+    repo.set_metadata({"owner": "data-team"})
+    assert repo.metadata() == {"owner": "data-team"}
+    assert repo.update_metadata({"tier": "gold"})["owner"] == "data-team"
+    repo.set_default_commit_metadata({"pipeline": "etl"})
+    with repo.transaction(message="m") as s:
+        s.create_group("/g")
+    tip = repo.lookup_snapshot(repo.lookup_branch("main"))
+    assert tip.metadata["pipeline"] == "etl"
+
+
+def test_diff_and_inspect(spark, repo):
+    with repo.transaction(message="a") as s:
+        s.create_array("/a", shape=[4], chunk_shape=[2])
+        s.write_array_df(
+            "/a", spark.range(4).select(F.col("id").alias("i0"), F.lit(1.0).alias("value"))
+        )
+    snap_a = repo.lookup_branch("main")
+    with repo.transaction(message="b") as s:
+        s.create_group("/g2")
+        s.write_array_df(
+            "/a", spark.range(2).select(F.col("id").alias("i0"), F.lit(9.0).alias("value"))
+        )
+    snap_b = repo.lookup_branch("main")
+    d = repo.diff(from_snapshot_id=snap_a, to_snapshot_id=snap_b)
+    assert d.new_nodes == ["/g2"]
+    assert d.chunks_written == 1  # one chunk overwritten
+    info = repo.inspect_snapshot(snap_b)
+    assert info["chunk_refs"] >= 2 and info["nodes"]["/g2"] == "group"
+
+
+def test_store_facade(spark, repo):
+    from icechunk_spark.repo.store import ChunkStore
+
+    s = repo.writable_session()
+    store = ChunkStore(s)
+    assert store.supports_writes
+    import json as _json
+
+    store.set("arr/zarr.json", _json.dumps({"kind": "array", "shape": [4], "chunk_shape": [2]}).encode())
+    import numpy as np
+
+    store.set("arr/c/0", np.array([1.0, 2.0]).tobytes())
+    store.set("arr/c/1", np.array([3.0, 4.0]).tobytes())
+    s.commit("via store")
+    s2 = repo.readonly_session()
+    store2 = ChunkStore(s2)
+    assert store2.get("arr/c/0") == np.array([1.0, 2.0]).tobytes()
+    meta = _json.loads(store2.get("arr/zarr.json"))
+    assert meta["shape"] == [4]
+    keys = list(store2.list())
+    assert "arr/zarr.json" in keys and "arr/c/0" in keys and "arr/c/1" in keys
+    assert set(store2.list_dir("arr/c")) == {"0", "1"}
+    rows = {r["i0"]: r["value"] for r in s2.read_array_df("/arr").collect()}
+    assert rows == {0: 1.0, 1: 2.0, 2: 3.0, 3: 4.0}
