@@ -1,0 +1,76 @@
+"""Driver-facing streaming queries (SURVEY.md §2g): each drains the
+bounded event stream with availableNow and returns the final table, so
+the DuckDB oracle (plain windowed SQL over the same file) must agree —
+streaming and batch semantics coincide once the stream is drained."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icechunk_spark.streaming.events import (
+    dedup_stream,
+    read_event_stream,
+    run_to_memory,
+    sessionize_stream,
+    windowed_agg_stream,
+)
+
+
+def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"wagg_{uuid.uuid4().hex[:8]}"
+    ev = read_event_stream(spark, sf_dir)
+    run_to_memory(windowed_agg_stream(ev), name, output_mode="complete")
+    return spark.table(name).orderBy("window_start", "event_type")
+
+
+STREAM_WINDOWED_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    ev = read_event_stream(spark, sf_dir)
+    run_to_memory(dedup_stream(ev), name)
+    return (
+        spark.table(name)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_id, ts, user_id, event_type, value
+FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn FROM events) t
+WHERE rn = 1
+ORDER BY event_id
+"""
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window aggregation (rows-only: session_window boundary
+    semantics are engine-specific; the batch `sessionize` operator
+    carries the oracle for gap sessions)."""
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    ev = read_event_stream(spark, sf_dir)
+    run_to_memory(sessionize_stream(ev), name, output_mode="complete")
+    return spark.table(name).orderBy("user_id", "session_start")
+
+
+QUERIES = {
+    "stream_windowed_agg": stream_windowed_agg,
+    "stream_dedup": stream_dedup,
+    "stream_sessionize": stream_sessionize,
+}
+
+ORACLES = {
+    "stream_windowed_agg": STREAM_WINDOWED_SQL,
+    "stream_dedup": STREAM_DEDUP_SQL,
+}

@@ -1,0 +1,161 @@
+"""Structured Streaming pipelines over the events stream (SURVEY.md
+§2g): watermarked tumbling-window aggregation, session windows,
+streaming dedup, and transactional append into the versioned repo via
+``foreachBatch`` (exactly-once per micro-batch: each batch becomes one
+commit, batch id recorded in the commit metadata for idempotent
+restart).
+
+All pipelines use the file source with ``availableNow`` in tests (the
+bounded replay of the same files the batch oracle reads), and would
+run unchanged against a Kafka/file stream in production — watermarks
+bound the state store size regardless of stream length.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # raw int64 nanoseconds (see catalog.py)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The file source requires a directory; stage a symlink to the
+    events parquet in a deterministic temp dir."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d = os.path.join(tempfile.gettempdir(), f"icstream_{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stream_dir(sf_dir))
+    )
+    # watermarks require TIMESTAMP (with local tz); session tz is pinned
+    # to UTC above so values collect identically to the naive oracle
+    return raw.withColumn(
+        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+    )
+
+
+def windowed_agg_stream(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows with a 2-hour watermark for late data."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows (gap-based) per user — the streaming twin of the
+    batch ``sessionize`` operator."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Drop duplicate event ids within the watermark horizon."""
+    return events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None:
+    """Drain a bounded stream into an in-memory table (availableNow)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_append_to_repo(
+    spark: SparkSession, events: DataFrame, repo, array_path: str, checkpoint_dir: str
+) -> None:
+    """Append each micro-batch of per-user event counts into the
+    versioned repo: one transactional commit per batch, batch id in
+    the commit metadata so a replayed batch is detectable (the
+    foreachBatch exactly-once pattern)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        already = any(
+            s.metadata.get("stream_batch_id") == batch_id
+            for s in repo.ancestry(branch="main")
+            if s.metadata
+        )
+        if already:
+            return
+        counts = batch_df.groupBy("user_id").agg(F.count(F.lit(1)).cast("double").alias("value"))
+        with repo.transaction(
+            message=f"stream batch {batch_id}", metadata={"stream_batch_id": batch_id}
+        ) as s:
+            live = {
+                r["i0"]: r["value"]
+                for r in s.read_array_df(array_path).collect()
+            }
+            rows = [
+                (int(r["user_id"]), float(r["value"]) + live.get(int(r["user_id"]), 0.0))
+                for r in counts.collect()
+            ]
+            if rows:
+                s.write_array_df(
+                    array_path, spark.createDataFrame(rows, "i0 long, value double")
+                )
+
+    q = (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,34 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from icechunk_spark.repo import Repository
+from icechunk_spark.streaming.events import read_event_stream, stream_append_to_repo
+
+from .conftest import SF_DIR
+
+
+def test_stream_append_to_repo(spark, tmp_path):
+    repo = Repository.create(spark, str(tmp_path / "repo"))
+    with repo.transaction(message="init") as s:
+        s.create_array("/user_counts", shape=[1024], chunk_shape=[64])
+    ev = read_event_stream(spark, SF_DIR)
+    stream_append_to_repo(spark, ev, repo, "/user_counts", str(tmp_path / "ckpt"))
+    # one commit per micro-batch, tagged with its batch id
+    history = list(repo.ancestry(branch="main"))
+    batch_commits = [s for s in history if "stream_batch_id" in (s.metadata or {})]
+    assert batch_commits, "no stream commits landed"
+    # final counts equal the batch ground truth
+    got = {
+        r["i0"]: r["value"]
+        for r in repo.readonly_session().read_array_df("/user_counts").collect()
+        if r["value"] != 0.0
+    }
+    truth = {
+        r["user_id"]: float(r["n"])
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == truth
