@@ -103,7 +103,11 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All near-dup pairs with shingle-set Jaccard ≥ 0.5, found via the
     shared-shingle explode-join (no full cross product)."""
     t = load_tables(spark, sf_dir)
-    docs = t["documents"].select("doc_id", shingles_col(F.col("text")).alias("sh"))
+    # persist: the shingle projection feeds three branches (sizes,
+    # explode-a, explode-b) — without it the split+distinct recomputes per branch
+    docs = (
+        t["documents"].select("doc_id", shingles_col(F.col("text")).alias("sh")).persist()
+    )
     sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
     ex = docs.select("doc_id", F.explode("sh").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -162,11 +166,14 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs: band-bucket candidates, then exact
     Jaccard ≥ 0.5 verification on candidates only."""
     t = load_tables(spark, sf_dir)
+    # persist: signatures (16 md5 passes over every shingle) feed the
+    # band explode AND both sides of the verify join — compute once
     docs = (
         t["documents"]
         .select("doc_id", shingles_col(F.col("text")).alias("sh"))
         .filter(F.size("sh") > 0)
         .withColumn("sig", _minhash_sigs(F.col("sh")))
+        .persist()
     )
     bands = docs.select(
         "doc_id",

@@ -120,7 +120,12 @@ class Session:
         self.session_id = _session_id or new_id()
         # path -> node dict; mutated by node ops
         self._nodes: dict[str, dict[str, Any]] = dict(self._base.nodes)
-        self._staged_manifests: list[str] = []  # relpaths under staging/
+        # staging order matters: later entries shadow earlier ones.
+        # ("df", DataFrame) entries stay lazy until commit (one job);
+        # ("file", relpath) entries are durable parquet (ForkSessions
+        # must be picklable, so they always stage eagerly).
+        self._staged: list[tuple[str, Any]] = []
+        self._eager_staging = False
         self._node_ops: list[dict[str, str]] = []  # {op, path, node_id}
         self._chunk_buffer: list[dict[str, Any]] = []  # small set_bytes/virtual writes
 
@@ -139,7 +144,7 @@ class Session:
         return self._base.id
 
     def has_uncommitted_changes(self) -> bool:
-        return bool(self._staged_manifests or self._node_ops or self._chunk_buffer)
+        return bool(self._staged or self._node_ops or self._chunk_buffer)
 
     def status(self) -> Diff:
         d = Diff()
@@ -165,7 +170,7 @@ class Session:
         stage = self._staging_dir()
         if os.path.isdir(stage):
             shutil.rmtree(stage)
-        self._staged_manifests.clear()
+        self._staged.clear()
         self._node_ops.clear()
         self._chunk_buffer.clear()
         self._nodes = dict(self._base.nodes)
@@ -483,9 +488,12 @@ class Session:
         return os.path.join(self.root, "staging", self.session_id)
 
     def _stage_manifest(self, df: DataFrame) -> None:
-        rel = os.path.join("staging", self.session_id, f"m{len(self._staged_manifests):05d}.parquet")
+        if not self._eager_staging:
+            self._staged.append(("df", df))
+            return
+        rel = os.path.join("staging", self.session_id, f"m{len(self._staged):05d}.parquet")
         df.write.parquet(os.path.join(self.root, rel))
-        self._staged_manifests.append(rel)
+        self._staged.append(("file", rel))
 
     def _flush_chunk_buffer(self) -> None:
         if not self._chunk_buffer:
@@ -523,16 +531,18 @@ class Session:
         self._chunk_buffer.clear()
 
     def _staged_manifest_df(self) -> DataFrame | None:
-        if not self._staged_manifests:
+        if not self._staged:
             return None
-        paths = [os.path.join(self.root, p) for p in self._staged_manifests]
-        # staged file index becomes the intra-commit sub-sequence
-        dfs = [
-            self.spark.read.schema(MANIFEST_SCHEMA)
-            .parquet(p)
-            .withColumn("seq", F.lit(i).cast("bigint"))
-            for i, p in enumerate(paths)
-        ]
+        cols = [c.strip().split(" ")[0] for c in MANIFEST_SCHEMA.split(",")]
+        dfs = []
+        for i, (kind, item) in enumerate(self._staged):
+            d = (
+                self.spark.read.schema(MANIFEST_SCHEMA).parquet(os.path.join(self.root, item))
+                if kind == "file"
+                else item
+            )
+            # staging index becomes the intra-commit sub-sequence
+            dfs.append(d.select(*cols).withColumn("seq", F.lit(i).cast("bigint")))
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
@@ -586,6 +596,7 @@ class Session:
             staged = self._staged_manifest_df()
             manifests = list(parent.manifests)
             if staged is not None:
+                staged = staged.persist()  # one scan feeds manifest + txlog
                 seq_base = (parent.seq + 1) * 100_000
                 rel = mf.write_manifest(
                     staged.withColumn("seq", F.col("seq") + seq_base), self.root
@@ -607,10 +618,12 @@ class Session:
                 fmt.update_branch(self.root, self._branch, snap_id, expected_gen=gen)
             except RefError:
                 continue  # lost the CAS race: re-detect conflicts against new tip
+            if staged is not None:
+                staged.unpersist()
             stage = self._staging_dir()
             if os.path.isdir(stage):
                 shutil.rmtree(stage)
-            self._staged_manifests.clear()
+            self._staged.clear()
             self._node_ops.clear()
             self._base = snap
             return snap_id
@@ -649,7 +662,7 @@ class Session:
         )
         fmt.write_snapshot(self.root, snap)
         fmt.update_branch(self.root, self._branch, snap_id, expected_gen=gen)
-        self._staged_manifests.clear()
+        self._staged.clear()
         self._node_ops.clear()
         self._base = snap
         return snap_id
@@ -747,7 +760,7 @@ class Session:
         stage = self._staging_dir()
         if os.path.isdir(stage):
             shutil.rmtree(stage)
-        self._staged_manifests.clear()
+        self._staged.clear()
         if materialized:
             self._stage_manifest(self.spark.createDataFrame(materialized, schema))
 
@@ -769,7 +782,7 @@ class Session:
     def merge(self, *others: "ForkSession") -> None:
         self._require_writable()
         for o in others:
-            self._staged_manifests.extend(o._staged_manifests)
+            self._staged.extend(o._staged)
             self._node_ops.extend(o._node_ops)
 
 
@@ -777,6 +790,7 @@ class ForkSession(Session):
     def __init__(self, spark, root, snapshot_id, nodes):
         super().__init__(spark, root, snapshot_id, branch=None, read_only=False)
         self._nodes = nodes
+        self._eager_staging = True  # staged parquet survives pickling
 
     def commit(self, *a, **k):  # type: ignore[override]
         raise RefError("ForkSession cannot commit; merge into the parent session")
@@ -786,7 +800,7 @@ class ForkSession(Session):
             "root": self.root,
             "snapshot_id": self._base.id,
             "nodes": self._nodes,
-            "staged": self._staged_manifests,
+            "staged": self._staged,
             "session_id": self.session_id,
         }
 
@@ -800,7 +814,8 @@ class ForkSession(Session):
         self._read_only = False
         self.session_id = state["session_id"]
         self._nodes = state["nodes"]
-        self._staged_manifests = state["staged"]
+        self._staged = state["staged"]
+        self._eager_staging = True
         self._node_ops = []
         self._chunk_buffer = []
 
