@@ -323,6 +323,35 @@ ORDER BY user_id, sess_seq
 """
 
 
+def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull props.k out of the JSON payload
+    column (JVM-side get_json_object — no Python) and aggregate it."""
+    t = load_tables(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        t["events"]
+        .withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -365,9 +394,11 @@ QUERIES = {
     "range_join": range_join,
     "sessionize": sessionize,
     "pivot_events": pivot_events,
+    "json_extract_agg": json_extract_agg,
 }
 
 ORACLES = {
+    "json_extract_agg": JSON_EXTRACT_SQL,
     "topk_per_group": TOPK_SQL,
     "running_agg": RUNNING_SQL,
     "distinct_count_exact": DISTINCT_SQL,

@@ -1,0 +1,72 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from icechunk_spark.catalog import load_tables
+from icechunk_spark.sources import (
+    read_csv,
+    read_json,
+    write_csv,
+    write_json,
+    write_partitioned_parquet,
+)
+
+from .conftest import SF_DIR
+
+ORDERS_SCHEMA = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+)
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    orders = load_tables(spark, SF_DIR)["orders"]
+    p = str(tmp_path / "orders_csv")
+    write_csv(orders, p)
+    back = read_csv(spark, p, ORDERS_SCHEMA)
+    assert back.count() == orders.count()
+    assert dict(back.dtypes)["o_totalprice"] == "double"
+    assert back.agg(F.sum("o_totalprice")).collect()[0][0] == (
+        orders.agg(F.sum("o_totalprice")).collect()[0][0]
+    )
+
+
+def test_json_roundtrip(spark, tmp_path):
+    orders = load_tables(spark, SF_DIR)["orders"]
+    p = str(tmp_path / "orders_json")
+    write_json(orders, p)
+    back = read_json(spark, p, ORDERS_SCHEMA)
+    assert back.count() == orders.count()
+    assert set(back.columns) == set(orders.columns)
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    orders = load_tables(spark, SF_DIR)["orders"].withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    p = str(tmp_path / "orders_part")
+    write_partitioned_parquet(orders, p, "o_year")
+    back = spark.read.parquet(p).filter(F.col("o_year") == 1997)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the scan must carry a partition filter, and the
+    # result must match a plain filter over the unpartitioned data
+    assert "PartitionFilters: [" in plan and "o_year" in plan
+    expected = orders.filter(F.col("o_year") == 1997).count()
+    assert back.count() == expected
+
+
+def test_rate_stream_source(spark):
+    # smoke the rate source: bounded drain via one processing trigger
+    df = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+    q = (
+        df.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    time.sleep(3)
+    q.stop()
+    q.awaitTermination()
+    assert spark.table("rate_smoke").columns == ["timestamp", "value"]
