@@ -14,6 +14,36 @@ import os
 from pyspark.sql import SparkSession
 
 
+def local_df(spark: SparkSession, rows, schema: str):
+    """Small driver-local DataFrame WITHOUT launching a Spark job.
+
+    ``createDataFrame`` over a Python list takes the RDD path: it
+    parallelizes into defaultParallelism slices and spawns a Python
+    worker per slice — ~30 tasks for a 1-row frame.  Building through
+    pandas + Arrow yields a LocalRelation instead (no job at all),
+    which matters because repo metadata commits do several of these.
+    ``schema`` must be a DDL string; column values are taken by name
+    from dict/Row items and laid out in schema order.
+    """
+    import pandas as pd
+
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    names = [c.strip().split(" ")[0] for c in schema.split(",")]
+    data = [
+        r.asDict()
+        if hasattr(r, "asDict")
+        else (dict(zip(names, r)) if isinstance(r, (tuple, list)) else dict(r))
+        for r in rows
+    ]
+    # object dtype keeps None as None (no NaN coercion) for Arrow casts
+    pdf = pd.DataFrame(
+        {n: pd.Series([d.get(n) for d in data], dtype=object) for n in names}
+    )
+    return spark.createDataFrame(pdf, schema)
+
+
 def get_spark(app_name: str = "icechunk_spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from icechunk_spark.catalog import load_tables
+from icechunk_spark.engine import local_df
 from icechunk_spark.repo import Repository
 
 EPOCH = "1995-01-01"
@@ -40,7 +41,7 @@ def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _materialize(spark: SparkSession, df: DataFrame, schema: str) -> DataFrame:
     rows = df.collect()
-    return spark.createDataFrame(rows, schema)
+    return local_df(spark, rows, schema)
 
 
 def array_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,6 +19,8 @@ from typing import Any, Iterator
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from icechunk_spark.engine import local_df
+
 from icechunk_spark.repo import format as fmt
 from icechunk_spark.repo import manifests as mf
 from icechunk_spark.repo.format import RefError, SnapshotInfo, new_id
@@ -353,8 +355,8 @@ class Repository:
         # chunk files referenced by no live manifest: Spark anti-join
         cdir = os.path.join(self.root, "chunks")
         if os.path.isdir(cdir):
-            all_files = self.spark.createDataFrame(
-                [(os.path.join("chunks", f),) for f in os.listdir(cdir)], "file string"
+            all_files = local_df(
+                self.spark, [(os.path.join("chunks", f),) for f in os.listdir(cdir)], "file string"
             )
             if live_manifests:
                 referenced = (
@@ -409,7 +411,7 @@ class Repository:
         snap = fmt.read_snapshot(self.root, sid)
         resolved = mf.resolve_manifests(self.spark, self.root, snap)
         path_by_node = [(n["node_id"], p) for p, n in snap.nodes.items()]
-        paths = self.spark.createDataFrame(path_by_node, "node_id string, path string")
+        paths = local_df(self.spark, path_by_node, "node_id string, path string")
         return (
             resolved.groupBy("node_id")
             .agg(

@@ -27,6 +27,8 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from icechunk_spark.engine import local_df
+
 from icechunk_spark.repo import format as fmt
 from icechunk_spark.repo import manifests as mf
 from icechunk_spark.repo.arrays import (
@@ -478,7 +480,7 @@ class Session:
                     }
                     for pos in tombs_keys
                 ]
-                self._stage_manifest(self.spark.createDataFrame(rows, MANIFEST_SCHEMA))
+                self._stage_manifest(local_df(self.spark, rows, MANIFEST_SCHEMA))
         cols = [c.strip().split(" ")[0] for c in MANIFEST_SCHEMA.split(",")]
         self._stage_manifest(moved.select(*cols))
 
@@ -524,10 +526,10 @@ class Session:
                 }
             )
         if rows:
-            self.spark.createDataFrame(rows, "chunk_id string, payload binary").coalesce(
+            local_df(self.spark, rows, "chunk_id string, payload binary").coalesce(
                 1
             ).write.parquet(os.path.join(self.root, rel))
-        self._stage_manifest(self.spark.createDataFrame(refs, MANIFEST_SCHEMA))
+        self._stage_manifest(local_df(self.spark, refs, MANIFEST_SCHEMA))
         self._chunk_buffer.clear()
 
     def _staged_manifest_df(self) -> DataFrame | None:
@@ -681,7 +683,7 @@ class Session:
             for op in self._node_ops
         ]
         if node_rows:
-            tx = tx.unionByName(self.spark.createDataFrame(node_rows, TXLOG_SCHEMA))
+            tx = tx.unionByName(local_df(self.spark, node_rows, TXLOG_SCHEMA))
         tx.coalesce(1).write.parquet(os.path.join(self.root, "txlogs", f"{snap_id}.parquet"))
 
     def _txlogs_between(self, old_id: str, new_id_: str) -> list[str]:
@@ -762,7 +764,7 @@ class Session:
             shutil.rmtree(stage)
         self._staged.clear()
         if materialized:
-            self._stage_manifest(self.spark.createDataFrame(materialized, schema))
+            self._stage_manifest(local_df(self.spark, materialized, schema))
 
     # --- fork/merge (distributed cooperative writes) ----------------------
 

@@ -28,6 +28,8 @@ from pyspark.sql.types import (
     TimestampNTZType,
 )
 
+from icechunk_spark.engine import local_df
+
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -149,7 +151,7 @@ def stream_append_to_repo(
             ]
             if rows:
                 s.write_array_df(
-                    array_path, spark.createDataFrame(rows, "i0 long, value double")
+                    array_path, local_df(spark, rows, "i0 long, value double")
                 )
 
     q = (
