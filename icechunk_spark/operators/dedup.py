@@ -265,8 +265,9 @@ _BAND_UNNEST = " UNION ALL ".join(
     f"SELECT doc_id, {b} AS band_idx, band_{b} AS band_key FROM sigs" for b in range(N_BANDS)
 )
 
-MINHASH_LSH_SQL = f"""
-WITH sh AS (
+# shared CTE chain: shingles → signatures → bands → verified pairs
+# (reused by the connected-components cluster oracle below)
+_MINHASH_CTES = f"""sh AS (
   SELECT doc_id, {DUCK_SHINGLES} AS sh
   FROM (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents)
   WHERE len({DUCK_SHINGLES}) > 0
@@ -280,16 +281,85 @@ WITH sh AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b,
-       round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
-             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 3) AS jaccard
-FROM cands
-JOIN sh sa ON doc_a = sa.doc_id
-JOIN sh sb ON doc_b = sb.doc_id
-WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
-      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= {JACCARD_THRESHOLD}
+), verified AS (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+               (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 3) AS jaccard
+  FROM cands
+  JOIN sh sa ON doc_a = sa.doc_id
+  JOIN sh sb ON doc_b = sb.doc_id
+  WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= {JACCARD_THRESHOLD}
+)"""
+
+MINHASH_LSH_SQL = f"""
+WITH {_MINHASH_CTES}
+SELECT doc_a, doc_b, jaccard FROM verified
 ORDER BY doc_a, doc_b
+"""
+
+
+# --- duplicate clustering (connected components) -------------------------
+
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the MinHash-LSH
+    pair graph — every document labeled with the smallest doc_id it
+    can reach (its cluster id); singletons label themselves.
+
+    Iterative min-label propagation: each round is one join + one
+    groupBy-min, both shuffling only (doc_id, label) pairs, so a round
+    costs O(edges) regardless of cluster shape; rounds needed = graph
+    diameter (near-dup graphs are shallow).  The driver sees only the
+    per-round convergence count, never the labels."""
+    pairs = minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    t = load_tables(spark, sf_dir)
+    labels = t["documents"].select(
+        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
+    ).persist()
+    for _ in range(64):  # bound: diameter of the near-dup graph
+        prop = edges.join(labels, edges.src == labels.doc_id).select(
+            F.col("dst").alias("doc_id"), F.col("cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .persist()
+        )
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "doc_id")
+            .filter(F.col("o.cluster_id") != F.col("n.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", "cluster_id").orderBy("doc_id")
+
+
+DEDUP_CLUSTER_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION ALL
+  SELECT doc_b, doc_a FROM verified
+),
+reach AS (
+  SELECT doc_id AS doc, doc_id AS lab FROM documents
+  UNION
+  SELECT r.doc, e.dst FROM reach r JOIN edges e ON r.lab = e.src
+)
+SELECT doc AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+FROM reach GROUP BY doc
+ORDER BY doc_id
 """
 
 
@@ -394,6 +464,7 @@ QUERIES = {
     "dedup_exact_keep_first": dedup_exact_keep_first,
     "ngram_jaccard": ngram_jaccard,
     "minhash_lsh": minhash_lsh,
+    "dedup_cluster": dedup_cluster,
     "simhash": simhash,
     "embedding_neardup": embedding_neardup,
 }
@@ -403,4 +474,5 @@ ORACLES = {
     "dedup_exact_keep_first": DEDUP_KEEP_FIRST_SQL,
     "ngram_jaccard": NGRAM_JACCARD_SQL,
     "minhash_lsh": MINHASH_LSH_SQL,
+    "dedup_cluster": DEDUP_CLUSTER_SQL,
 }

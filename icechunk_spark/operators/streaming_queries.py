@@ -10,10 +10,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from icechunk_spark.streaming.events import (
     dedup_stream,
     read_event_stream,
     run_to_memory,
+    running_totals_stream,
     sessionize_stream,
     windowed_agg_stream,
 )
@@ -64,13 +67,40 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("user_id", "session_start")
 
 
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful running totals; after draining, the latest state
+    per user (max n_events — counts are monotone) must equal the plain
+    batch aggregate."""
+    name = f"rt_{uuid.uuid4().hex[:8]}"
+    ev = read_event_stream(spark, sf_dir)
+    run_to_memory(running_totals_stream(ev), name, output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", F.round("total_value", 2).alias("total_value"))
+        .orderBy("user_id")
+    )
+
+
+STREAM_RUNNING_TOTALS_SQL = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "stream_windowed_agg": stream_windowed_agg,
     "stream_dedup": stream_dedup,
     "stream_sessionize": stream_sessionize,
+    "stream_running_totals": stream_running_totals,
 }
 
 ORACLES = {
     "stream_windowed_agg": STREAM_WINDOWED_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
+    "stream_running_totals": STREAM_RUNNING_TOTALS_SQL,
 }

@@ -109,6 +109,37 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
 
 
+def running_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-user
+    running event count and value total, one updated row per user per
+    micro-batch.  State is a (count, total) pair per user — O(users)
+    state-store size, no watermark needed (NoTimeout keeps totals for
+    the stream's lifetime, which is the semantics of a running total).
+
+    This is the escape hatch for aggregations Spark's built-in
+    windowed operators can't express; the batch equivalence (drained
+    stream == plain groupBy) is the oracle contract."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((int(n), float(total)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drain a bounded stream into an in-memory table (availableNow)."""
     q = (
