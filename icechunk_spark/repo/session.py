@@ -503,7 +503,14 @@ class Session:
         rel = os.path.join("chunks", f"{new_id()}.parquet")
         rows = []
         refs = []
+        # overlay semantics WITHIN the buffer: the last op per chunk key
+        # wins (set-after-delete must resurrect the chunk); manifest seq
+        # can't express intra-buffer order because the whole flush is one
+        # staging item, so collapse before writing
+        last: dict[tuple[str, str], dict] = {}
         for c in self._chunk_buffer:
+            last[(c["node_id"], c["chunk_key"])] = c
+        for c in last.values():
             ck = [int(x) for x in c["chunk_key"].split(".")] if c["chunk_key"] else []
             coords = {f"c{i}": (ck[i] if i < len(ck) else None) for i in range(4)}
             chunk_id = new_id() if (c["op"] == "set" and not c["is_virtual"]) else None
