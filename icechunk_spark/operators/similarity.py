@@ -226,14 +226,79 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, emitted as (label, pos, avg) rows: one
+    posexplode + one groupBy — the building block of k-means/IVF
+    training.  Emitting positions flat (instead of re-assembling
+    arrays) keeps the result hash-comparable and the shuffle narrow."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["embeddings"]
+        .select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 5).alias("centroid_val"))
+        .orderBy("label", "pos")
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+SELECT label, CAST(pos - 1 AS INT) AS pos, round(avg(x), 5) AS centroid_val
+FROM (SELECT label, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings)
+GROUP BY label, pos
+ORDER BY label, pos
+"""
+
+
+def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm distribution per label — JVM-side fold, no Python."""
+    t = load_tables(spark, sf_dir)
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return (
+        t["embeddings"]
+        .withColumn("norm", norm)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.min("norm"), 4).alias("min_norm"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(F.max("norm"), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+VECTOR_NORM_STATS_SQL = """
+SELECT label, count(*) AS n_vectors,
+       round(min(norm), 4) AS min_norm,
+       round(avg(norm), 4) AS avg_norm,
+       round(max(norm), 4) AS max_norm
+FROM (SELECT label,
+             sqrt(list_sum(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+      FROM embeddings)
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES = {
     "knn_brute_force": knn_brute_force,
     "pairwise_topk": pairwise_topk,
     "knn_lsh": knn_lsh,
     "knn_ivf": knn_ivf,
+    "label_centroids": label_centroids,
+    "vector_norm_stats": vector_norm_stats,
 }
 
 ORACLES = {
     "knn_brute_force": KNN_BRUTE_SQL,
     "pairwise_topk": PAIRWISE_TOPK_SQL,
+    "label_centroids": LABEL_CENTROIDS_SQL,
+    "vector_norm_stats": VECTOR_NORM_STATS_SQL,
 }

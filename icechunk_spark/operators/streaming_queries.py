@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 
 from icechunk_spark.streaming.events import (
     dedup_stream,
+    purchase_click_join_stream,
     read_event_stream,
     run_to_memory,
     running_totals_stream,
@@ -92,15 +93,38 @@ ORDER BY user_id
 """
 
 
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join drained with availableNow; the
+    bounded replay arrives in one batch, so no row falls behind the
+    watermark and the result equals the batch interval join."""
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    ev = read_event_stream(spark, sf_dir)
+    run_to_memory(purchase_click_join_stream(ev), name)
+    return spark.table(name).orderBy("purchase_id", "click_id")
+
+
+STREAM_INTERVAL_JOIN_SQL = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id AS user_id, p.value AS purchase_value
+FROM events p
+JOIN events c ON p.user_id = c.user_id
+             AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+ORDER BY purchase_id, click_id
+"""
+
+
 QUERIES = {
     "stream_windowed_agg": stream_windowed_agg,
     "stream_dedup": stream_dedup,
     "stream_sessionize": stream_sessionize,
     "stream_running_totals": stream_running_totals,
+    "stream_interval_join": stream_interval_join,
 }
 
 ORACLES = {
     "stream_windowed_agg": STREAM_WINDOWED_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
     "stream_running_totals": STREAM_RUNNING_TOTALS_SQL,
+    "stream_interval_join": STREAM_INTERVAL_JOIN_SQL,
 }

@@ -28,6 +28,40 @@ from icechunk_spark.repo.session import ConflictSolver, Diff, Session, VersionSe
 
 MAIN = "main"
 
+SPEC_VERSION = 1
+
+
+@dataclass
+class RepositoryConfig:
+    """Persisted repository configuration (config.json).
+
+    The Spark-relevant subset of the reference's RepositoryConfig
+    (icechunk-python config.py): knobs that change how the data plane
+    lays files out.  Unknown keys round-trip untouched so configs
+    written by newer versions still open.
+    """
+
+    target_chunk_file_mb: int = 64
+    manifest_split_files: int = 1
+    inline_chunk_threshold_bytes: int = 512
+    extra: dict[str, Any] | None = None
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "RepositoryConfig":
+        known = {f: d[f] for f in ("target_chunk_file_mb", "manifest_split_files", "inline_chunk_threshold_bytes") if f in d}
+        extra = {k: v for k, v in d.items() if k not in known}
+        return cls(**known, extra=extra or None)
+
+    def to_dict(self) -> dict[str, Any]:
+        out = {
+            "target_chunk_file_mb": self.target_chunk_file_mb,
+            "manifest_split_files": self.manifest_split_files,
+            "inline_chunk_threshold_bytes": self.inline_chunk_threshold_bytes,
+        }
+        if self.extra:
+            out.update(self.extra)
+        return out
+
 
 @dataclass
 class GCSummary:
@@ -103,6 +137,109 @@ class Repository:
         info = fmt.read_repo_info(self.root)
         info["default_commit_metadata"] = metadata
         fmt.write_repo_info(self.root, info)
+
+    # --- config -----------------------------------------------------------
+
+    def config(self) -> RepositoryConfig:
+        return self.fetch_config(self.root) or RepositoryConfig()
+
+    @staticmethod
+    def fetch_config(root: str) -> RepositoryConfig | None:
+        p = os.path.join(root, "config.json")
+        if not os.path.exists(p):
+            return None
+        return RepositoryConfig.from_dict(fmt._read_json(p))
+
+    def save_config(self, config: RepositoryConfig) -> None:
+        fmt._write_json_atomic(os.path.join(self.root, "config.json"), config.to_dict())
+
+    def spec_version(self) -> int:
+        return int(fmt.read_repo_info(self.root).get("format_version", SPEC_VERSION))
+
+    # --- inspection (testing/debugging surface) ---------------------------
+
+    def inspect_repo_info(self) -> dict[str, Any]:
+        """Top-level repo metadata: branch→snapshot map, tags, deleted
+        tags, all snapshot ids, repo metadata (reference parity:
+        Repository.inspect_repo_info)."""
+        info = fmt.read_repo_info(self.root)
+        return {
+            "spec_version": self.spec_version(),
+            "branches": {b: fmt.branch_tip(self.root, b)[1] for b in self.list_branches()},
+            "tags": {t: fmt.read_tag(self.root, t) for t in self.list_tags()},
+            "deleted_tags": sorted(
+                f[len("tag-deleted.") : -len(".json")]
+                for f in os.listdir(os.path.join(self.root, "refs"))
+                if f.startswith("tag-deleted.")
+            )
+            if os.path.isdir(os.path.join(self.root, "refs"))
+            else [],
+            "snapshots": fmt.list_snapshot_ids(self.root),
+            "metadata": info.get("metadata", {}),
+        }
+
+    def inspect_manifest(self, manifest_rel: str) -> dict[str, Any]:
+        """Per-manifest storage statistics (chunk refs by kind, per
+        array) as one Spark aggregation over the manifest parquet."""
+        df = self.spark.read.schema(fmt.MANIFEST_SCHEMA).parquet(
+            os.path.join(self.root, manifest_rel)
+        )
+        per_array = (
+            df.groupBy("node_id")
+            .agg(
+                F.count(F.lit(1)).alias("chunk_refs"),
+                F.sum(F.when(F.col("is_virtual"), 1).otherwise(0)).alias("virtual"),
+                F.sum(
+                    F.when((~F.col("is_virtual")) & (F.col("op") == "set"), 1).otherwise(0)
+                ).alias("native"),
+                F.sum(F.coalesce("n_bytes", F.lit(0))).alias("bytes"),
+            )
+            .collect()
+        )
+        return {
+            "id": manifest_rel,
+            "size_bytes": sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(os.path.join(self.root, manifest_rel))
+                for f in fs
+            ),
+            "num_arrays": len(per_array),
+            "total_chunk_refs": sum(r["chunk_refs"] for r in per_array),
+            "total_native": sum(r["native"] for r in per_array),
+            "total_virtual": sum(r["virtual"] for r in per_array),
+            "arrays": {
+                r["node_id"]: {
+                    "chunk_refs": r["chunk_refs"],
+                    "native": r["native"],
+                    "virtual": r["virtual"],
+                    "bytes": r["bytes"],
+                }
+                for r in per_array
+            },
+        }
+
+    def inspect_transaction_log(self, snapshot_id: str) -> dict[str, Any]:
+        """What one commit changed: chunk writes/deletes per node and
+        node-level ops (reference parity: inspect_transaction_log)."""
+        p = os.path.join(self.root, "txlogs", f"{snapshot_id}.parquet")
+        if not os.path.exists(p):
+            return {"id": snapshot_id, "chunks_updated": {}, "node_ops": []}
+        tx = self.spark.read.schema(fmt.TXLOG_SCHEMA).parquet(p)
+        chunk_rows = (
+            tx.filter(F.col("chunk_key") != "")
+            .groupBy("node_id", "op")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        node_rows = tx.filter(F.col("chunk_key") == "").collect()
+        chunks: dict[str, dict[str, int]] = {}
+        for r in chunk_rows:
+            chunks.setdefault(r["node_id"], {})[r["op"]] = r["n"]
+        return {
+            "id": snapshot_id,
+            "chunks_updated": chunks,
+            "node_ops": [{"node_id": r["node_id"], "op": r["op"]} for r in node_rows],
+        }
 
     # --- refs -------------------------------------------------------------
 
@@ -389,7 +526,7 @@ class Repository:
         compacted = resolved.withColumn("seq", F.lit(0).cast("bigint")).sortWithinPartitions(
             "node_id", "c0", "c1", "c2", "c3"
         )
-        rel = mf.write_manifest(compacted, self.root)
+        rel = mf.write_manifest(compacted, self.root, n_files=self.config().manifest_split_files)
         snap = SnapshotInfo(
             id=new_id(),
             parent_id=tip.id,

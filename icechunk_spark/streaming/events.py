@@ -109,6 +109,38 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(["event_id"])
 
 
+def purchase_click_join_stream(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in the preceding hour.  Watermarks on both sides +
+    the event-time range predicate let Spark expire join state — the
+    canonical bounded-state stream-stream join."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"), "purchase_value")
+
+
 def running_totals_stream(events: DataFrame) -> DataFrame:
     """Custom stateful operator (``applyInPandasWithState``): per-user
     running event count and value total, one updated row per user per

@@ -1,0 +1,73 @@
+"""Inspection + config surface (reference parity:
+Repository.inspect_repo_info / inspect_manifest /
+inspect_transaction_log / RepositoryConfig round-trip)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from icechunk_spark.repo import Repository
+from icechunk_spark.repo.repository import RepositoryConfig
+
+
+def grid_df(spark, n=8, m=8):
+    return spark.range(n * m).select(
+        (F.col("id") / m).cast("long").alias("i0"),
+        (F.col("id") % m).alias("i1"),
+        F.col("id").cast("double").alias("value"),
+    )
+
+
+def test_config_roundtrip(spark, tmp_path):
+    repo = Repository.create(spark, str(tmp_path / "r"))
+    assert repo.config() == RepositoryConfig()  # defaults when unset
+    assert Repository.fetch_config(repo.root) is None
+    cfg = RepositoryConfig(target_chunk_file_mb=128, manifest_split_files=2)
+    repo.save_config(cfg)
+    assert repo.config() == cfg
+    assert Repository.fetch_config(repo.root) == cfg
+    assert repo.spec_version() == 1
+
+
+def test_inspect_repo_info(spark, tmp_path):
+    repo = Repository.create(spark, str(tmp_path / "r"), metadata={"team": "ml"})
+    with repo.transaction(message="v1") as s:
+        s.create_array("/a", shape=[8, 8], chunk_shape=[4, 4])
+        s.write_array_df("/a", grid_df(spark))
+    tip = repo.lookup_branch("main")
+    repo.create_tag("rel", tip)
+    repo.create_branch("dev", tip)
+    repo.create_tag("tmp", tip)
+    repo.delete_tag("tmp")
+
+    info = repo.inspect_repo_info()
+    assert info["spec_version"] == 1
+    assert info["branches"]["main"] == tip and info["branches"]["dev"] == tip
+    assert info["tags"] == {"rel": tip}
+    assert info["deleted_tags"] == ["tmp"]
+    assert tip in info["snapshots"] and len(info["snapshots"]) == 2
+    assert info["metadata"] == {"team": "ml"}
+
+
+def test_inspect_manifest_and_txlog(spark, tmp_path):
+    repo = Repository.create(spark, str(tmp_path / "r"))
+    with repo.transaction(message="v1") as s:
+        s.create_array("/a", shape=[8, 8], chunk_shape=[4, 4])
+        s.write_array_df("/a", grid_df(spark))
+    tip = repo.lookup_branch("main")
+    snap = repo.lookup_snapshot(tip)
+    assert len(snap.manifests) == 1
+
+    m = repo.inspect_manifest(snap.manifests[0])
+    assert m["num_arrays"] == 1
+    assert m["total_chunk_refs"] == 4  # 2x2 chunk grid
+    assert m["total_native"] == 4 and m["total_virtual"] == 0
+    assert m["size_bytes"] > 0
+    (stats,) = m["arrays"].values()
+    assert stats["chunk_refs"] == 4 and stats["bytes"] > 0
+
+    tx = repo.inspect_transaction_log(tip)
+    assert tx["id"] == tip
+    (chunk_stats,) = tx["chunks_updated"].values()
+    assert chunk_stats == {"set": 4}
+    assert {o["op"] for o in tx["node_ops"]} == {"node_create"}
