@@ -116,5 +116,37 @@ def resize(spark: SparkSession, sf_dir: str, width: int = 224, height: int = 224
     return media.mapInPandas(do_resize, "media_id bigint, payload binary")
 
 
-QUERIES = {"multimodal_features": multimodal_features}
-ORACLES = {"multimodal_features": MULTIMODAL_SQL}
+def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup: group binary payloads by JVM-side md5 (no
+    Python in the hot path — the hash never leaves codegen), keep the
+    smallest media_id per content group."""
+    media = media_table(spark, sf_dir)
+    return (
+        media.withColumn("payload_md5", F.md5("payload"))
+        .groupBy("payload_md5")
+        .agg(
+            F.min("media_id").alias("keep_media_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_media_id", "payload_md5", "n_copies")
+        .orderBy("keep_media_id")
+    )
+
+
+MEDIA_DEDUP_SQL = """
+SELECT min(doc_id) AS keep_media_id, md5(text) AS payload_md5,
+       count(*) AS n_copies
+FROM documents
+GROUP BY payload_md5
+ORDER BY keep_media_id
+"""
+
+
+QUERIES = {
+    "multimodal_features": multimodal_features,
+    "media_dedup": media_dedup,
+}
+ORACLES = {
+    "multimodal_features": MULTIMODAL_SQL,
+    "media_dedup": MEDIA_DEDUP_SQL,
+}

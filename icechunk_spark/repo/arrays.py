@@ -104,6 +104,7 @@ def staged_manifest_from_chunk_dir(
         F.lit(None).cast("string").alias("vpath"),
         F.lit(None).cast("bigint").alias("voffset"),
         F.lit(None).cast("bigint").alias("vlength"),
+        F.lit(None).cast("binary").alias("inline"),
         F.lit(0).cast("bigint").alias("seq"),
     )
 
@@ -133,7 +134,9 @@ def decode_chunks_to_rows(
         for r in manifest.select("file").distinct().collect()
         if r["file"] is not None
     ]
-    refs = manifest.select("chunk_key", "chunk_id", "is_virtual", "vpath", "voffset", "vlength")
+    refs = manifest.select(
+        "chunk_key", "chunk_id", "is_virtual", "vpath", "voffset", "vlength", "inline"
+    )
     if files:
         payloads = spark.read.parquet(*[os.path.join(root, f) for f in files]).select(
             "chunk_id", "payload"
@@ -155,6 +158,8 @@ def decode_chunks_to_rows(
                     with open(row["vpath"], "rb") as f:
                         f.seek(int(row["voffset"]))
                         raw = f.read(int(row["vlength"]))
+                elif row["inline"] is not None:
+                    raw = row["inline"]
                 else:
                     raw = row["payload"]
                     if raw is None:

@@ -29,10 +29,14 @@ import uuid
 from dataclasses import asdict, dataclass, field
 from typing import Any
 
+# ``inline`` carries the payload itself for chunks below the repo's
+# inline_chunk_threshold_bytes (reference parity: ChunkPayload::Inline
+# in icechunk-format) — small writes cost zero extra files/reads.
 MANIFEST_SCHEMA = (
     "node_id string, chunk_key string, c0 int, c1 int, c2 int, c3 int, "
     "chunk_id string, file string, n_bytes bigint, op string, "
-    "is_virtual boolean, vpath string, voffset bigint, vlength bigint, seq bigint"
+    "is_virtual boolean, vpath string, voffset bigint, vlength bigint, "
+    "inline binary, seq bigint"
 )
 
 TXLOG_SCHEMA = "node_id string, chunk_key string, op string"

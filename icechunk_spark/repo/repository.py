@@ -189,8 +189,14 @@ class Repository:
             .agg(
                 F.count(F.lit(1)).alias("chunk_refs"),
                 F.sum(F.when(F.col("is_virtual"), 1).otherwise(0)).alias("virtual"),
+                F.sum(F.when(F.col("inline").isNotNull(), 1).otherwise(0)).alias("inline"),
                 F.sum(
-                    F.when((~F.col("is_virtual")) & (F.col("op") == "set"), 1).otherwise(0)
+                    F.when(
+                        (~F.col("is_virtual"))
+                        & F.col("inline").isNull()
+                        & (F.col("op") == "set"),
+                        1,
+                    ).otherwise(0)
                 ).alias("native"),
                 F.sum(F.coalesce("n_bytes", F.lit(0))).alias("bytes"),
             )
@@ -206,11 +212,13 @@ class Repository:
             "num_arrays": len(per_array),
             "total_chunk_refs": sum(r["chunk_refs"] for r in per_array),
             "total_native": sum(r["native"] for r in per_array),
+            "total_inline": sum(r["inline"] for r in per_array),
             "total_virtual": sum(r["virtual"] for r in per_array),
             "arrays": {
                 r["node_id"]: {
                     "chunk_refs": r["chunk_refs"],
                     "native": r["native"],
+                    "inline": r["inline"],
                     "virtual": r["virtual"],
                     "bytes": r["bytes"],
                 }

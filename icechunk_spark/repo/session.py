@@ -365,6 +365,8 @@ class Session:
             with open(r["vpath"], "rb") as f:
                 f.seek(r["voffset"])
                 return f.read(r["vlength"])
+        if r["inline"] is not None:
+            return bytes(r["inline"])
         payload = (
             self.spark.read.parquet(os.path.join(self.root, r["file"]))
             .filter(F.col("chunk_id") == r["chunk_id"])
@@ -407,6 +409,7 @@ class Session:
             ("vpath", "string"),
             ("voffset", "bigint"),
             ("vlength", "bigint"),
+            ("inline", "binary"),
         ]:
             tombs = tombs.withColumn(col, F.lit(None).cast(typ))
         tombs = tombs.withColumn("is_virtual", F.lit(False)).withColumn(
@@ -486,6 +489,17 @@ class Session:
 
     # --- staging ----------------------------------------------------------
 
+    def _inline_threshold(self) -> int:
+        """Inline-chunk threshold from the repo's config.json (default
+        512, matching the reference's inline_chunk_threshold_bytes)."""
+        p = os.path.join(self.root, "config.json")
+        if os.path.exists(p):
+            try:
+                return int(fmt._read_json(p).get("inline_chunk_threshold_bytes", 512))
+            except (ValueError, OSError):
+                return 512
+        return 512
+
     def _staging_dir(self) -> str:
         return os.path.join(self.root, "staging", self.session_id)
 
@@ -510,10 +524,17 @@ class Session:
         last: dict[tuple[str, str], dict] = {}
         for c in self._chunk_buffer:
             last[(c["node_id"], c["chunk_key"])] = c
+        threshold = self._inline_threshold()
         for c in last.values():
             ck = [int(x) for x in c["chunk_key"].split(".")] if c["chunk_key"] else []
             coords = {f"c{i}": (ck[i] if i < len(ck) else None) for i in range(4)}
-            chunk_id = new_id() if (c["op"] == "set" and not c["is_virtual"]) else None
+            is_native_set = c["op"] == "set" and not c["is_virtual"]
+            inline = (
+                c["payload"]
+                if is_native_set and c.get("payload") is not None and len(c["payload"]) <= threshold
+                else None
+            )
+            chunk_id = new_id() if (is_native_set and inline is None) else None
             if chunk_id:
                 rows.append({"chunk_id": chunk_id, "payload": c["payload"]})
             refs.append(
@@ -529,6 +550,7 @@ class Session:
                     "vpath": c.get("vpath"),
                     "voffset": c.get("voffset"),
                     "vlength": c.get("vlength"),
+                    "inline": inline,
                     "seq": 0,
                 }
             )

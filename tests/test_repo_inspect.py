@@ -71,3 +71,26 @@ def test_inspect_manifest_and_txlog(spark, tmp_path):
     (chunk_stats,) = tx["chunks_updated"].values()
     assert chunk_stats == {"set": 4}
     assert {o["op"] for o in tx["node_ops"]} == {"node_create"}
+
+
+def test_inline_chunks(spark, tmp_path):
+    repo = Repository.create(spark, str(tmp_path / "r"))
+    with repo.transaction(message="init") as s:
+        s.create_array("/a", shape=[24], chunk_shape=[8])
+        s.set_chunk_bytes("/a", "0", b"tiny")          # below 512 => inline
+        s.set_chunk_bytes("/a", "1", b"x" * 4096)      # above => chunk file
+    tip = repo.lookup_branch("main")
+    snap = repo.lookup_snapshot(tip)
+
+    m = repo.inspect_manifest(snap.manifests[0])
+    assert m["total_inline"] == 1 and m["total_native"] == 1
+
+    sess = repo.readonly_session()
+    assert sess.get_chunk_bytes("/a", "0") == b"tiny"
+    assert sess.get_chunk_bytes("/a", "1") == b"x" * 4096
+
+    # inline rows reference no chunk file; only the big write made one
+    import os
+    cdir = os.path.join(repo.root, "chunks")
+    n_payload_dirs = len(os.listdir(cdir)) if os.path.isdir(cdir) else 0
+    assert n_payload_dirs == 1
