@@ -172,17 +172,26 @@ def _minhash_sigs(sh: Column) -> Column:
     of k independent md5 passes — the digest is computed once."""
     digests = F.transform(sh, F.md5)
 
-    # NB: the rotation lambda must be built by a factory, NOT
-    # `lambda d, k=k: ...` — PySpark counts default args when sizing
-    # higher-order-function lambdas, so a two-parameter lambda receives
-    # (element, array_index) and k silently becomes the index column.
-    def rot(k: int):
-        return lambda d: F.concat(
-            F.substring(d, 2 * k + 1, 32 - 2 * k), F.substring(d, 1, 2 * k)
-        )
+    # NB: rotation columns are built by a helper, NOT a
+    # `lambda d, k=k: ...` default arg — PySpark counts default args
+    # when sizing higher-order-function lambdas, so a two-parameter
+    # lambda receives (element, array_index) and k silently becomes
+    # the index column.
+    def rot(d: Column, k: int) -> Column:
+        return F.concat(F.substring(d, 2 * k + 1, 32 - 2 * k), F.substring(d, 1, 2 * k))
 
-    return F.array(
-        *[F.array_min(F.transform(digests, rot(k))) for k in range(N_HASHES)]
+    # one aggregate pass folds all 16 mins at once (struct accumulator)
+    # instead of 16 transform+array_min rounds: same values, ~half the
+    # generated code, no intermediate rotated arrays.  'g' sorts after
+    # every hex digit, so it is the identity for least().
+    init = F.struct(*[F.lit("g").alias(f"m{k}") for k in range(N_HASHES)])
+    return F.aggregate(
+        digests,
+        init,
+        lambda acc, d: F.struct(
+            *[F.least(acc[f"m{k}"], rot(d, k)).alias(f"m{k}") for k in range(N_HASHES)]
+        ),
+        lambda acc: F.array(*[acc[f"m{k}"] for k in range(N_HASHES)]),
     )
 
 

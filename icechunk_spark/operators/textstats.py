@@ -203,11 +203,62 @@ ORDER BY doc_id
 """
 
 
+def ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary building: top-100 token bigrams by total count
+    and document frequency.  Bigrams come from zipping two shifted
+    slices of the token array (one O(n) pass, same pattern as the
+    dedup shingles), then explode → two-key agg.  At 100 TB the bigram
+    keyspace is huge but uniform (no hot reducer) and the counts are
+    partial-combined before the shuffle."""
+    t = load_tables(spark, sf_dir)
+    toks = tokenize(F.lower(F.col("text")))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        t["documents"]
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("total_count"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("total_count"), F.asc("bigram"))
+        .limit(100)
+    )
+
+
+NGRAM_FREQ_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), bi AS (
+  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bigram
+  FROM toks, unnest(range(1, len(tk))) AS r(i)
+)
+SELECT bigram,
+       count(*) AS total_count,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM bi
+GROUP BY bigram
+ORDER BY total_count DESC, bigram ASC
+LIMIT 100
+"""
+
+
 QUERIES = {
     "lang_id": lang_id,
     "token_count": token_count,
     "quality_score": quality_score,
     "fingerprint": fingerprint,
+    "ngram_freq": ngram_freq,
 }
 
 ORACLES = {
@@ -215,4 +266,5 @@ ORACLES = {
     "token_count": TOKEN_COUNT_SQL,
     "quality_score": QUALITY_SQL,
     "fingerprint": FINGERPRINT_SQL,
+    "ngram_freq": NGRAM_FREQ_SQL,
 }
