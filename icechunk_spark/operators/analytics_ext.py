@@ -189,12 +189,47 @@ ORDER BY spine.event_type, spine.day
 """
 
 
+def customer_retention_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: customers ordering in 1996 split into retained
+    (also ordered in 1997 — INTERSECT) vs churned (did not — EXCEPT).
+    Both set ops shuffle on the already-distinct custkey only."""
+    t = load_tables(spark, sf_dir)
+
+    def buyers(year: int):
+        return (
+            t["orders"]
+            .filter(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y96, y97 = buyers(1996), buyers(1997)
+    retained = y96.intersect(y97).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("retained").alias("cohort"), "n"
+    )
+    churned = y96.exceptAll(y97).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("churned").alias("cohort"), "n"
+    )
+    return retained.unionByName(churned).orderBy("cohort")
+
+
+RETENTION_SETOPS_SQL = """
+WITH y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1996),
+     y97 AS (SELECT DISTINCT o_custkey FROM orders WHERE extract(year FROM o_orderdate) = 1997)
+SELECT 'churned' AS cohort, count(*) AS n FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+UNION ALL
+SELECT 'retained' AS cohort, count(*) AS n FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+ORDER BY cohort
+"""
+
+
 QUERIES = {
     "window_lead_lag": window_lead_lag,
     "stats_agg": stats_agg,
     "string_agg_ordered": string_agg_ordered,
     "histogram_value": histogram_value,
     "time_resample": time_resample,
+    "customer_retention_setops": customer_retention_setops,
 }
 
 ORACLES = {
@@ -203,4 +238,5 @@ ORACLES = {
     "string_agg_ordered": STRING_AGG_SQL,
     "histogram_value": HISTOGRAM_SQL,
     "time_resample": TIME_RESAMPLE_SQL,
+    "customer_retention_setops": RETENTION_SETOPS_SQL,
 }

@@ -360,6 +360,13 @@ class Repository:
         _, sid = fmt.branch_tip(self.root, branch)
         return Session(self.spark, self.root, sid, branch=branch, read_only=False)
 
+    def rearrange_session(self, branch: str = MAIN) -> Session:
+        """Writable session restricted to ``move`` (rename/reorganize
+        the node hierarchy) — reference parity: rearrange_session."""
+        s = self.writable_session(branch)
+        s._rearrange_only = True
+        return s
+
     @contextmanager
     def transaction(
         self,

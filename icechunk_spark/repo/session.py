@@ -183,8 +183,15 @@ class Session:
         if self._read_only:
             raise RefError("session is read-only")
 
-    def create_group(self, path: str, attrs: dict | None = None) -> GroupMeta:
+    def _require_data_writable(self) -> None:
+        """Data-mutation guard: rearrange sessions (move-only) pass the
+        writable check but may not create/write/delete data."""
         self._require_writable()
+        if getattr(self, "_rearrange_only", False):
+            raise RefError("rearrange session: only move() is allowed")
+
+    def create_group(self, path: str, attrs: dict | None = None) -> GroupMeta:
+        self._require_data_writable()
         path = _norm(path)
         if path in self._nodes:
             raise RefError(f"node exists at {path}")
@@ -202,7 +209,7 @@ class Session:
         fill_value: float = 0.0,
         attrs: dict | None = None,
     ) -> ArrayMeta:
-        self._require_writable()
+        self._require_data_writable()
         path = _norm(path)
         if path in self._nodes:
             raise RefError(f"node exists at {path}")
@@ -219,7 +226,7 @@ class Session:
         return meta
 
     def update_attrs(self, path: str, attrs: dict) -> None:
-        self._require_writable()
+        self._require_data_writable()
         node = self._node(path)
         node["attrs"] = {**node.get("attrs", {}), **attrs}
         self._node_ops.append({"op": "update", "path": _norm(path), "node_id": node["node_id"]})
@@ -228,7 +235,7 @@ class Session:
         """Delete an array or group (group deletes cascade).  Chunk refs
         of deleted nodes become unreachable (no tombstones needed: the
         node_id is never reused) and are reclaimed by GC."""
-        self._require_writable()
+        self._require_data_writable()
         path = _norm(path)
         doomed = [p for p in self._nodes if p == path or p.startswith(path.rstrip("/") + "/")]
         if not doomed:
@@ -276,7 +283,7 @@ class Session:
 
     def write_array_df(self, path: str, df: DataFrame) -> None:
         """Distributed write: pack (i0..ik, value) rows into chunks."""
-        self._require_writable()
+        self._require_data_writable()
         meta = self.array_meta(path)
         rel = os.path.join("chunks", f"{new_id()}.parquet")
         encode_array_chunks(df, meta, os.path.join(self.root, rel))
@@ -301,7 +308,7 @@ class Session:
 
     def set_chunk_bytes(self, path: str, chunk_key: str, payload: bytes) -> None:
         """Store-level single-chunk write (buffered; flushed at commit)."""
-        self._require_writable()
+        self._require_data_writable()
         meta = self.array_meta(path)
         self._chunk_buffer.append(
             {
@@ -314,7 +321,7 @@ class Session:
         )
 
     def delete_chunk(self, path: str, chunk_key: str) -> None:
-        self._require_writable()
+        self._require_data_writable()
         meta = self.array_meta(path)
         self._chunk_buffer.append(
             {"node_id": meta.node_id, "chunk_key": chunk_key, "payload": None, "op": "del", "is_virtual": False}
@@ -325,7 +332,7 @@ class Session:
     ) -> None:
         """Reference a byte range in an external file as a chunk
         (icechunk/src/virtual_chunks.rs)."""
-        self._require_writable()
+        self._require_data_writable()
         meta = self.array_meta(path)
         self._chunk_buffer.append(
             {
@@ -381,7 +388,7 @@ class Session:
         """Shift all chunks by a per-dimension chunk offset;
         out-of-bounds chunks are discarded, vacated positions cleared
         (session.py:shift_array, design-docs/018)."""
-        self._require_writable()
+        self._require_data_writable()
         meta = self.array_meta(array_path)
         ndim = len(meta.shape)
         if len(chunk_offset) != ndim:
@@ -424,7 +431,7 @@ class Session:
         """Remap chunk coordinates with a Python function — applied
         distributed over the manifest rows (mapInPandas), never over
         chunk payloads (session.py:reindex_array)."""
-        self._require_writable()
+        self._require_data_writable()
         import pandas as pd
 
         meta = self.array_meta(array_path)

@@ -94,3 +94,25 @@ def test_inline_chunks(spark, tmp_path):
     cdir = os.path.join(repo.root, "chunks")
     n_payload_dirs = len(os.listdir(cdir)) if os.path.isdir(cdir) else 0
     assert n_payload_dirs == 1
+
+
+def test_rearrange_session_move_only(spark, tmp_path):
+    import pytest
+    from icechunk_spark.repo import RefError
+
+    repo = Repository.create(spark, str(tmp_path / "r"))
+    with repo.transaction(message="init") as s:
+        s.create_array("/a", shape=[8], chunk_shape=[4])
+        s.set_chunk_bytes("/a", "0", b"x" * 16)
+
+    rs = repo.rearrange_session()
+    with pytest.raises(RefError):
+        rs.set_chunk_bytes("/a", "1", b"y")
+    with pytest.raises(RefError):
+        rs.create_array("/b", shape=[4], chunk_shape=[4])
+    rs.move("/a", "/renamed")
+    rs.commit("rename a")
+
+    sess = repo.readonly_session()
+    assert sess.get_chunk_bytes("/renamed", "0") == b"x" * 16
+    assert "/renamed" in sess.list_nodes() and "/a" not in sess.list_nodes()
