@@ -440,15 +440,32 @@ class Repository:
 
     # --- maintenance ops (Spark jobs) -------------------------------------
 
-    def expire_snapshots(self, older_than_seconds: float, now: float | None = None) -> set[str]:
+    def expire_snapshots(
+        self,
+        older_than_seconds: float,
+        now: float | None = None,
+        *,
+        delete_expired_branches: bool = False,
+        delete_expired_tags: bool = False,
+    ) -> set[str]:
         """Re-parent history so snapshots older than the cutoff (and not
         pointed to by any ref) become unreachable; returns the expired
         ids (design-docs/007-basic-expiration.md).  Files are reclaimed
-        by garbage_collect."""
+        by garbage_collect.
+
+        With ``delete_expired_branches`` / ``delete_expired_tags`` (the
+        reference's flags), refs other than main whose TIP falls behind
+        the cutoff are themselves deleted along with their history."""
         now = time.time() if now is None else now
         cutoff = now - older_than_seconds
-        pinned = {fmt.branch_tip(self.root, b)[1] for b in self.list_branches()}
-        pinned |= {fmt.read_tag(self.root, t) for t in self.list_tags()}
+        # tips are pinned unless their ref is allowed to be deleted
+        pinned = {fmt.branch_tip(self.root, MAIN)[1]}
+        for b in self.list_branches():
+            if b == MAIN or not delete_expired_branches:
+                pinned.add(fmt.branch_tip(self.root, b)[1])
+        for t in self.list_tags():
+            if not delete_expired_tags:
+                pinned.add(fmt.read_tag(self.root, t))
         expired: set[str] = set()
         for ref_kind, names in (("branch", self.list_branches()), ("tag", self.list_tags())):
             for name in names:
@@ -457,9 +474,11 @@ class Repository:
                     if ref_kind == "branch"
                     else self.ancestry(tag=name)
                 )
-                # root snapshot is never expired; walk from tip
+                # root snapshot is never expired; walk upward from the
+                # oldest non-root entry (tip included only when its ref
+                # is deletable — otherwise it's pinned anyway)
                 keep_up_to = len(chain) - 1
-                for i in range(len(chain) - 2, 0, -1):
+                for i in range(len(chain) - 2, -1, -1):
                     if chain[i].written_at < cutoff and chain[i].id not in pinned:
                         expired.add(chain[i].id)
                     else:
@@ -472,16 +491,25 @@ class Repository:
                     if oldest_kept.parent_id != root_snap.id and oldest_kept.id not in expired:
                         oldest_kept.parent_id = root_snap.id
                         fmt.write_snapshot(self.root, oldest_kept)
+        if delete_expired_branches:
+            for b in self.list_branches():
+                if b != MAIN and fmt.branch_tip(self.root, b)[1] in expired:
+                    fmt.delete_branch(self.root, b)
+        if delete_expired_tags:
+            for t in self.list_tags():
+                if fmt.read_tag(self.root, t) in expired:
+                    fmt.delete_tag(self.root, t)
         return expired
 
     def _reachable_snapshots(self) -> set[str]:
         return set(self.ancestry_graph().keys())
 
-    def garbage_collect(self) -> GCSummary:
+    def garbage_collect(self, *, dry_run: bool = False) -> GCSummary:
         """Delete chunk files, manifests, txlogs and snapshots no longer
         reachable from any ref.  Chunk-file liveness is a Spark
         anti-join of the file listing against live manifest refs —
-        never a driver-side chunk list (src/ops/gc.rs)."""
+        never a driver-side chunk list (src/ops/gc.rs).  ``dry_run``
+        counts what would be deleted without touching anything."""
         live_snaps = self._reachable_snapshots()
         summary = GCSummary()
         live_manifests: set[str] = set()
@@ -490,11 +518,13 @@ class Repository:
         # drop unreachable snapshots + their txlogs
         for sid in fmt.list_snapshot_ids(self.root):
             if sid not in live_snaps:
-                os.remove(fmt.snapshot_path(self.root, sid))
+                if not dry_run:
+                    os.remove(fmt.snapshot_path(self.root, sid))
                 summary.snapshots_deleted += 1
                 tx = os.path.join(self.root, "txlogs", f"{sid}.parquet")
                 if os.path.exists(tx):
-                    shutil.rmtree(tx)
+                    if not dry_run:
+                        shutil.rmtree(tx)
                     summary.txlogs_deleted += 1
         # drop unreferenced manifest files
         mdir = os.path.join(self.root, "manifests")
@@ -502,7 +532,8 @@ class Repository:
             for f in os.listdir(mdir):
                 rel = os.path.join("manifests", f)
                 if rel not in live_manifests:
-                    shutil.rmtree(os.path.join(mdir, f))
+                    if not dry_run:
+                        shutil.rmtree(os.path.join(mdir, f))
                     summary.manifests_deleted += 1
         # chunk files referenced by no live manifest: Spark anti-join
         cdir = os.path.join(self.root, "chunks")
@@ -521,11 +552,12 @@ class Repository:
             else:
                 doomed = all_files
             for r in doomed.collect():
-                shutil.rmtree(os.path.join(self.root, r["file"]), ignore_errors=True)
+                if not dry_run:
+                    shutil.rmtree(os.path.join(self.root, r["file"]), ignore_errors=True)
                 summary.chunk_files_deleted += 1
         # orphaned staging dirs
         sdir = os.path.join(self.root, "staging")
-        if os.path.isdir(sdir):
+        if os.path.isdir(sdir) and not dry_run:
             shutil.rmtree(sdir, ignore_errors=True)
         return summary
 

@@ -116,3 +116,45 @@ def test_rearrange_session_move_only(spark, tmp_path):
     sess = repo.readonly_session()
     assert sess.get_chunk_bytes("/renamed", "0") == b"x" * 16
     assert "/renamed" in sess.list_nodes() and "/a" not in sess.list_nodes()
+
+
+def test_gc_dry_run(spark, tmp_path):
+    repo = Repository.create(spark, str(tmp_path / "r"))
+    with repo.transaction(message="v1") as s:
+        s.create_array("/a", shape=[8], chunk_shape=[4])
+        s.write_array_df("/a", grid_df(spark, 2, 4).select("i0", "value"))
+    with repo.transaction(message="v2") as s:
+        s.write_array_df("/a", grid_df(spark, 2, 4).select("i0", "value"))
+    # orphan v1's history by resetting main onto v2's snapshot only
+    expired = repo.expire_snapshots(older_than_seconds=-1)  # everything but pinned
+    dry = repo.garbage_collect(dry_run=True)
+    assert dry.snapshots_deleted >= 1
+    # nothing actually deleted
+    wet = repo.garbage_collect()
+    assert wet.snapshots_deleted == dry.snapshots_deleted
+    assert wet.chunk_files_deleted == dry.chunk_files_deleted
+
+
+def test_expire_deletes_stale_refs(spark, tmp_path):
+    import time as _t
+
+    repo = Repository.create(spark, str(tmp_path / "r"))
+    with repo.transaction(message="v1") as s:
+        s.create_array("/a", shape=[8], chunk_shape=[4])
+        s.set_chunk_bytes("/a", "0", b"v1")
+    old_tip = repo.lookup_branch("main")
+    repo.create_branch("stale", old_tip)
+    repo.create_tag("old_rel", old_tip)
+    _t.sleep(0.05)
+    cut = _t.time()  # refs at old_tip are now older than this cutoff
+    with repo.transaction(message="v2") as s:
+        s.set_chunk_bytes("/a", "0", b"v2")
+
+    expired = repo.expire_snapshots(
+        0, now=cut, delete_expired_branches=True, delete_expired_tags=True
+    )
+    assert old_tip in expired
+    assert repo.list_branches() == {"main"}
+    assert repo.list_tags() == set()
+    # main history is intact
+    assert repo.readonly_session().get_chunk_bytes("/a", "0") == b"v2"
