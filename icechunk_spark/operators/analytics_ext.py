@@ -223,6 +223,42 @@ ORDER BY cohort
 """
 
 
+def sketch_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (rows-only: DuckDB has no
+    CMS).  The sketch is built distributed — Spark's count_min_sketch
+    aggregate merges per-partition sketches, so the shuffle carries one
+    small binary blob per partition, never the keys.  Estimates are
+    read driver-side and returned next to the exact counts; the
+    one-sided CMS guarantee (estimate ≥ exact, ≤ exact + eps·N w.h.p.)
+    is asserted in tests."""
+    from icechunk_spark.engine import local_df
+
+    t = load_tables(spark, sf_dir)
+    events = t["events"]
+    blob = bytes(
+        events.agg(
+            F.count_min_sketch("event_type", F.lit(0.001), F.lit(0.99), F.lit(42)).alias("cms")
+        ).collect()[0]["cms"]
+    )
+    import io
+
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(blob)
+    )
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows = [
+        {"event_type": et, "exact_count": n, "cms_estimate": int(cms.estimateCount(et))}
+        for et, n in sorted(exact.items())
+    ]
+    return local_df(
+        spark, rows, "event_type string, exact_count bigint, cms_estimate bigint"
+    )
+
+
 QUERIES = {
     "window_lead_lag": window_lead_lag,
     "stats_agg": stats_agg,
@@ -230,6 +266,7 @@ QUERIES = {
     "histogram_value": histogram_value,
     "time_resample": time_resample,
     "customer_retention_setops": customer_retention_setops,
+    "sketch_event_counts": sketch_event_counts,
 }
 
 ORACLES = {

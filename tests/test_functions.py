@@ -65,3 +65,14 @@ def test_with_salt_bounds(spark):
     li = load_tables(spark, SF_DIR)["lineitem"]
     mx = with_salt(li, 16).agg(F.max("__salt"), F.min("__salt")).collect()[0]
     assert 0 <= mx[1] and mx[0] <= 15
+
+
+def test_cms_bounds(spark):
+    from icechunk_spark.operators.analytics_ext import sketch_event_counts
+
+    rows = sketch_event_counts(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    total = sum(r["exact_count"] for r in rows)
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_count"]  # one-sided error
+        assert r["cms_estimate"] <= r["exact_count"] + 0.01 * total
