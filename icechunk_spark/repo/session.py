@@ -359,7 +359,13 @@ class Session:
         meta = self.array_meta(path)
         for c in reversed(self._chunk_buffer):
             if c["node_id"] == meta.node_id and c["chunk_key"] == chunk_key:
-                return c["payload"] if c["op"] == "set" and not c["is_virtual"] else None
+                if c["op"] != "set":
+                    return None
+                if c["is_virtual"]:
+                    with open(c["vpath"], "rb") as f:
+                        f.seek(int(c["voffset"]))
+                        return f.read(int(c["vlength"]))
+                return c["payload"]
         row = (
             self._resolved_manifest(meta.node_id, None)
             .filter(F.col("chunk_key") == chunk_key)
@@ -586,24 +592,62 @@ class Session:
             out = out.unionByName(d)
         return out
 
+    def _buffer_manifest_df(self) -> DataFrame | None:
+        """Uncommitted ``set_chunk_bytes``/virtual-ref buffer as manifest
+        rows.  Native payloads ride in the ``inline`` column so the
+        decode/read paths see them without any flush — full
+        read-your-writes inside the transaction."""
+        if not self._chunk_buffer:
+            return None
+        entries = []
+        for i, c in enumerate(self._chunk_buffer):
+            ck = [int(x) for x in c["chunk_key"].split(".")] if c["chunk_key"] else []
+            coords = {f"c{d}": (ck[d] if d < len(ck) else None) for d in range(4)}
+            payload = c.get("payload")
+            entries.append(
+                {
+                    "node_id": c["node_id"],
+                    "chunk_key": c["chunk_key"],
+                    **coords,
+                    "chunk_id": None,
+                    "file": None,
+                    "n_bytes": len(payload) if payload else c.get("vlength"),
+                    "op": c["op"],
+                    "is_virtual": bool(c.get("is_virtual")),
+                    "vpath": c.get("vpath"),
+                    "voffset": c.get("voffset"),
+                    "vlength": c.get("vlength"),
+                    "inline": payload if c["op"] == "set" and not c.get("is_virtual") else None,
+                    # buffer flushes as the LAST staging item at commit,
+                    # so it shadows staged rows; within the buffer later
+                    # entries win
+                    "seq": i,
+                }
+            )
+        return local_df(self.spark, entries, MANIFEST_SCHEMA)
+
     def _resolved_manifest(self, node_id, chunk_filter) -> DataFrame:
         """Base-snapshot manifest overlaid with staged (uncommitted)
         writes — read-your-writes inside the transaction."""
         base = mf.resolve_manifests(self.spark, self.root, self._base, node_id, chunk_filter)
         staged = self._staged_manifest_df()
-        if self._chunk_buffer:
-            # make small buffered writes visible without forcing a flush
-            pass
-        if staged is None:
+        buffered = self._buffer_manifest_df()
+        overlays = []
+        if staged is not None:
+            overlays.append(staged.withColumn("seq", F.col("seq") + F.lit(10**15)))
+        if buffered is not None:
+            overlays.append(buffered.withColumn("seq", F.col("seq") + F.lit(2 * 10**15)))
+        if not overlays:
             return base
-        if node_id is not None:
-            staged = staged.filter(F.col("node_id") == node_id)
-        if chunk_filter is not None:
-            staged = staged.filter(chunk_filter)
-        staged = staged.withColumn("seq", F.col("seq") + F.lit(10**15))
         from pyspark.sql import Window
 
-        union = base.unionByName(staged)
+        union = base
+        for o in overlays:
+            if node_id is not None:
+                o = o.filter(F.col("node_id") == node_id)
+            if chunk_filter is not None:
+                o = o.filter(chunk_filter)
+            union = union.unionByName(o)
         w = Window.partitionBy("node_id", "chunk_key").orderBy(F.desc("seq"))
         return (
             union.withColumn("__rn", F.row_number().over(w))

@@ -80,12 +80,46 @@ class ChunkStore:
             return
         self.session.set_chunk_bytes(path, chunk, value)
 
+    def exists(self, key: str) -> bool:
+        return self.get(key) is not None
+
+    def get_partial_values(
+        self, key_ranges: list[tuple[str, tuple[int | None, int | None]]]
+    ) -> list[bytes | None]:
+        """Byte-range reads: (key, (offset, length)); None offset = 0,
+        None length = to end (store.py:get_partial_values)."""
+        out: list[bytes | None] = []
+        for key, (offset, length) in key_ranges:
+            raw = self.get(key)
+            if raw is None:
+                out.append(None)
+                continue
+            start = offset or 0
+            end = len(raw) if length is None else start + length
+            out.append(raw[start:end])
+        return out
+
+    def set_if_not_exists(self, key: str, value: bytes) -> None:
+        if not self.exists(key):
+            self.set(key, value)
+
+    def is_empty(self, prefix: str = "") -> bool:
+        return next(iter(self.list_prefix(prefix)), None) is None
+
     def delete(self, key: str) -> None:
         path, chunk = self._parse(key)
         if chunk is None:
             self.session.delete_node(path)
         else:
             self.session.delete_chunk(path, chunk)
+
+    def delete_dir(self, prefix: str) -> None:
+        """Delete every key under a prefix (store.py:delete_dir)."""
+        for key in list(self.list_prefix(prefix.rstrip("/") + "/")):
+            try:
+                self.delete(key)
+            except RefError:
+                pass
 
     def sync_clear(self) -> None:
         for p in [p for p in self.session.list_nodes() if p != "/"]:

@@ -333,3 +333,27 @@ def test_store_facade(spark, repo):
     assert set(store2.list_dir("arr/c")) == {"0", "1"}
     rows = {r["i0"]: r["value"] for r in s2.read_array_df("/arr").collect()}
     assert rows == {0: 1.0, 1: 2.0, 2: 3.0, 3: 4.0}
+
+
+def test_store_facade_extended(spark, repo):
+    import json as _json
+
+    from icechunk_spark.repo.store import ChunkStore
+
+    s = repo.writable_session()
+    store = ChunkStore(s)
+    store.set(
+        "arr/zarr.json",
+        _json.dumps({"kind": "array", "shape": [4], "chunk_shape": [2]}).encode(),
+    )
+    store.set("arr/c/0", b"0123456789")
+    assert store.exists("arr/c/0") and not store.exists("arr/c/1")
+    assert store.get_partial_values(
+        [("arr/c/0", (2, 4)), ("arr/c/0", (None, None)), ("arr/c/1", (0, 2))]
+    ) == [b"2345", b"0123456789", None]
+    store.set_if_not_exists("arr/c/0", b"SHOULD NOT WIN")
+    assert store.get("arr/c/0") == b"0123456789"
+    assert not store.is_empty("arr")
+    store.delete_dir("arr/c")
+    assert store.get("arr/c/0") is None
+    assert store.exists("arr/zarr.json")
