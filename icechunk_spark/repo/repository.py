@@ -403,30 +403,18 @@ class Repository:
         reads — icechunk/src/diff.rs)."""
         a_id = VersionSelector(from_branch, from_tag, from_snapshot_id).resolve(self.root)
         b_id = VersionSelector(to_branch, to_tag, to_snapshot_id).resolve(self.root)
+        counts = (
+            self.diff_df(a_id, b_id)
+            .groupBy("change")
+            .count()
+            .collect()
+        )
+        by = {r["change"]: r["count"] for r in counts}
+        d = Diff(
+            chunks_written=by.get("added", 0) + by.get("updated", 0),
+            chunks_deleted=by.get("deleted", 0),
+        )
         a, b = fmt.read_snapshot(self.root, a_id), fmt.read_snapshot(self.root, b_id)
-        ma = mf.resolve_manifests(self.spark, self.root, a).select(
-            "node_id", "chunk_key", F.col("chunk_id").alias("chunk_a"), F.col("vpath").alias("vp_a")
-        )
-        mb = mf.resolve_manifests(self.spark, self.root, b).select(
-            "node_id", "chunk_key", F.col("chunk_id").alias("chunk_b"), F.col("vpath").alias("vp_b")
-        )
-        j = ma.join(mb, ["node_id", "chunk_key"], "full_outer")
-        counts = j.agg(
-            F.sum(F.when(F.col("chunk_a").isNull() & F.col("vp_a").isNull(), 1).otherwise(0)).alias("added"),
-            F.sum(F.when(F.col("chunk_b").isNull() & F.col("vp_b").isNull(), 1).otherwise(0)).alias("deleted"),
-            F.sum(
-                F.when(
-                    (F.coalesce(F.col("chunk_a"), F.col("vp_a")).isNotNull())
-                    & (F.coalesce(F.col("chunk_b"), F.col("vp_b")).isNotNull())
-                    & (
-                        F.coalesce(F.col("chunk_a"), F.col("vp_a"))
-                        != F.coalesce(F.col("chunk_b"), F.col("vp_b"))
-                    ),
-                    1,
-                ).otherwise(0)
-            ).alias("updated"),
-        ).collect()[0]
-        d = Diff(chunks_written=(counts["added"] or 0) + (counts["updated"] or 0), chunks_deleted=counts["deleted"] or 0)
         a_nodes = {n["node_id"]: p for p, n in a.nodes.items()}
         b_nodes = {n["node_id"]: p for p, n in b.nodes.items()}
         d.new_nodes = sorted(b_nodes[i] for i in b_nodes.keys() - a_nodes.keys())
@@ -437,6 +425,42 @@ class Repository:
             if a.nodes[a_nodes[i]] != b.nodes[b_nodes[i]] or a_nodes[i] != b_nodes[i]
         )
         return d
+
+    def diff_df(self, from_snapshot_id: str, to_snapshot_id: str) -> DataFrame:
+        """Chunk-level diff as a queryable DataFrame: one row per
+        changed chunk with change ∈ {added, deleted, updated}.  A
+        chunk's identity is its native chunk_id, virtual location, or
+        inline-payload hash — whichever form it takes (no chunk file is
+        ever read)."""
+        a = fmt.read_snapshot(self.root, from_snapshot_id)
+        b = fmt.read_snapshot(self.root, to_snapshot_id)
+
+        def ident(df: DataFrame, side: str) -> DataFrame:
+            # NB: concat_ws yields '' (not NULL) for all-null inputs,
+            # which would stop coalesce early — gate on vpath instead
+            identity = F.coalesce(
+                F.col("chunk_id"),
+                F.when(
+                    F.col("vpath").isNotNull(),
+                    F.concat_ws("@", "vpath", F.col("voffset").cast("string")),
+                ),
+                F.md5(F.col("inline")),
+            )
+            return df.select("node_id", "chunk_key", identity.alias(f"id_{side}"))
+
+        ma = ident(mf.resolve_manifests(self.spark, self.root, a), "a")
+        mb = ident(mf.resolve_manifests(self.spark, self.root, b), "b")
+        j = ma.join(mb, ["node_id", "chunk_key"], "full_outer")
+        change = (
+            F.when(F.col("id_a").isNull(), "added")
+            .when(F.col("id_b").isNull(), "deleted")
+            .when(F.col("id_a") != F.col("id_b"), "updated")
+        )
+        return (
+            j.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select("change", "node_id", "chunk_key")
+        )
 
     # --- maintenance ops (Spark jobs) -------------------------------------
 

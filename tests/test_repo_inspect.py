@@ -158,3 +158,25 @@ def test_expire_deletes_stale_refs(spark, tmp_path):
     assert repo.list_tags() == set()
     # main history is intact
     assert repo.readonly_session().get_chunk_bytes("/a", "0") == b"v2"
+
+
+def test_diff_df_chunk_changes(spark, tmp_path):
+    repo = Repository.create(spark, str(tmp_path / "r"))
+    with repo.transaction(message="v1") as s:
+        s.create_array("/a", shape=[24], chunk_shape=[8])
+        s.set_chunk_bytes("/a", "0", b"tiny")        # inline
+        s.set_chunk_bytes("/a", "1", b"x" * 4096)    # native
+    v1 = repo.lookup_branch("main")
+    with repo.transaction(message="v2") as s:
+        s.set_chunk_bytes("/a", "0", b"tiny2")       # update inline
+        s.delete_chunk("/a", "1")                    # delete native
+        s.set_chunk_bytes("/a", "2", b"new")         # add inline
+    v2 = repo.lookup_branch("main")
+
+    changes = {
+        (r["change"], r["chunk_key"]) for r in repo.diff_df(v1, v2).collect()
+    }
+    assert changes == {("updated", "0"), ("deleted", "1"), ("added", "2")}
+
+    d = repo.diff(from_snapshot_id=v1, to_snapshot_id=v2)
+    assert d.chunks_written == 2 and d.chunks_deleted == 1
