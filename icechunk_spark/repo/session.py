@@ -684,7 +684,7 @@ class Session:
                     staged.withColumn("seq", F.col("seq") + seq_base), self.root
                 )
                 manifests.append(rel)
-                self._write_txlog(snap_id, staged)
+            self._write_txlog(snap_id, staged)
             snap = SnapshotInfo(
                 id=snap_id,
                 parent_id=parent.id,
@@ -756,12 +756,22 @@ class Session:
         if tip_id != self._base.id:
             self._rebase_onto(tip_id, solver)
 
-    def _write_txlog(self, snap_id: str, staged: DataFrame) -> None:
-        tx = staged.select("node_id", "chunk_key", "op")
+    def _write_txlog(self, snap_id: str, staged: DataFrame | None) -> None:
+        """Record what this commit changed.  ``staged`` may be None for
+        node-only commits (e.g. a bare delete_node) — those MUST still
+        log their node ops or later sessions can't detect conflicts
+        against them."""
         node_rows = [
             {"node_id": op["node_id"], "chunk_key": "", "op": f"node_{op['op']}"}
             for op in self._node_ops
         ]
+        if staged is None and not node_rows:
+            return
+        tx = (
+            staged.select("node_id", "chunk_key", "op")
+            if staged is not None
+            else local_df(self.spark, [], TXLOG_SCHEMA)
+        )
         if node_rows:
             tx = tx.unionByName(local_df(self.spark, node_rows, TXLOG_SCHEMA))
         tx.coalesce(1).write.parquet(os.path.join(self.root, "txlogs", f"{snap_id}.parquet"))
@@ -807,23 +817,46 @@ class Session:
         ]
         tip = fmt.read_snapshot(self.root, tip_id)
         ours_nodes = {op["node_id"] for op in self._node_ops}
-        their_nodes = {
-            r["node_id"] for r in theirs.filter(F.col("chunk_key") == "").collect()
-        }
+        their_node_rows = theirs.filter(F.col("chunk_key") == "").collect()
+        their_nodes = {r["node_id"] for r in their_node_rows}
+        their_deleted = {r["node_id"] for r in their_node_rows if r["op"] == "node_delete"}
         node_conflicts = ours_nodes & their_nodes
         conflicts += [{"kind": "node", "node_id": n} for n in sorted(node_conflicts)]
+        # reference's DeleteOfUpdatedArray: we wrote chunks to a node
+        # they deleted — without this check the writes would silently
+        # orphan (conflicts/detector.rs)
+        ours_chunk_nodes = {r["node_id"] for r in ours_chunks.select("node_id").distinct().collect()}
+        deleted_write = sorted((ours_chunk_nodes - ours_nodes) & their_deleted)
+        conflicts += [{"kind": "deleted_node_write", "node_id": n} for n in deleted_write]
         if conflicts:
             if solver is None:
                 raise ConflictError(conflicts)
             mode = solver.on_chunk_conflict
-            if any(c["kind"] == "node" for c in conflicts) and solver.on_node_conflict == "fail":
-                raise ConflictError([c for c in conflicts if c["kind"] == "node"])
+            node_kinds = ("node", "deleted_node_write")
+            if any(c["kind"] in node_kinds for c in conflicts) and solver.on_node_conflict == "fail":
+                raise ConflictError([c for c in conflicts if c["kind"] in node_kinds])
             if mode == "fail" and any(c["kind"] == "chunk" for c in conflicts):
                 raise ConflictError([c for c in conflicts if c["kind"] == "chunk"])
             if mode == "use_theirs" and staged is not None:
                 kept = staged.join(chunk_conf, ["node_id", "chunk_key"], "left_anti")
                 self._replace_staging(kept)
             # use_ours: nothing to do — our staged rows get a higher seq
+            if deleted_write and solver.on_node_conflict == "use_theirs" and self._staged:
+                # their delete wins: drop our writes into deleted nodes
+                doomed = local_df(
+                    self.spark, [(n,) for n in deleted_write], "node_id string"
+                )
+                remaining = self._staged_manifest_df().join(doomed, "node_id", "left_anti")
+                self._replace_staging(remaining)
+            elif deleted_write and solver.on_node_conflict == "use_ours":
+                # our writes win: resurrect the node meta from our view
+                for nid in deleted_write:
+                    for path, node in self._nodes.items():
+                        if node["node_id"] == nid:
+                            self._node_ops.append(
+                                {"op": "create", "path": path, "node_id": nid}
+                            )
+                            break
         # merge their node table with our ops replayed on top
         merged = dict(tip.nodes)
         for op in self._node_ops:

@@ -357,3 +357,46 @@ def test_store_facade_extended(spark, repo):
     store.delete_dir("arr/c")
     assert store.get("arr/c/0") is None
     assert store.exists("arr/zarr.json")
+
+
+def test_write_to_deleted_node_conflicts(spark, repo):
+    with repo.transaction(message="init") as s:
+        s.create_array("/a", shape=[4], chunk_shape=[2])
+        s.write_array_df(
+            "/a", spark.range(4).select(F.col("id").alias("i0"), F.lit(0.0).alias("value"))
+        )
+
+    deleter = repo.writable_session()
+    writer = repo.writable_session()
+    writer.write_array_df(
+        "/a", spark.range(2).select(F.col("id").alias("i0"), F.lit(9.0).alias("value"))
+    )
+    deleter.delete_node("/a")
+    deleter.commit("delete /a")
+
+    with pytest.raises(ConflictError) as ei:
+        writer.commit("write /a")
+    assert any(c["kind"] == "deleted_node_write" for c in ei.value.conflicts)
+
+    # their delete wins: our writes dropped, node stays deleted
+    writer.commit("write /a", rebase_with=ConflictSolver(on_node_conflict="use_theirs"))
+    assert "/a" not in repo.readonly_session().list_nodes()
+
+
+def test_write_to_deleted_node_use_ours_resurrects(spark, repo):
+    with repo.transaction(message="init") as s:
+        s.create_array("/a", shape=[4], chunk_shape=[2])
+
+    deleter = repo.writable_session()
+    writer = repo.writable_session()
+    writer.write_array_df(
+        "/a", spark.range(4).select(F.col("id").alias("i0"), F.lit(7.0).alias("value"))
+    )
+    deleter.delete_node("/a")
+    deleter.commit("delete /a")
+
+    writer.commit("write /a", rebase_with=ConflictSolver(on_node_conflict="use_ours"))
+    sess = repo.readonly_session()
+    assert "/a" in sess.list_nodes()
+    vals = {r["i0"]: r["value"] for r in sess.read_array_df("/a").collect()}
+    assert vals[0] == 7.0
