@@ -731,7 +731,7 @@ class Session:
             manifests.append(
                 mf.write_manifest(staged.withColumn("seq", F.col("seq") + seq_base), self.root)
             )
-            self._write_txlog(snap_id, staged)
+        self._write_txlog(snap_id, staged, carry_from=tip_id)
         snap = SnapshotInfo(
             id=snap_id,
             parent_id=tip.parent_id,
@@ -756,16 +756,24 @@ class Session:
         if tip_id != self._base.id:
             self._rebase_onto(tip_id, solver)
 
-    def _write_txlog(self, snap_id: str, staged: DataFrame | None) -> None:
+    def _write_txlog(
+        self, snap_id: str, staged: DataFrame | None, carry_from: str | None = None
+    ) -> None:
         """Record what this commit changed.  ``staged`` may be None for
         node-only commits (e.g. a bare delete_node) — those MUST still
         log their node ops or later sessions can't detect conflicts
-        against them."""
+        against them.  ``carry_from`` unions in another snapshot's
+        txlog (amend: the replaced tip's changes are part of ours)."""
         node_rows = [
             {"node_id": op["node_id"], "chunk_key": "", "op": f"node_{op['op']}"}
             for op in self._node_ops
         ]
-        if staged is None and not node_rows:
+        carry = (
+            os.path.join(self.root, "txlogs", f"{carry_from}.parquet") if carry_from else None
+        )
+        if carry is not None and not os.path.exists(carry):
+            carry = None
+        if staged is None and not node_rows and carry is None:
             return
         tx = (
             staged.select("node_id", "chunk_key", "op")
@@ -774,6 +782,8 @@ class Session:
         )
         if node_rows:
             tx = tx.unionByName(local_df(self.spark, node_rows, TXLOG_SCHEMA))
+        if carry is not None:
+            tx = tx.unionByName(self.spark.read.schema(TXLOG_SCHEMA).parquet(carry))
         tx.coalesce(1).write.parquet(os.path.join(self.root, "txlogs", f"{snap_id}.parquet"))
 
     def _txlogs_between(self, old_id: str, new_id_: str) -> list[str]:
