@@ -468,6 +468,33 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMBEDDING_NEARDUP_SQL = """
+WITH b AS (
+  SELECT vec_id, embedding,
+         concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       round(
+         list_sum(list_transform(list_zip(a.embedding, c.embedding),
+                                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+         4) AS cos_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round(
+        list_sum(list_transform(list_zip(a.embedding, c.embedding),
+                                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        4) >= 0.40
+ORDER BY vec_a, vec_b
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_keep_first": dedup_exact_keep_first,
@@ -484,4 +511,5 @@ ORACLES = {
     "ngram_jaccard": NGRAM_JACCARD_SQL,
     "minhash_lsh": MINHASH_LSH_SQL,
     "dedup_cluster": DEDUP_CLUSTER_SQL,
+    "embedding_neardup": EMBEDDING_NEARDUP_SQL,
 }
