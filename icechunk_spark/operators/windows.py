@@ -323,6 +323,72 @@ ORDER BY user_id, sess_seq
 """
 
 
+def rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions: percent_rank and cume_dist of
+    each order's total within its priority class (sample: top-200 by
+    key to keep the compare bounded)."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
+
+
+RANK_DIST_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+LIMIT 200
+"""
+
+
+def first_last_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over an event-time frame: each user's
+    first and most recent event type and value."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        t["events"]
+        .select(
+            "user_id",
+            F.first_value("event_type").over(w).alias("first_type"),
+            F.last_value("event_type").over(w).alias("last_type"),
+            F.round(F.first_value("value").over(w), 2).alias("first_value"),
+            F.round(F.last_value("value").over(w), 2).alias("last_value"),
+        )
+        .distinct()
+        .orderBy("user_id")
+    )
+
+
+FIRST_LAST_SQL = """
+SELECT DISTINCT user_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type) OVER w AS last_type,
+       round(first_value(value) OVER w, 2) AS first_value,
+       round(last_value(value) OVER w, 2) AS last_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY user_id
+"""
+
+
 def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull props.k out of the JSON payload
     column (JVM-side get_json_object — no Python) and aggregate it."""
@@ -395,10 +461,14 @@ QUERIES = {
     "sessionize": sessionize,
     "pivot_events": pivot_events,
     "json_extract_agg": json_extract_agg,
+    "rank_distribution": rank_distribution,
+    "first_last_in_group": first_last_in_group,
 }
 
 ORACLES = {
     "json_extract_agg": JSON_EXTRACT_SQL,
+    "rank_distribution": RANK_DIST_SQL,
+    "first_last_in_group": FIRST_LAST_SQL,
     "topk_per_group": TOPK_SQL,
     "running_agg": RUNNING_SQL,
     "distinct_count_exact": DISTINCT_SQL,

@@ -35,3 +35,16 @@ def write_partitioned_parquet(df: DataFrame, path: str, *partition_cols: str) ->
     """Hive-style partitioned layout — the unit of partition pruning
     for downstream readers."""
     df.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:
+    """ORC read (built into Spark; predicate pushdown + column pruning
+    work as for parquet)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)

@@ -70,3 +70,16 @@ def test_rate_stream_source(spark):
     q.stop()
     q.awaitTermination()
     assert spark.table("rate_smoke").columns == ["timestamp", "value"]
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from icechunk_spark.sources import read_orc, write_orc
+
+    orders = load_tables(spark, SF_DIR)["orders"]
+    p = str(tmp_path / "orders_orc")
+    write_orc(orders.select("o_orderkey", "o_totalprice", "o_orderpriority"), p)
+    back = read_orc(spark, p).filter(F.col("o_totalprice") > 100000.0)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan
+    expected = orders.filter(F.col("o_totalprice") > 100000.0).count()
+    assert back.count() == expected
