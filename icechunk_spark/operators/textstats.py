@@ -253,12 +253,84 @@ LIMIT 100
 """
 
 
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data cleaning pipeline in ONE declarative
+    plan: exact-dedup keep-first → drop low-quality docs (quality <
+    0.45) → per-language surviving-corpus stats.  Composition stays a
+    single Catalyst plan (dedup's groupBy, the quality expressions,
+    and the final agg all fuse/pipeline), which is exactly how these
+    stages should chain at 100 TB — no materialization between steps."""
+    from icechunk_spark.functions import normalized_text
+
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    keep = (
+        docs.withColumn("content_hash", F.md5(normalized_text(F.col("text"))))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    df = docs.join(keep, "doc_id").withColumn("toks", tokenize(F.col("text")))
+    n_tok = F.size("toks").cast("double")
+    n_uniq = F.size(F.array_distinct("toks")).cast("double")
+    punct = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).cast("double")
+    stop = F.size(F.filter(F.col("toks"), lambda x: x.isin(*STOPWORDS))).cast("double")
+    quality = (
+        F.lit(0.4) * F.least(n_tok / 100.0, F.lit(1.0))
+        + F.lit(0.3) * (n_uniq / n_tok)
+        - F.lit(0.2) * (punct / F.length("text").cast("double"))
+        + F.lit(0.1) * (stop / n_tok)
+    )
+    return (
+        df.withColumn("quality", F.round(quality, 4))
+        .filter(F.col("quality") >= 0.45)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("toks")).cast("bigint").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+PIPELINE_CLEAN_SQL = f"""
+WITH keep AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+), tok AS (
+  SELECT d.doc_id, d.lang, d.text,
+         list_filter(string_split_regex(d.text, '\\s+'), t -> t <> '') AS toks
+  FROM documents d JOIN keep USING (doc_id)
+), m AS (
+  SELECT doc_id, lang, len(toks) AS n_tokens,
+         round(0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+               - 0.2 * (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                        / length(text))
+               + 0.1 * (CAST(len(list_filter(toks, t -> t IN ({_STOP_IN}))) AS DOUBLE)
+                        / len(toks)), 4) AS quality
+  FROM tok
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(quality), 4) AS avg_quality
+FROM m
+WHERE quality >= 0.45
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
     "lang_id": lang_id,
     "token_count": token_count,
     "quality_score": quality_score,
     "fingerprint": fingerprint,
     "ngram_freq": ngram_freq,
+    "pipeline_clean_corpus": pipeline_clean_corpus,
 }
 
 ORACLES = {
@@ -267,4 +339,5 @@ ORACLES = {
     "quality_score": QUALITY_SQL,
     "fingerprint": FINGERPRINT_SQL,
     "ngram_freq": NGRAM_FREQ_SQL,
+    "pipeline_clean_corpus": PIPELINE_CLEAN_SQL,
 }
