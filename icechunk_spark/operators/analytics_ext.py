@@ -223,6 +223,51 @@ ORDER BY cohort
 """
 
 
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: one pass producing the
+    day, hour, and per-type granularities via ROLLUP over time buckets
+    — the materialization a time-series store keeps per chunk.  At
+    100 TB each grouping-set aggregate is partial-combined before one
+    shared shuffle (Expand + single exchange, not three scans)."""
+    t = load_tables(spark, sf_dir)
+    df = (
+        t["events"]
+        .withColumn("day", F.date_trunc("day", "ts"))
+        .withColumn("hour", F.hour("ts").cast("int"))
+    )
+    return (
+        df.rollup("day", "hour", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            "hour",
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy(
+            F.asc_nulls_first("day"),
+            F.asc_nulls_first("hour"),
+            F.asc_nulls_first("event_type"),
+        )
+    )
+
+
+HYPERTABLE_ROLLUP_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(extract(hour FROM ts) AS INT) AS hour,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY ROLLUP (day, hour, event_type)
+ORDER BY day ASC NULLS FIRST, hour ASC NULLS FIRST, event_type ASC NULLS FIRST
+"""
+
+
 def sketch_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimation (rows-only: DuckDB has no
     CMS).  The sketch is built distributed — Spark's count_min_sketch
@@ -267,6 +312,7 @@ QUERIES = {
     "time_resample": time_resample,
     "customer_retention_setops": customer_retention_setops,
     "sketch_event_counts": sketch_event_counts,
+    "hypertable_rollup": hypertable_rollup,
 }
 
 ORACLES = {
@@ -276,4 +322,5 @@ ORACLES = {
     "histogram_value": HISTOGRAM_SQL,
     "time_resample": TIME_RESAMPLE_SQL,
     "customer_retention_setops": RETENTION_SETOPS_SQL,
+    "hypertable_rollup": HYPERTABLE_ROLLUP_SQL,
 }

@@ -90,7 +90,8 @@ def main():
             fs, fd = fingerprint(scols, srows), fingerprint(dcols, drows)
             if fs != fd:
                 problems.append("value-hash mismatch")
-                for a, b in list(zip(sorted(srows), sorted(drows)))[:3]:
+                key = lambda r: tuple(str(x) for x in r)  # noqa: E731 — None-safe sort
+                for a, b in list(zip(sorted(srows, key=key), sorted(drows, key=key)))[:3]:
                     if a != b:
                         print(f"      spark={a}\n      duck ={b}")
         if problems:
