@@ -281,6 +281,10 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(0.2) * (punct / F.length("text").cast("double"))
         + F.lit(0.1) * (stop / n_tok)
     )
+    # avg over doubles is summation-order sensitive (partial aggs) and
+    # can flip round() at exact half boundaries run-to-run; aggregate
+    # the 4dp qualities as exact integers and divide once instead
+    q_int = F.round(F.col("quality") * 10000).cast("bigint")
     return (
         df.withColumn("quality", F.round(quality, 4))
         .filter(F.col("quality") >= 0.45)
@@ -288,7 +292,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.size("toks")).cast("bigint").alias("total_tokens"),
-            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.round(F.sum(q_int) / (F.count(F.lit(1)) * 10000.0), 4).alias("avg_quality"),
         )
         .orderBy("lang")
     )
@@ -316,7 +320,8 @@ WITH keep AS (
 SELECT lang,
        count(*) AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-       round(avg(quality), 4) AS avg_quality
+       round(CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 10000.0), 4) AS avg_quality
 FROM m
 WHERE quality >= 0.45
 GROUP BY lang
