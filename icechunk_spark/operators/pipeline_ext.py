@@ -1,0 +1,177 @@
+"""Training-pipeline dataset-management operators (SURVEY.md §2e
+extension): deterministic train/val splitting, offset-based sequence
+packing into fixed token budgets, and domain-mixture downsampling.
+
+These are the dataset-engineering steps a 100 TB pretraining pipeline
+runs after cleaning/dedup: assign every document to a split with a
+content-stable hash (no RNG — reproducible across runs and engines),
+pack documents into context-window-sized shards, and rebalance the
+source mixture to target weights.
+
+All hashing is md5 over the stringified doc_id so Spark and the
+DuckDB oracle agree bit-for-bit; hex-prefix string comparison turns
+the hash into a uniform keep/assign decision without any integer
+conversion (lexicographic order on fixed-width hex == numeric order).
+
+Scale notes (100 TB):
+- split/mixture are stateless per-row filters — embarrassingly
+  parallel, no shuffle at all; the only aggregation shuffles tiny
+  (source / split) keys.
+- packing windows partition by a shard key (doc_id % N_SHARDS), so
+  the cumulative-sum window runs as N_SHARDS independent sorted
+  streams instead of one global order-by — raise N_SHARDS with the
+  cluster, each shard's pack ids stay deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from icechunk_spark.catalog import load_tables
+from icechunk_spark.functions import tokenize
+
+# val if the first hex byte of md5(doc_id) sorts below '0d' → 13/256 ≈ 5.1%
+VAL_THRESHOLD = "0d"
+PACK_BUDGET = 2048  # tokens per packed training sequence
+N_SHARDS = 32
+
+_BUCKET = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+_TOK = "CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT)"
+
+
+def _bucket_col():
+    return F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+
+
+def split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split: stable under re-runs, insertions, and
+    repartitioning (unlike randomSplit).  Pure row-local expression —
+    zero shuffle (reference: random_split-style dataset ops done
+    content-addressed instead)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .withColumn("bucket", _bucket_col())
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < VAL_THRESHOLD, "val").otherwise("train"),
+        )
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")
+    )
+
+
+SPLIT_SQL = f"""
+SELECT doc_id, {_BUCKET} AS bucket,
+       CASE WHEN {_BUCKET} < '{VAL_THRESHOLD}' THEN 'val' ELSE 'train' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-based sequence packing: within each shard (doc_id %
+    N_SHARDS), documents are laid out in doc_id order and cut into
+    PACK_BUDGET-token packs at fixed token offsets (documents may
+    straddle a boundary — the streaming-friendly layout used when the
+    tokenizer concatenates with EOD separators).  Returns per-pack
+    document and token counts."""
+    t = load_tables(spark, sf_dir)
+    docs = (
+        t["documents"]
+        .withColumn("shard", F.col("doc_id") % N_SHARDS)
+        .withColumn("tok", F.size(tokenize(F.col("text"))).cast("bigint"))
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = docs.withColumn(
+        "pack_id", F.floor(F.coalesce(F.sum("tok").over(w), F.lit(0)) / PACK_BUDGET)
+    )
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("pack_tokens"),
+        )
+        .orderBy("shard", "pack_id")
+    )
+
+
+PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id % {N_SHARDS} AS shard, doc_id, {_TOK} AS tok
+  FROM documents
+), offs AS (
+  SELECT shard, tok,
+         CAST(floor(COALESCE(SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / {PACK_BUDGET}) AS BIGINT) AS pack_id
+  FROM toks
+)
+SELECT shard, pack_id, count(*) AS n_docs, SUM(tok) AS pack_tokens
+FROM offs GROUP BY shard, pack_id ORDER BY shard, pack_id
+"""
+
+
+# target keep-fraction per source, derived from the source's numeric
+# suffix: src_num % 4 → 25% / 50% / 75% / 100%.  'gg' sorts above any
+# hex pair, so it keeps everything.
+_FRAC_HEX = ("40", "80", "c0", "gg")
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: downsample each source to a target
+    weight with the same stable hash used for splitting, then report
+    kept/total per source.  One conditional aggregate — the filter
+    never materializes an intermediate table."""
+    t = load_tables(spark, sf_dir)
+    src_num = F.substring(F.col("source"), 4, 10).cast("int") % 4
+    thr = (
+        F.when(src_num == 0, _FRAC_HEX[0])
+        .when(src_num == 1, _FRAC_HEX[1])
+        .when(src_num == 2, _FRAC_HEX[2])
+        .otherwise(_FRAC_HEX[3])
+    )
+    kept = (F.col("bucket") < thr).cast("bigint")
+    return (
+        t["documents"]
+        .withColumn("bucket", _bucket_col())
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept).alias("n_kept"),
+            F.round(F.sum(kept) / F.count(F.lit(1)), 6).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_SQL = f"""
+WITH b AS (
+  SELECT source, {_BUCKET} AS bucket,
+         CASE CAST(substr(source, 4) AS INT) % 4
+           WHEN 0 THEN '{_FRAC_HEX[0]}' WHEN 1 THEN '{_FRAC_HEX[1]}'
+           WHEN 2 THEN '{_FRAC_HEX[2]}' ELSE '{_FRAC_HEX[3]}' END AS thr
+  FROM documents
+)
+SELECT source, count(*) AS n_total,
+       SUM(CAST(bucket < thr AS BIGINT)) AS n_kept,
+       round(SUM(CAST(bucket < thr AS BIGINT)) / count(*), 6) AS keep_rate
+FROM b GROUP BY source ORDER BY source
+"""
+
+
+QUERIES = {
+    "split_train_val": split_train_val,
+    "pack_sequences": pack_sequences,
+    "mixture_sample": mixture_sample,
+}
+
+ORACLES = {
+    "split_train_val": SPLIT_SQL,
+    "pack_sequences": PACK_SQL,
+    "mixture_sample": MIXTURE_SQL,
+}
