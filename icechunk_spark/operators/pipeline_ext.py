@@ -164,14 +164,101 @@ FROM b GROUP BY source ORDER BY source
 """
 
 
+# --- decontamination -----------------------------------------------------
+
+DECON_K = 5  # n-gram length for contamination matching
+EVAL_MAX_ID = 20  # doc_id < 20 stands in for the held-out benchmark set
+
+
+def _ngrams_col(text, k: int):
+    """Distinct k-token n-grams built by zipping k shifted slices of
+    the token array — O(n·k) with no per-index slicing, so the whole
+    expression stays inside codegen (same construction as
+    dedup.shingles_col, generalized to k)."""
+    toks = tokenize(text)
+    n = F.size(toks)
+    acc = F.slice(toks, 1, n - (k - 1))
+    for j in range(2, k + 1):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, j, n - (k - 1)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(n >= k, F.array_distinct(acc)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check: for every training document
+    (doc_id >= EVAL_MAX_ID), count distinct DECON_K-gram sequences it
+    shares with the held-out eval set (doc_id < EVAL_MAX_ID).
+
+    Scale shape: benchmark sets are tiny relative to a 100 TB corpus,
+    so the eval n-gram set broadcasts — the training side is one scan
+    + one per-doc count aggregation, never an all-pairs join."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].withColumn(
+        "ngs", _ngrams_col(F.col("text"), DECON_K)
+    )
+    eval_ngs = (
+        docs.filter(F.col("doc_id") < EVAL_MAX_ID)
+        .select(F.explode("ngs").alias("ng"))
+        .distinct()
+    )
+    train = docs.filter(F.col("doc_id") >= EVAL_MAX_ID)
+    hits = (
+        train.select("doc_id", F.explode("ngs").alias("ng"))
+        .join(F.broadcast(eval_ngs), "ng")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DECON_SQL = f"""
+WITH ngs AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+{DECON_K - 1}], ' ')
+                        FOR i IN range(1, len(toks) - {DECON_K - 2})]) AS ngs
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+        FROM documents)
+), ev AS (
+  SELECT DISTINCT unnest(ngs) AS ng FROM ngs WHERE doc_id < {EVAL_MAX_ID}
+), hits AS (
+  SELECT t.doc_id, count(*) AS n_hits
+  FROM (SELECT doc_id, unnest(ngs) AS ng FROM ngs WHERE doc_id >= {EVAL_MAX_ID}) t
+  JOIN ev ON t.ng = ev.ng
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) > 0 AS INT) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id >= {EVAL_MAX_ID}) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "split_train_val": split_train_val,
     "pack_sequences": pack_sequences,
     "mixture_sample": mixture_sample,
+    "decontaminate": decontaminate,
 }
 
 ORACLES = {
     "split_train_val": SPLIT_SQL,
     "pack_sequences": PACK_SQL,
     "mixture_sample": MIXTURE_SQL,
+    "decontaminate": DECON_SQL,
 }

@@ -10,7 +10,10 @@ from pyspark.sql import functions as F
 from icechunk_spark.catalog import load_tables
 from icechunk_spark.functions import tokenize
 from icechunk_spark.operators.pipeline_ext import (
+    DECON_K,
+    EVAL_MAX_ID,
     PACK_BUDGET,
+    decontaminate,
     mixture_sample,
     pack_sequences,
     split_train_val,
@@ -60,7 +63,33 @@ def test_mixture_keeps_within_source_totals(spark):
             assert r["n_kept"] == r["n_total"], r
 
 
+def test_decontaminate_covers_training_set_and_flags_eval_copies(spark):
+    rows = decontaminate(spark, SF_DIR).collect()
+    docs = load_tables(spark, SF_DIR)["documents"]
+    n_train = docs.filter(F.col("doc_id") >= EVAL_MAX_ID).count()
+    assert len(rows) == n_train  # every training doc gets a verdict
+    assert all(r["contaminated"] == int(r["n_hits"] > 0) for r in rows)
+    # a doc sharing no k-gram with eval must come back clean: a doc with
+    # < DECON_K tokens has no k-grams at all, so n_hits must be 0
+    short = {
+        r["doc_id"]
+        for r in docs.filter(
+            (F.size(tokenize(F.col("text"))) < DECON_K)
+            & (F.col("doc_id") >= EVAL_MAX_ID)
+        )
+        .select("doc_id")
+        .collect()
+    }
+    for r in rows:
+        if r["doc_id"] in short:
+            assert r["n_hits"] == 0
+    # the eval n-gram side must broadcast — the train scan is the only
+    # shuffled side at 100 TB
+    plan = plan_of(decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
 def test_pipeline_ops_stay_jvm_side(spark):
-    for fn in (split_train_val, pack_sequences, mixture_sample):
+    for fn in (split_train_val, pack_sequences, mixture_sample, decontaminate):
         plan = plan_of(fn(spark, SF_DIR))
         assert "BatchEvalPython" not in plan, f"{fn.__name__} fell back to Python rows"
