@@ -34,6 +34,33 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def money_sum(expr: Column | str, scale: int = 2) -> Column:
+    """Order-independent rounded sum of a double expression.
+
+    ``round(sum(double), s)`` is nondeterministic at the rounding
+    boundary because Spark's partial-agg summation order varies
+    run-to-run (and differs from any oracle engine).  Casting each
+    row to DECIMAL(18,6) first makes the accumulation exact, so the
+    rounded result is identical regardless of partitioning.  Oracle
+    SQL must mirror this:  ``CAST(round(sum(CAST(e AS DECIMAL(18,6))),
+    s) AS DOUBLE)``.
+    """
+    expr = F.col(expr) if isinstance(expr, str) else expr
+    return F.round(F.sum(expr.cast("decimal(18,6)")), scale).cast("double")
+
+
+def money_avg(expr: Column | str, scale: int = 4) -> Column:
+    """Order-independent rounded average: exact decimal sum / count.
+
+    Oracle SQL mirror: ``round(CAST(sum(CAST(e AS DECIMAL(18,6))) AS
+    DOUBLE) / count(*), s)``.
+    """
+    expr = F.col(expr) if isinstance(expr, str) else expr
+    return F.round(
+        F.sum(expr.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), scale
+    )
+
+
 def tokenize(text: Column | str) -> Column:
     """Whitespace tokenization, empty tokens dropped (matches the
     DuckDB oracle expression used in textstats/dedup)."""

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from icechunk_spark.catalog import load_tables
+from icechunk_spark.functions import money_sum
 
 
 def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,7 +149,7 @@ def time_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum("value").alias("total_value"),
         )
     )
     spine = (
@@ -174,7 +175,8 @@ def time_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 TIME_RESAMPLE_SQL = """
 WITH daily AS (
   SELECT event_type, date_trunc('day', ts) AS day,
-         count(*) AS n_events, round(sum(value), 2) AS total_value
+         count(*) AS n_events,
+         CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
   FROM events GROUP BY 1, 2
 ), spine AS (
   SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
@@ -239,7 +241,7 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.rollup("day", "hour", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum("value").alias("total_value"),
         )
         .select(
             F.col("day").cast("timestamp_ntz").alias("day"),
@@ -261,7 +263,7 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        CAST(extract(hour FROM ts) AS INT) AS hour,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
 FROM events
 GROUP BY ROLLUP (day, hour, event_type)
 ORDER BY day ASC NULLS FIRST, hour ASC NULLS FIRST, event_type ASC NULLS FIRST

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from icechunk_spark.catalog import load_tables
 from icechunk_spark.engine import local_df
+from icechunk_spark.functions import money_sum
 from icechunk_spark.repo import Repository
 
 EPOCH = "1995-01-01"
@@ -35,7 +36,7 @@ def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("i0", F.datediff(F.col("l_shipdate").cast("date"), F.lit(EPOCH).cast("date")).cast("long"))
         .filter((F.col("i0") >= 0) & (F.col("i0") < N_DAYS))
         .groupBy("i0")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("value"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
     )
 
 
@@ -67,12 +68,12 @@ def array_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ARRAY_ROUNDTRIP_SQL = f"""
 SELECT CAST(datediff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) AS BIGINT) AS day_idx,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE datediff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) >= 128
   AND datediff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) < 512
 GROUP BY day_idx
-HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) <> 0.0
+HAVING CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) <> 0.0
 ORDER BY day_idx
 """
 
@@ -104,12 +105,12 @@ def repo_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TIME_TRAVEL_SQL = f"""
 SELECT CAST(datediff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) AS BIGINT) AS day_idx,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE datediff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) >= 0
   AND datediff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) < 256
 GROUP BY day_idx
-HAVING round(sum(l_extendedprice * (1 - l_discount)), 2) <> 0.0
+HAVING CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) <> 0.0
 ORDER BY day_idx
 """
 

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from icechunk_spark.catalog import load_tables
-from icechunk_spark.functions import cosine
+from icechunk_spark.functions import cosine, money_avg
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -236,13 +236,14 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["embeddings"]
         .select("label", F.posexplode("embedding").alias("pos", "x"))
         .groupBy("label", "pos")
-        .agg(F.round(F.avg("x"), 5).alias("centroid_val"))
+        .agg(money_avg("x", 5).alias("centroid_val"))
         .orderBy("label", "pos")
     )
 
 
 LABEL_CENTROIDS_SQL = """
-SELECT label, CAST(pos - 1 AS INT) AS pos, round(avg(x), 5) AS centroid_val
+SELECT label, CAST(pos - 1 AS INT) AS pos,
+       round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*), 5) AS centroid_val
 FROM (SELECT label, unnest(embedding) AS x,
              generate_subscripts(embedding, 1) AS pos
       FROM embeddings)
@@ -266,7 +267,7 @@ def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
             F.round(F.min("norm"), 4).alias("min_norm"),
-            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            money_avg("norm", 4).alias("avg_norm"),
             F.round(F.max("norm"), 4).alias("max_norm"),
         )
         .orderBy("label")
@@ -276,7 +277,7 @@ def vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 VECTOR_NORM_STATS_SQL = """
 SELECT label, count(*) AS n_vectors,
        round(min(norm), 4) AS min_norm,
-       round(avg(norm), 4) AS avg_norm,
+       round(CAST(sum(CAST(norm AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_norm,
        round(max(norm), 4) AS max_norm
 FROM (SELECT label,
              sqrt(list_sum(list_transform(embedding,

@@ -32,7 +32,8 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_WINDOWED_SQL = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n_events, round(sum(value), 2) AS total_value
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2
 ORDER BY window_start, event_type
@@ -80,13 +81,20 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table(name)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select("user_id", "n_events", F.round("total_value", 2).alias("total_value"))
+        .select(
+            "user_id",
+            "n_events",
+            # exact integer micro-units -> dollars; matches the oracle's
+            # per-row DECIMAL(18,6) quantization + exact sum
+            F.round(F.col("total_micros") / 1_000_000, 2).alias("total_value"),
+        )
         .orderBy("user_id")
     )
 
 
 STREAM_RUNNING_TOTALS_SQL = """
-SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+SELECT user_id, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
 FROM events
 GROUP BY user_id
 ORDER BY user_id

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from icechunk_spark.catalog import load_tables
+from icechunk_spark.functions import money_avg, money_sum
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -33,15 +34,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            money_sum("l_quantity").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            money_avg("l_quantity").alias("avg_qty"),
+            money_avg("l_extendedprice").alias("avg_price"),
+            money_avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -50,13 +51,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -75,7 +76,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -83,7 +84,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT l_orderkey, o_orderdate,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -144,14 +145,14 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(broadcast(asia), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
 
 Q5_SQL = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -177,12 +178,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return li.agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")
+        money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
     )
 
 
 Q6_SQL = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -219,7 +220,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         df.groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -227,7 +228,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q7_SQL = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -263,7 +264,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         df.groupBy(F.col("n_name").alias("nation"), "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(money_sum("amount").alias("sum_profit"))
         .orderBy(F.asc("nation"), F.desc("o_year"))
     )
 
@@ -271,8 +272,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q9_SQL = """
 SELECT n_name AS nation,
        CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)
-                 - p_retailprice * l_quantity * 0.1), 2) AS sum_profit
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                 - p_retailprice * l_quantity * 0.1 AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -297,7 +298,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -305,7 +306,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = """
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -365,22 +366,22 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
     return df.agg(
         F.round(
             F.lit(100.0)
-            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-            / F.sum(rev),
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,6)"))).cast("double")
+            / F.sum(rev).cast("double"),
             4,
         ).alias("promo_revenue_pct")
     )
 
 
 Q14_SQL = """
-SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                              THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                              ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS promo_revenue_pct
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -394,7 +395,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = (
         t["lineitem"]
         .groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .agg(money_sum("l_quantity").alias("sum_qty"))
         .filter(F.col("sum_qty") > 150)
     )
     return (
@@ -408,7 +409,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q18_SQL = """
 SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
-FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+FROM (SELECT l_orderkey, CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty
       FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) big
 JOIN orders ON big.l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -427,12 +428,12 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 35)) & (F.col("l_quantity").between(10, 50)))
     )
     return df.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
 
 
 Q19_SQL = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)

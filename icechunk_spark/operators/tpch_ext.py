@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from icechunk_spark.catalog import load_tables
+from icechunk_spark.functions import money_sum
 
 
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -110,12 +111,17 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
         .withColumn("volume", rev)
     )
+    vol_dec = F.col("volume").cast("decimal(18,6)")
     return (
         df.groupBy("o_year")
         .agg(
             F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(0.0))
-                / F.sum("volume"),
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", vol_dec).otherwise(
+                        F.lit(0).cast("decimal(18,6)")
+                    )
+                ).cast("double")
+                / F.sum(vol_dec).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -125,9 +131,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q8_SQL = """
 SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
-       round(sum(CASE WHEN n2.n_name = 'NATION_5'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+       round(CAST(sum(CASE WHEN n2.n_name = 'NATION_5'
+                      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -157,7 +164,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey")
     )
-    value = F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value")
+    value = F.sum(
+        (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,6)")
+    ).alias("value")
     by_part = (
         t["lineitem"]
         .join(broadcast(n3_supp), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -167,24 +176,24 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = by_part.agg(F.sum("value").alias("total"))
     return (
         by_part.crossJoin(broadcast(total))
-        .filter(F.col("value") > F.col("total") * 0.001)
-        .select("l_partkey", F.round("value", 2).alias("part_value"))
+        .filter(F.col("value") > F.col("total") / 1000)
+        .select("l_partkey", F.round("value", 2).cast("double").alias("part_value"))
         .orderBy(F.desc("part_value"), F.asc("l_partkey"))
     )
 
 
 Q11_SQL = """
 WITH by_part AS (
-  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
+  SELECT l_partkey, sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS value
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
   WHERE n_name = 'NATION_3'
   GROUP BY l_partkey
 )
-SELECT l_partkey, round(value, 2) AS part_value
+SELECT l_partkey, CAST(round(value, 2) AS DOUBLE) AS part_value
 FROM by_part
-WHERE value > (SELECT sum(value) * 0.001 FROM by_part)
+WHERE value > (SELECT sum(value) / 1000 FROM by_part)
 ORDER BY part_value DESC, l_partkey ASC
 """
 
@@ -229,7 +238,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = (
         li.groupBy("l_suppkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
     )
     top = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (
@@ -244,7 +253,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q15_SQL = """
 WITH revenue AS (
   SELECT l_suppkey,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -306,12 +315,16 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(avg_qty.withColumnRenamed("l_partkey", "t_partkey"),
               F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7.0, 2
+            ).alias("avg_yearly")
+        )
     )
 
 
 Q17_SQL = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE p_brand = 'Brand#2' AND p_type = 'MEDIUM'
@@ -436,7 +449,12 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_bal = (
         t["customer"]
         .filter(F.col("c_acctbal") > 0.0)
-        .agg(F.avg("c_acctbal").alias("avg_bal"))
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
     )
     return (
         t["customer"]
@@ -451,7 +469,7 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            money_sum("c_acctbal").alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )
@@ -460,9 +478,10 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q22_SQL = """
 SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode,
        CAST(count(*) AS BIGINT) AS numcust,
-       round(sum(c_acctbal), 2) AS totacctbal
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
 FROM customer
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+                   FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
 GROUP BY cntrycode

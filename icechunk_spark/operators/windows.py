@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from icechunk_spark.catalog import load_tables
+from icechunk_spark.functions import money_sum
 
 
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,8 +60,18 @@ def running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     w3 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
     return (
         t["orders"]
-        .withColumn("running_spend", F.round(F.sum("o_totalprice").over(w), 2))
-        .withColumn("moving_avg_3", F.round(F.avg("o_totalprice").over(w3), 4))
+        .withColumn(
+            "running_spend",
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w), 2).cast("double"),
+        )
+        .withColumn(
+            "moving_avg_3",
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w3).cast("double")
+                / F.count(F.lit(1)).over(w3),
+                4,
+            ),
+        )
         .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "running_spend", "moving_avg_3")
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     )
@@ -68,9 +79,11 @@ def running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RUNNING_SQL = """
 SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
-       round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
-       round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3
 FROM orders
 ORDER BY o_custkey, o_orderdate, o_orderkey
@@ -151,13 +164,14 @@ def rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         df.rollup("r_name", "n_name")
-        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .agg(F.count(F.lit(1)).alias("n_customers"), money_sum("c_acctbal").alias("total_bal"))
         .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
     )
 
 
 ROLLUP_SQL = """
-SELECT r_name, n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+SELECT r_name, n_name, count(*) AS n_customers,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -296,7 +310,7 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum("value").alias("total_value"),
         )
         .orderBy("user_id", "sess_seq")
     )
@@ -316,7 +330,8 @@ WITH marked AS (
   FROM marked
 )
 SELECT user_id, sess_seq, min(ts) AS session_start, max(ts) AS session_end,
-       count(*) AS n_events, round(sum(value), 2) AS total_value
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
 FROM numbered
 GROUP BY user_id, sess_seq
 ORDER BY user_id, sess_seq

@@ -29,6 +29,7 @@ from pyspark.sql.types import (
 )
 
 from icechunk_spark.engine import local_df
+from icechunk_spark.functions import money_sum
 
 EVENTS_SCHEMA = StructType(
     [
@@ -76,7 +77,7 @@ def windowed_agg_stream(events: DataFrame) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            money_sum("value").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -93,7 +94,7 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     return (
         events.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), money_sum("value").alias("total_value"))
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
@@ -154,17 +155,24 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = "user_id bigint, n_events bigint, total_value double"
-    state_schema = "n bigint, total double"
+    # total accumulated (and emitted) in integer micro-units so the
+    # running sum is exact and order-independent (matches a
+    # DECIMAL(18,6) oracle sum); consumers divide/round exactly
+    out_schema = "user_id bigint, n_events bigint, total_micros bigint"
+    state_schema = "n bigint, total_micros bigint"
 
     def update(key, pdfs, state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total_micros = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((int(n), float(total)))
+            total_micros += int((pdf["value"] * 1_000_000).round().sum())
+        state.update((int(n), int(total_micros)))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_micros": [total_micros],
+            }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
