@@ -49,7 +49,12 @@ def encode_array_chunks(
     for d, c in enumerate(cols):
         if c not in df.columns:
             raise ValueError(f"missing coordinate column {c}")
-        df = df.withColumn(f"__ck{d}", (F.col(c).cast("long") / meta.chunk_shape[d]).cast("int"))
+        # integer floor-div (``div``), not double divide + truncate:
+        # exact above 2^53 and correct for negative coordinates
+        df = df.withColumn(
+            f"__ck{d}",
+            F.expr(f"CAST({c} AS BIGINT) div {meta.chunk_shape[d]}").cast("int"),
+        )
     chunk_shape = list(meta.chunk_shape)
     dtype = meta.dtype
     fill = meta.fill_value

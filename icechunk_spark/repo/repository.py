@@ -508,11 +508,18 @@ class Repository:
                     else:
                         keep_up_to = i
                         break
-                # re-parent the oldest kept snapshot onto the root
+                # re-parent the oldest kept snapshot onto the root.
+                # chain[keep_up_to] IS the oldest kept (the walk broke
+                # there); re-parenting anything newer would unlink a
+                # non-expired snapshot from history and hand it to GC.
                 if expired & {s.id for s in chain}:
-                    oldest_kept = chain[keep_up_to - 1] if keep_up_to > 0 else chain[0]
+                    oldest_kept = chain[keep_up_to]
                     root_snap = chain[-1]
-                    if oldest_kept.parent_id != root_snap.id and oldest_kept.id not in expired:
+                    if (
+                        oldest_kept is not root_snap
+                        and oldest_kept.parent_id != root_snap.id
+                        and oldest_kept.id not in expired
+                    ):
                         oldest_kept.parent_id = root_snap.id
                         fmt.write_snapshot(self.root, oldest_kept)
         if delete_expired_branches:
@@ -528,12 +535,33 @@ class Repository:
     def _reachable_snapshots(self) -> set[str]:
         return set(self.ancestry_graph().keys())
 
-    def garbage_collect(self, *, dry_run: bool = False) -> GCSummary:
+    def garbage_collect(
+        self,
+        *,
+        dry_run: bool = False,
+        older_than_seconds: float = 24 * 3600.0,
+        now: float | None = None,
+    ) -> GCSummary:
         """Delete chunk files, manifests, txlogs and snapshots no longer
         reachable from any ref.  Chunk-file liveness is a Spark
         anti-join of the file listing against live manifest refs —
         never a driver-side chunk list (src/ops/gc.rs).  ``dry_run``
-        counts what would be deleted without touching anything."""
+        counts what would be deleted without touching anything.
+
+        Only objects *written before* ``now - older_than_seconds`` are
+        touched (default 24h, matching the reference's age cutoff):
+        an in-flight write session puts chunk parquet into ``chunks/``
+        while its manifest is still staged, so an un-aged GC would
+        delete data a concurrent commit is about to reference."""
+        now = time.time() if now is None else now
+        cutoff = now - older_than_seconds
+
+        def _old(path: str) -> bool:
+            try:
+                return os.path.getmtime(path) < cutoff
+            except OSError:
+                return False  # vanished concurrently: not ours to count
+
         live_snaps = self._reachable_snapshots()
         summary = GCSummary()
         live_manifests: set[str] = set()
@@ -541,7 +569,7 @@ class Repository:
             live_manifests.update(fmt.read_snapshot(self.root, sid).manifests)
         # drop unreachable snapshots + their txlogs
         for sid in fmt.list_snapshot_ids(self.root):
-            if sid not in live_snaps:
+            if sid not in live_snaps and _old(fmt.snapshot_path(self.root, sid)):
                 if not dry_run:
                     os.remove(fmt.snapshot_path(self.root, sid))
                 summary.snapshots_deleted += 1
@@ -555,9 +583,10 @@ class Repository:
         if os.path.isdir(mdir):
             for f in os.listdir(mdir):
                 rel = os.path.join("manifests", f)
-                if rel not in live_manifests:
+                full = os.path.join(mdir, f)
+                if rel not in live_manifests and _old(full):
                     if not dry_run:
-                        shutil.rmtree(os.path.join(mdir, f))
+                        shutil.rmtree(full)
                     summary.manifests_deleted += 1
         # chunk files referenced by no live manifest: Spark anti-join
         cdir = os.path.join(self.root, "chunks")
@@ -576,13 +605,20 @@ class Repository:
             else:
                 doomed = all_files
             for r in doomed.collect():
+                full = os.path.join(self.root, r["file"])
+                if not _old(full):
+                    continue
                 if not dry_run:
-                    shutil.rmtree(os.path.join(self.root, r["file"]), ignore_errors=True)
+                    shutil.rmtree(full, ignore_errors=True)
                 summary.chunk_files_deleted += 1
-        # orphaned staging dirs
+        # orphaned staging dirs (per-session: delete only aged ones —
+        # a fresh staging dir belongs to a live write session)
         sdir = os.path.join(self.root, "staging")
         if os.path.isdir(sdir) and not dry_run:
-            shutil.rmtree(sdir, ignore_errors=True)
+            for d in os.listdir(sdir):
+                full = os.path.join(sdir, d)
+                if _old(full):
+                    shutil.rmtree(full, ignore_errors=True)
         return summary
 
     def rewrite_manifests(self, branch: str = MAIN, message: str = "rewrite manifests") -> str:

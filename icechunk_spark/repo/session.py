@@ -259,7 +259,9 @@ class Session:
             np_ = dst + p[len(src) :]
             del self._nodes[p]
             self._nodes[np_] = node
-            self._node_ops.append({"op": "move", "path": np_, "node_id": node["node_id"]})
+            self._node_ops.append(
+                {"op": "move", "path": np_, "from": p, "node_id": node["node_id"]}
+            )
 
     def get_node_id(self, path: str) -> str:
         return self._node(path)["node_id"]
@@ -699,7 +701,12 @@ class Session:
             try:
                 fmt.update_branch(self.root, self._branch, snap_id, expected_gen=gen)
             except RefError:
-                continue  # lost the CAS race: re-detect conflicts against new tip
+                # lost the CAS race: re-detect conflicts against new tip.
+                # Unpersist first or the cached staged DF leaks executor
+                # memory on every retry.
+                if staged is not None:
+                    staged.unpersist()
+                continue
             if staged is not None:
                 staged.unpersist()
             stage = self._staging_dir()
@@ -874,6 +881,10 @@ class Session:
             if op["op"] == "delete":
                 merged.pop(path, None)
             else:
+                if op["op"] == "move":
+                    # drop the source path inherited from tip.nodes, or
+                    # the node would exist at both old and new paths
+                    merged.pop(op.get("from"), None)
                 if path in self._nodes:
                     merged[path] = self._nodes[path]
         self._nodes = merged

@@ -1,0 +1,101 @@
+"""Regression tests for history/GC correctness bugs.
+
+Scenarios mirrored from the reference's expiration + conflict
+coverage (icechunk design-docs/007-basic-expiration.md;
+icechunk-python tests/test_expiration.py, test_conflicts.py):
+expiring a middle-of-history segment must not unlink young kept
+snapshots, rebasing a move must not resurrect the source path, and
+GC must never reclaim objects younger than the age cutoff (in-flight
+write sessions reference them before any manifest exists).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from icechunk_spark.repo import Repository
+
+
+@pytest.fixture()
+def repo(spark, tmp_path):
+    return Repository.create(spark, str(tmp_path / "repo"))
+
+
+def _commit_chunk(repo, path, key, payload, msg):
+    with repo.transaction(message=msg) as s:
+        s.set_chunk_bytes(path, key, payload)
+
+
+def test_expire_middle_of_history_keeps_young_snapshot(spark, repo):
+    """chain tip -> s2 -> s1 -> root with only s1 behind the cutoff:
+    s2 must stay linked (re-parented onto root), not silently handed
+    to GC."""
+    with repo.transaction(message="s1") as s:
+        s.create_array("/a", shape=[4], chunk_shape=[4])
+        s.set_chunk_bytes("/a", "0", b"v1" * 8)
+    s1 = repo.lookup_branch("main")
+    _commit_chunk(repo, "/a", "0", b"v2" * 8, "s2")
+    s2 = repo.lookup_branch("main")
+    _commit_chunk(repo, "/a", "0", b"v3" * 8, "tip")
+    tip = repo.lookup_branch("main")
+
+    t1 = repo.lookup_snapshot(s1).written_at
+    t2 = repo.lookup_snapshot(s2).written_at
+    assert t1 < t2
+    cutoff = (t1 + t2) / 2.0
+
+    expired = repo.expire_snapshots(older_than_seconds=0.0, now=cutoff)
+    assert s1 in expired
+    assert s2 not in expired and tip not in expired
+
+    chain = [s.id for s in repo.ancestry(branch="main")]
+    assert chain[0] == tip
+    assert s2 in chain, "young kept snapshot was unlinked from history"
+    assert s1 not in chain
+    # s2 was re-parented onto the root, which ends the chain
+    assert repo.lookup_snapshot(s2).parent_id == chain[-1]
+
+    # and GC (ignoring age for the test) must not delete s2
+    repo.garbage_collect(older_than_seconds=-1)
+    assert repo.lookup_snapshot(s2).message == "s2"
+    # time travel to s2 still reads its data
+    got = repo.readonly_session(snapshot_id=s2).get_chunk_bytes("/a", "0")
+    assert got == b"v2" * 8
+
+
+def test_rebase_replays_move_without_resurrecting_source(spark, repo):
+    """A move() rebased onto a moved-forward tip must drop the source
+    path inherited from the tip's node table."""
+    with repo.transaction(message="init") as s:
+        s.create_array("/a", shape=[4], chunk_shape=[4])
+        s.create_array("/c", shape=[4], chunk_shape=[4])
+
+    mover = repo.writable_session("main")
+    mover.move("/a", "/b")
+    # concurrent unrelated commit bumps the tip, forcing mover to rebase
+    _commit_chunk(repo, "/c", "0", b"x" * 32, "concurrent")
+    mover.commit("move a->b")
+
+    nodes = repo.readonly_session().list_nodes()
+    assert "/b" in nodes
+    assert "/a" not in nodes, "rebased move left the node at its old path"
+
+
+def test_gc_age_cutoff_spares_in_flight_writes(spark, repo):
+    """Chunks written by an uncommitted session live in chunks/ with
+    no manifest yet; default-cutoff GC must leave them (and the
+    staging dir) alone so the later commit stays readable."""
+    with repo.transaction(message="base") as s:
+        s.create_array("/a", shape=[8], chunk_shape=[4])
+
+    sess = repo.writable_session("main")
+    df = spark.range(8).selectExpr("id AS i0", "CAST(id AS DOUBLE) AS value")
+    sess.write_array_df("/a", df)
+
+    summary = repo.garbage_collect()  # default 24h cutoff
+    assert summary.chunk_files_deleted == 0
+    assert summary.manifests_deleted == 0
+
+    sess.commit("late commit")
+    rows = repo.readonly_session().read_array_df("/a").collect()
+    assert sorted(r["value"] for r in rows) == [float(i) for i in range(8)]

@@ -209,7 +209,7 @@ def test_gc_and_compaction_and_stats(spark, repo):
     # cut history, then GC must reclaim unreachable snapshots+chunks
     repo.reset_branch("main", snap_id)
     expired = repo.expire_snapshots(older_than_seconds=-1)  # everything unpinned
-    summary = repo.garbage_collect()
+    summary = repo.garbage_collect(older_than_seconds=-1)
     assert summary.snapshots_deleted >= 1 or expired
     # live data still reads fine after GC
     rows = repo.readonly_session().read_array_df("/a").collect()

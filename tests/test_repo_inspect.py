@@ -127,10 +127,10 @@ def test_gc_dry_run(spark, tmp_path):
         s.write_array_df("/a", grid_df(spark, 2, 4).select("i0", "value"))
     # orphan v1's history by resetting main onto v2's snapshot only
     expired = repo.expire_snapshots(older_than_seconds=-1)  # everything but pinned
-    dry = repo.garbage_collect(dry_run=True)
+    dry = repo.garbage_collect(dry_run=True, older_than_seconds=-1)
     assert dry.snapshots_deleted >= 1
     # nothing actually deleted
-    wet = repo.garbage_collect()
+    wet = repo.garbage_collect(older_than_seconds=-1)
     assert wet.snapshots_deleted == dry.snapshots_deleted
     assert wet.chunk_files_deleted == dry.chunk_files_deleted
 
