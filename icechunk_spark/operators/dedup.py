@@ -437,62 +437,110 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- embedding near-dup (rows-only) --------------------------------------
+# --- embedding near-dup --------------------------------------------------
+
+# Banded sign-LSH over n_bands * band_bits = 32 sign bits (vs the 4-bit
+# single bucket this replaces, whose within-bucket self-join was
+# O(n^2/16)).  A pair is a candidate iff it agrees on EVERY bit of at
+# least one band — per band the join key space is 2^band_bits, so the
+# shuffle is n_bands joins of O(n^2 / 2^band_bits) expected pairs.  At
+# real near-dup thresholds (cos >= 0.95, per-bit agreement ~0.9) four
+# 8-bit bands give ~90% recall; at 10^9 vectors raise band_bits to 16
+# (65k buckets/band) — both are parameters below, and the oracle SQL is
+# generated from the same parameters so they stay in lockstep.
+NEARDUP_BANDS = 4
+NEARDUP_BAND_BITS = 8
+NEARDUP_THRESHOLD = 0.40  # demo threshold: the test embeddings are random
+
+
+def _sign_band(col: Column, band: int, bits: int) -> Column:
+    return F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(col, band * bits + i + 1) >= 0, "1").otherwise("0")
+            for i in range(bits)
+        ],
+    )
+
+
+def neardup_candidates(
+    emb: DataFrame, n_bands: int = NEARDUP_BANDS, band_bits: int = NEARDUP_BAND_BITS
+) -> DataFrame:
+    """Candidate pairs (vec_a, vec_b, ea, eb) sharing >= 1 sign band.
+    Exposed separately so tests can assert the candidate cardinality
+    stays far below n^2/2."""
+    bands = emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(
+            F.array(*[_sign_band(F.col("embedding"), b, band_bits) for b in range(n_bands)])
+        ).alias("band_idx", "band_key"),
+    )
+    a = bands.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "band_idx", "band_key"
+    )
+    b = bands.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "ea", "eb")
+        .dropDuplicates(["vec_a", "vec_b"])  # a pair may match several bands
+    )
+
 
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate vectors: sign-LSH bucket on the first dims, then
-    cosine-threshold verify within buckets.  The test embeddings are
-    random (max pairwise cos ≈ 0.51) so the demo threshold is 0.4; real
-    corpora would use 0.95+ with more sign bits and multi-probe."""
+    """Near-duplicate vectors: banded sign-LSH candidates, then
+    cosine-threshold verify on candidates only."""
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"].withColumn(
-        "bucket",
-        F.concat_ws(
-            "",
-            *[
-                F.when(F.element_at("embedding", i + 1) >= 0, "1").otherwise("0")
-                for i in range(4)
-            ],
-        ),
-    )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket")
-    cos = cosine(F.col("ea"), F.col("eb"))
+    cands = neardup_candidates(t["embeddings"])
     return (
-        a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", F.round(cos, 4))
-        .filter(F.col("cos_sim") >= 0.40)
+        cands.withColumn("cos_sim", F.round(cosine(F.col("ea"), F.col("eb")), 4))
+        .filter(F.col("cos_sim") >= NEARDUP_THRESHOLD)
         .select("vec_a", "vec_b", "cos_sim")
         .orderBy("vec_a", "vec_b")
     )
 
 
-EMBEDDING_NEARDUP_SQL = """
-WITH b AS (
-  SELECT vec_id, embedding,
-         concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
-                CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
-                CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
-                CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
-  FROM embeddings
+def _neardup_sql(n_bands: int, band_bits: int, threshold: float) -> str:
+    """DuckDB mirror generated from the SAME banding parameters."""
+
+    def band_expr(b: int) -> str:
+        cases = ", ".join(
+            f"CASE WHEN embedding[{b * band_bits + i + 1}] >= 0 THEN '1' ELSE '0' END"
+            for i in range(band_bits)
+        )
+        return f"concat({cases})"
+
+    bands = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx, {band_expr(b)} AS band_key FROM embeddings"
+        for b in range(n_bands)
+    )
+    cos = (
+        "list_sum(list_transform(list_zip(a.embedding, c.embedding),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+WITH bands AS (
+  {bands}
+), cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.vec_id < y.vec_id
 )
-SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-       round(
-         list_sum(list_transform(list_zip(a.embedding, c.embedding),
-                                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-            * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-         4) AS cos_sim
-FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-WHERE round(
-        list_sum(list_transform(list_zip(a.embedding, c.embedding),
-                                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-        / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-           * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-        4) >= 0.40
+SELECT vec_a, vec_b, round({cos}, 4) AS cos_sim
+FROM cand
+JOIN embeddings a ON a.vec_id = vec_a
+JOIN embeddings c ON c.vec_id = vec_b
+WHERE round({cos}, 4) >= {threshold}
 ORDER BY vec_a, vec_b
 """
+
+
+EMBEDDING_NEARDUP_SQL = _neardup_sql(NEARDUP_BANDS, NEARDUP_BAND_BITS, NEARDUP_THRESHOLD)
 
 
 QUERIES = {

@@ -90,10 +90,26 @@ ORDER BY query_id, rnk
 """
 
 
+PAIRWISE_LABEL_CAP = 4096  # per-label cohort bound (see docstring)
+
+
 def pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 most similar vector pairs within each label class."""
+    """Top-3 most similar vector pairs within each label class.
+
+    Exact all-pairs is inherently O(cohort^2), so this is a bounded
+    small-cohort operator: each label's cohort is capped at the first
+    PAIRWISE_LABEL_CAP vec_ids (deterministic, mirrored in the oracle),
+    bounding the join at labels * CAP^2/2 pairs regardless of table
+    size.  For unbounded cohorts use embedding_neardup's banded
+    sign-LSH candidates and re-rank."""
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
+    wcap = Window.partitionBy("label").orderBy("vec_id")
+    emb = (
+        t["embeddings"]
+        .withColumn("__r", F.row_number().over(wcap))
+        .filter(F.col("__r") <= PAIRWISE_LABEL_CAP)
+        .drop("__r")
+    )
     a = emb.select("label", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(
         F.col("label").alias("label_b"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
@@ -110,10 +126,15 @@ def pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PAIRWISE_TOPK_SQL = f"""
-WITH pairs AS (
+WITH capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY label ORDER BY vec_id) AS __r
+    FROM embeddings
+  ) WHERE __r <= {PAIRWISE_LABEL_CAP}
+), pairs AS (
   SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
          round({_D_DOT} / ({_D_NORM_A} * {_D_NORM_B}), 4) AS cos_sim
-  FROM embeddings a JOIN embeddings b
+  FROM capped a JOIN capped b
     ON a.label = b.label AND a.vec_id < b.vec_id
 ), ranked AS (
   SELECT label, vec_a, vec_b, cos_sim,
@@ -182,28 +203,66 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_CELLS = 16
 N_PROBE = 4
+N_LLOYD = 2
+
+
+def _cell_scores(col: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Cells sorted by descending cosine to ``col`` (literal centroid
+    arrays — evaluated JVM-side, no shuffle)."""
+    scored = [
+        F.struct(
+            F.round(_fold_cosine(col, F.array(*[F.lit(x) for x in c])), 6).alias("cos"),
+            F.lit(cid).alias("cell"),
+        )
+        for cid, c in cents
+    ]
+    return F.reverse(F.array_sort(F.array(*scored)))
+
+
+def train_ivf_centroids(
+    emb: DataFrame, n_cells: int = N_CELLS, n_iter: int = N_LLOYD
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means centroids trained with ``n_iter`` Lloyd
+    rounds, all aggregation distributed (posexplode + groupBy mean —
+    the label_centroids shape); only the k x dim centroid matrix ever
+    reaches the driver.  Seeds are a deterministic md5-spread sample,
+    so training is reproducible with no RNG state."""
+    seeds = (
+        emb.withColumn("__r", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__r", "vec_id")
+        .limit(n_cells)
+        .select("embedding")
+        .collect()
+    )
+    cents = [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(seeds)]
+    for _ in range(n_iter):
+        assigned = emb.withColumn(
+            "cell", F.element_at(_cell_scores(F.col("embedding"), cents), 1)["cell"]
+        )
+        rows = (
+            assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("ms"))
+            .collect()
+        )
+        means = {int(r["cell"]): [float(p["m"]) for p in r["ms"]] for r in rows}
+        # empty cells keep their previous centroid
+        cents = [(cid, means.get(cid, c)) for cid, c in cents]
+    return cents
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: assign vectors to nearest of N_CELLS coarse
-    centroids (deterministic sample: vec_id 0..15 at sf0.001 scale),
-    probe the query's N_PROBE closest cells only."""
+    """IVF ANN: assign vectors to the nearest of N_CELLS k-means
+    centroids (trained with distributed Lloyd iterations), probe the
+    query's N_PROBE closest cells only."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
-    cents = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") < N_CELLS).collect()
-    ]
+    cents = train_ivf_centroids(emb)
 
     def cell_scores(col: Column) -> Column:
-        scored = [
-            F.struct(
-                F.round(_fold_cosine(col, F.array(*[F.lit(x) for x in c])), 6).alias("cos"),
-                F.lit(cid).alias("cell"),
-            )
-            for cid, c in cents
-        ]
-        return F.reverse(F.array_sort(F.array(*scored)))
+        return _cell_scores(col, cents)
 
     emb_c = emb.withColumn("cell", F.element_at(cell_scores(F.col("embedding")), 1)["cell"])
     q = (
