@@ -29,6 +29,13 @@ from icechunk_spark.repo.session import (
     Session,
     VersionSelector,
 )
+from icechunk_spark.repo.storage import (
+    InMemoryObjectStorage,
+    LocalFilesystemStorage,
+    Storage,
+    StorageConflict,
+    resolve_storage,
+)
 
 __all__ = [
     "ArrayMeta",
@@ -39,5 +46,10 @@ __all__ = [
     "Repository",
     "Session",
     "SnapshotInfo",
+    "Storage",
+    "StorageConflict",
+    "LocalFilesystemStorage",
+    "InMemoryObjectStorage",
+    "resolve_storage",
     "VersionSelector",
 ]

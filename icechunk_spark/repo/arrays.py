@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icechunk_spark.repo.format import ArrayMeta
+from icechunk_spark.repo.format import ArrayMeta, data_path
 
 CHUNK_FILE_SCHEMA_SUFFIX = (
     "chunk_key string, c0 int, c1 int, c2 int, c3 int, chunk_id string, "
@@ -143,7 +143,7 @@ def decode_chunks_to_rows(
         "chunk_key", "chunk_id", "is_virtual", "vpath", "voffset", "vlength", "inline"
     )
     if files:
-        payloads = spark.read.parquet(*[os.path.join(root, f) for f in files]).select(
+        payloads = spark.read.parquet(*[data_path(root, f) for f in files]).select(
             "chunk_id", "payload"
         )
         joined = refs.join(payloads, "chunk_id", "left")

@@ -104,158 +104,182 @@ class SnapshotInfo:
         return time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime(self.written_at))
 
 
-# --- json doc IO ---------------------------------------------------------
+# --- storage routing ------------------------------------------------------
+# Every metadata read/write below goes through the pluggable Storage
+# backend (storage.py — local filesystem, in-memory object store, or
+# any user-provided Storage).  ``root`` stays a string (or a Storage)
+# at every call site; parquet bulk IO resolves through data_path().
 
-def _write_json_atomic(path: str, doc: dict, exclusive: bool = False) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    if exclusive:
-        # create-if-absent: the CAS primitive (object stores: If-None-Match)
-        with open(path, "x") as f:
-            json.dump(doc, f)
-        return
-    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(doc, f)
-    os.replace(tmp, path)
+from icechunk_spark.repo.storage import (  # noqa: E402
+    Storage,
+    StorageConflict,
+    resolve_storage,
+)
 
 
-def _read_json(path: str) -> dict:
-    with open(path) as f:
-        return json.load(f)
+def data_path(root: "str | Storage", rel: str = "") -> str:
+    """Path/URI for Spark parquet IO under this repo's data plane."""
+    s = resolve_storage(root)
+    return s.data_path(rel) if rel else s.data_root
 
 
 # --- snapshots -----------------------------------------------------------
 
-def snapshot_path(root: str, snapshot_id: str) -> str:
-    return os.path.join(root, "snapshots", f"{snapshot_id}.json")
+def _snapshot_key(snapshot_id: str) -> str:
+    return f"snapshots/{snapshot_id}.json"
 
 
-def write_snapshot(root: str, snap: SnapshotInfo) -> None:
-    _write_json_atomic(snapshot_path(root, snap.id), asdict(snap))
+def write_snapshot(root: "str | Storage", snap: SnapshotInfo) -> None:
+    resolve_storage(root).put_json(_snapshot_key(snap.id), asdict(snap))
 
 
-def read_snapshot(root: str, snapshot_id: str) -> SnapshotInfo:
-    p = snapshot_path(root, snapshot_id)
-    if not os.path.exists(p):
+def read_snapshot(root: "str | Storage", snapshot_id: str) -> SnapshotInfo:
+    s = resolve_storage(root)
+    if not s.exists(_snapshot_key(snapshot_id)):
         raise RefError(f"snapshot {snapshot_id} not found")
-    return SnapshotInfo(**_read_json(p))
+    return SnapshotInfo(**s.get_json(_snapshot_key(snapshot_id)))
 
 
-def list_snapshot_ids(root: str) -> list[str]:
-    d = os.path.join(root, "snapshots")
-    if not os.path.isdir(d):
-        return []
-    return [f[: -len(".json")] for f in os.listdir(d) if f.endswith(".json")]
+def delete_snapshot(root: "str | Storage", snapshot_id: str) -> None:
+    resolve_storage(root).delete(_snapshot_key(snapshot_id))
+
+
+def snapshot_mtime(root: "str | Storage", snapshot_id: str) -> float:
+    return resolve_storage(root).mtime(_snapshot_key(snapshot_id))
+
+
+def list_snapshot_ids(root: "str | Storage") -> list[str]:
+    s = resolve_storage(root)
+    return [f[: -len(".json")] for f in s.list_dir("snapshots") if f.endswith(".json")]
 
 
 # --- refs ----------------------------------------------------------------
 # Branches: directory of generation files; the highest generation is
 # current.  Commit appends gen N+1 with create-exclusive semantics: two
-# racing commits collide on the same filename and exactly one wins
-# (icechunk/src/refs.rs uses the identical scheme on object storage).
+# racing commits collide on the same key and exactly one wins
+# (icechunk/src/refs.rs uses the identical scheme on object storage,
+# via If-None-Match conditional writes).
 
-def _branch_dir(root: str, name: str) -> str:
-    return os.path.join(root, "refs", f"branch.{name}")
-
-
-def _tag_path(root: str, name: str) -> str:
-    return os.path.join(root, "refs", f"tag.{name}", "ref.json")
+def _branch_prefix(name: str) -> str:
+    return f"refs/branch.{name}"
 
 
-def branch_tip(root: str, name: str) -> tuple[int, str]:
+def _tag_key(name: str) -> str:
+    return f"refs/tag.{name}/ref.json"
+
+
+def branch_tip(root: "str | Storage", name: str) -> tuple[int, str]:
     """Return (generation, snapshot_id) of the branch tip."""
-    d = _branch_dir(root, name)
-    if not os.path.isdir(d):
+    s = resolve_storage(root)
+    files = [f for f in s.list_dir(_branch_prefix(name)) if f.endswith(".json")]
+    if not files:
         raise RefError(f"branch {name} does not exist")
-    gens = sorted(int(f.split(".")[0]) for f in os.listdir(d) if f.endswith(".json"))
-    if not gens:
-        raise RefError(f"branch {name} has no generations")
+    gens = sorted(int(f.split(".")[0]) for f in files)
     gen = gens[-1]
-    return gen, _read_json(os.path.join(d, f"{gen:010d}.json"))["snapshot_id"]
+    doc = s.get_json(f"{_branch_prefix(name)}/{gen:010d}.json")
+    return gen, doc["snapshot_id"]
 
 
-def update_branch(root: str, name: str, snapshot_id: str, expected_gen: int) -> int:
+def update_branch(root: "str | Storage", name: str, snapshot_id: str, expected_gen: int) -> int:
     """CAS-advance the branch: write generation expected_gen+1
     exclusively.  Raises RefError if another commit got there first."""
-    d = _branch_dir(root, name)
+    s = resolve_storage(root)
     gen = expected_gen + 1
     try:
-        _write_json_atomic(
-            os.path.join(d, f"{gen:010d}.json"), {"snapshot_id": snapshot_id}, exclusive=True
+        s.put_json(
+            f"{_branch_prefix(name)}/{gen:010d}.json",
+            {"snapshot_id": snapshot_id},
+            if_none_match=True,
         )
-    except FileExistsError as e:
+    except StorageConflict as e:
         raise RefError(f"branch {name} moved (lost CAS race at gen {gen})") from e
     return gen
 
 
-def create_branch(root: str, name: str, snapshot_id: str) -> None:
-    d = _branch_dir(root, name)
-    if os.path.isdir(d) and any(f.endswith(".json") for f in os.listdir(d)):
+def create_branch(root: "str | Storage", name: str, snapshot_id: str) -> None:
+    s = resolve_storage(root)
+    if any(f.endswith(".json") for f in s.list_dir(_branch_prefix(name))):
         raise RefError(f"branch {name} already exists")
-    _write_json_atomic(os.path.join(d, f"{0:010d}.json"), {"snapshot_id": snapshot_id}, exclusive=True)
-
-
-def delete_branch(root: str, name: str) -> None:
-    import shutil
-
-    d = _branch_dir(root, name)
-    if not os.path.isdir(d):
-        raise RefError(f"branch {name} does not exist")
-    shutil.rmtree(d)
-
-
-def list_branches(root: str) -> set[str]:
-    d = os.path.join(root, "refs")
-    if not os.path.isdir(d):
-        return set()
-    return {f[len("branch.") :] for f in os.listdir(d) if f.startswith("branch.")}
-
-
-def create_tag(root: str, name: str, snapshot_id: str) -> None:
     try:
-        _write_json_atomic(_tag_path(root, name), {"snapshot_id": snapshot_id}, exclusive=True)
-    except FileExistsError as e:
+        s.put_json(
+            f"{_branch_prefix(name)}/{0:010d}.json",
+            {"snapshot_id": snapshot_id},
+            if_none_match=True,
+        )
+    except StorageConflict as e:
+        raise RefError(f"branch {name} already exists") from e
+
+
+def delete_branch(root: "str | Storage", name: str) -> None:
+    s = resolve_storage(root)
+    if not s.list_dir(_branch_prefix(name)):
+        raise RefError(f"branch {name} does not exist")
+    s.delete_prefix(_branch_prefix(name))
+
+
+def list_branches(root: "str | Storage") -> set[str]:
+    s = resolve_storage(root)
+    return {f[len("branch.") :] for f in s.list_dir("refs") if f.startswith("branch.")}
+
+
+def create_tag(root: "str | Storage", name: str, snapshot_id: str) -> None:
+    try:
+        resolve_storage(root).put_json(
+            _tag_key(name), {"snapshot_id": snapshot_id}, if_none_match=True
+        )
+    except StorageConflict as e:
         raise RefError(f"tag {name} already exists (tags are immutable)") from e
 
 
-def read_tag(root: str, name: str) -> str:
-    p = _tag_path(root, name)
-    if not os.path.exists(p):
+def read_tag(root: "str | Storage", name: str) -> str:
+    s = resolve_storage(root)
+    if not s.exists(_tag_key(name)):
         raise RefError(f"tag {name} does not exist")
-    return _read_json(p)["snapshot_id"]
+    return s.get_json(_tag_key(name))["snapshot_id"]
 
 
-def delete_tag(root: str, name: str) -> None:
-    import shutil
-
-    d = os.path.dirname(_tag_path(root, name))
-    if not os.path.isdir(d):
+def delete_tag(root: "str | Storage", name: str) -> None:
+    s = resolve_storage(root)
+    if not s.exists(_tag_key(name)):
         raise RefError(f"tag {name} does not exist")
     # a deleted tag name can never be recreated (design-docs/006-tag-delete.md)
-    shutil.rmtree(d)
-    _write_json_atomic(os.path.join(os.path.dirname(d), f"tag-deleted.{name}.json"), {})
+    s.delete_prefix(f"refs/tag.{name}")
+    s.put_json(f"refs/tag-deleted.{name}.json", {})
 
 
-def tag_was_deleted(root: str, name: str) -> bool:
-    return os.path.exists(os.path.join(root, "refs", f"tag-deleted.{name}.json"))
+def tag_was_deleted(root: "str | Storage", name: str) -> bool:
+    return resolve_storage(root).exists(f"refs/tag-deleted.{name}.json")
 
 
-def list_tags(root: str) -> set[str]:
-    d = os.path.join(root, "refs")
-    if not os.path.isdir(d):
-        return set()
-    return {f[len("tag.") :] for f in os.listdir(d) if f.startswith("tag.") and not f.startswith("tag-deleted")}
+def list_tags(root: "str | Storage") -> set[str]:
+    s = resolve_storage(root)
+    return {
+        f[len("tag.") :]
+        for f in s.list_dir("refs")
+        if f.startswith("tag.") and not f.startswith("tag-deleted")
+    }
 
 
-# --- repo info -----------------------------------------------------------
+# --- repo info + config ---------------------------------------------------
 
-def repo_info_path(root: str) -> str:
-    return os.path.join(root, "repo.json")
-
-
-def write_repo_info(root: str, doc: dict) -> None:
-    _write_json_atomic(repo_info_path(root), doc)
+def write_repo_info(root: "str | Storage", doc: dict) -> None:
+    resolve_storage(root).put_json("repo.json", doc)
 
 
-def read_repo_info(root: str) -> dict:
-    return _read_json(repo_info_path(root))
+def read_repo_info(root: "str | Storage") -> dict:
+    return resolve_storage(root).get_json("repo.json")
+
+
+def repo_exists(root: "str | Storage") -> bool:
+    return resolve_storage(root).exists("repo.json")
+
+
+def read_config_doc(root: "str | Storage") -> dict | None:
+    s = resolve_storage(root)
+    if not s.exists("config.json"):
+        return None
+    return s.get_json("config.json")
+
+
+def write_config_doc(root: "str | Storage", doc: dict) -> None:
+    resolve_storage(root).put_json("config.json", doc)

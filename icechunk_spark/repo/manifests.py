@@ -16,17 +16,17 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from icechunk_spark.repo.format import MANIFEST_SCHEMA, SnapshotInfo, new_id
+from icechunk_spark.repo.format import MANIFEST_SCHEMA, SnapshotInfo, data_path, new_id
 
 
 def manifest_dir(root: str) -> str:
-    return os.path.join(root, "manifests")
+    return data_path(root, "manifests")
 
 
 def read_manifest_files(spark: SparkSession, root: str, relpaths: list[str]) -> DataFrame:
     if not relpaths:
         return spark.createDataFrame([], MANIFEST_SCHEMA)
-    paths = [os.path.join(root, p) for p in relpaths]
+    paths = [data_path(root, p) for p in relpaths]
     return spark.read.schema(MANIFEST_SCHEMA).parquet(*paths)
 
 
@@ -59,5 +59,5 @@ def write_manifest(df: DataFrame, root: str, n_files: int = 1) -> str:
     rel = os.path.join("manifests", f"{new_id()}.parquet")
     out = df.select(*[c.strip().split(" ")[0] for c in MANIFEST_SCHEMA.split(",")])
     writer = out.repartition(n_files) if n_files else out
-    writer.write.parquet(os.path.join(root, rel))
+    writer.write.parquet(data_path(root, rel))
     return rel

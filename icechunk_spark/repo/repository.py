@@ -26,6 +26,11 @@ from icechunk_spark.repo import manifests as mf
 from icechunk_spark.repo.format import RefError, SnapshotInfo, new_id
 from icechunk_spark.repo.session import ConflictSolver, Diff, Session, VersionSelector
 
+
+def _dp(root: str, *parts: str) -> str:
+    """Data-plane (Spark parquet) path under the repo's storage."""
+    return fmt.data_path(root, os.path.join(*parts))
+
 MAIN = "main"
 
 SPEC_VERSION = 1
@@ -82,7 +87,7 @@ class Repository:
     def create(cls, spark: SparkSession, root: str, metadata: dict | None = None) -> "Repository":
         if cls.exists(root):
             raise RefError(f"repository already exists at {root}")
-        os.makedirs(root, exist_ok=True)
+        os.makedirs(fmt.data_path(root), exist_ok=True)
         root_snap = SnapshotInfo(
             id=new_id(),
             parent_id=None,
@@ -113,7 +118,7 @@ class Repository:
 
     @staticmethod
     def exists(root: str) -> bool:
-        return os.path.exists(fmt.repo_info_path(root))
+        return fmt.repo_exists(root)
 
     # --- repo metadata ----------------------------------------------------
 
@@ -145,13 +150,11 @@ class Repository:
 
     @staticmethod
     def fetch_config(root: str) -> RepositoryConfig | None:
-        p = os.path.join(root, "config.json")
-        if not os.path.exists(p):
-            return None
-        return RepositoryConfig.from_dict(fmt._read_json(p))
+        doc = fmt.read_config_doc(root)
+        return None if doc is None else RepositoryConfig.from_dict(doc)
 
     def save_config(self, config: RepositoryConfig) -> None:
-        fmt._write_json_atomic(os.path.join(self.root, "config.json"), config.to_dict())
+        fmt.write_config_doc(self.root, config.to_dict())
 
     def spec_version(self) -> int:
         return int(fmt.read_repo_info(self.root).get("format_version", SPEC_VERSION))
@@ -169,11 +172,9 @@ class Repository:
             "tags": {t: fmt.read_tag(self.root, t) for t in self.list_tags()},
             "deleted_tags": sorted(
                 f[len("tag-deleted.") : -len(".json")]
-                for f in os.listdir(os.path.join(self.root, "refs"))
+                for f in fmt.resolve_storage(self.root).list_dir("refs")
                 if f.startswith("tag-deleted.")
-            )
-            if os.path.isdir(os.path.join(self.root, "refs"))
-            else [],
+            ),
             "snapshots": fmt.list_snapshot_ids(self.root),
             "metadata": info.get("metadata", {}),
         }
@@ -182,7 +183,7 @@ class Repository:
         """Per-manifest storage statistics (chunk refs by kind, per
         array) as one Spark aggregation over the manifest parquet."""
         df = self.spark.read.schema(fmt.MANIFEST_SCHEMA).parquet(
-            os.path.join(self.root, manifest_rel)
+            _dp(self.root, manifest_rel)
         )
         per_array = (
             df.groupBy("node_id")
@@ -206,7 +207,7 @@ class Repository:
             "id": manifest_rel,
             "size_bytes": sum(
                 os.path.getsize(os.path.join(dp, f))
-                for dp, _, fs in os.walk(os.path.join(self.root, manifest_rel))
+                for dp, _, fs in os.walk(_dp(self.root, manifest_rel))
                 for f in fs
             ),
             "num_arrays": len(per_array),
@@ -229,7 +230,7 @@ class Repository:
     def inspect_transaction_log(self, snapshot_id: str) -> dict[str, Any]:
         """What one commit changed: chunk writes/deletes per node and
         node-level ops (reference parity: inspect_transaction_log)."""
-        p = os.path.join(self.root, "txlogs", f"{snapshot_id}.parquet")
+        p = _dp(self.root, "txlogs", f"{snapshot_id}.parquet")
         if not os.path.exists(p):
             return {"id": snapshot_id, "chunks_updated": {}, "node_ops": []}
         tx = self.spark.read.schema(fmt.TXLOG_SCHEMA).parquet(p)
@@ -567,19 +568,25 @@ class Repository:
         live_manifests: set[str] = set()
         for sid in live_snaps:
             live_manifests.update(fmt.read_snapshot(self.root, sid).manifests)
+        def _old_snap(sid: str) -> bool:
+            try:
+                return fmt.snapshot_mtime(self.root, sid) < cutoff
+            except (OSError, FileNotFoundError):
+                return False
+
         # drop unreachable snapshots + their txlogs
         for sid in fmt.list_snapshot_ids(self.root):
-            if sid not in live_snaps and _old(fmt.snapshot_path(self.root, sid)):
+            if sid not in live_snaps and _old_snap(sid):
                 if not dry_run:
-                    os.remove(fmt.snapshot_path(self.root, sid))
+                    fmt.delete_snapshot(self.root, sid)
                 summary.snapshots_deleted += 1
-                tx = os.path.join(self.root, "txlogs", f"{sid}.parquet")
+                tx = _dp(self.root, "txlogs", f"{sid}.parquet")
                 if os.path.exists(tx):
                     if not dry_run:
                         shutil.rmtree(tx)
                     summary.txlogs_deleted += 1
         # drop unreferenced manifest files
-        mdir = os.path.join(self.root, "manifests")
+        mdir = _dp(self.root, "manifests")
         if os.path.isdir(mdir):
             for f in os.listdir(mdir):
                 rel = os.path.join("manifests", f)
@@ -589,7 +596,7 @@ class Repository:
                         shutil.rmtree(full)
                     summary.manifests_deleted += 1
         # chunk files referenced by no live manifest: Spark anti-join
-        cdir = os.path.join(self.root, "chunks")
+        cdir = _dp(self.root, "chunks")
         if os.path.isdir(cdir):
             all_files = local_df(
                 self.spark, [(os.path.join("chunks", f),) for f in os.listdir(cdir)], "file string"
@@ -605,7 +612,7 @@ class Repository:
             else:
                 doomed = all_files
             for r in doomed.collect():
-                full = os.path.join(self.root, r["file"])
+                full = _dp(self.root, r["file"])
                 if not _old(full):
                     continue
                 if not dry_run:
@@ -613,7 +620,7 @@ class Repository:
                 summary.chunk_files_deleted += 1
         # orphaned staging dirs (per-session: delete only aged ones —
         # a fresh staging dir belongs to a live write session)
-        sdir = os.path.join(self.root, "staging")
+        sdir = _dp(self.root, "staging")
         if os.path.isdir(sdir) and not dry_run:
             for d in os.listdir(sdir):
                 full = os.path.join(sdir, d)

@@ -49,6 +49,11 @@ from icechunk_spark.repo.format import (
 )
 
 
+def _dp(root: str, *parts: str) -> str:
+    """Data-plane (Spark parquet) path under the repo's storage."""
+    return fmt.data_path(root, os.path.join(*parts))
+
+
 class ConflictError(Exception):
     def __init__(self, conflicts: list[dict[str, Any]]):
         self.conflicts = conflicts
@@ -288,9 +293,9 @@ class Session:
         self._require_data_writable()
         meta = self.array_meta(path)
         rel = os.path.join("chunks", f"{new_id()}.parquet")
-        encode_array_chunks(df, meta, os.path.join(self.root, rel))
+        encode_array_chunks(df, meta, _dp(self.root, rel))
         staged = staged_manifest_from_chunk_dir(
-            self.spark, os.path.join(self.root, rel), rel, meta.node_id
+            self.spark, _dp(self.root, rel), rel, meta.node_id
         )
         self._stage_manifest(staged)
 
@@ -383,7 +388,7 @@ class Session:
         if r["inline"] is not None:
             return bytes(r["inline"])
         payload = (
-            self.spark.read.parquet(os.path.join(self.root, r["file"]))
+            self.spark.read.parquet(_dp(self.root, r["file"]))
             .filter(F.col("chunk_id") == r["chunk_id"])
             .select("payload")
             .collect()
@@ -507,23 +512,23 @@ class Session:
     def _inline_threshold(self) -> int:
         """Inline-chunk threshold from the repo's config.json (default
         512, matching the reference's inline_chunk_threshold_bytes)."""
-        p = os.path.join(self.root, "config.json")
-        if os.path.exists(p):
-            try:
-                return int(fmt._read_json(p).get("inline_chunk_threshold_bytes", 512))
-            except (ValueError, OSError):
-                return 512
+        try:
+            doc = fmt.read_config_doc(self.root)
+            if doc is not None:
+                return int(doc.get("inline_chunk_threshold_bytes", 512))
+        except (ValueError, OSError):
+            pass
         return 512
 
     def _staging_dir(self) -> str:
-        return os.path.join(self.root, "staging", self.session_id)
+        return _dp(self.root, "staging", self.session_id)
 
     def _stage_manifest(self, df: DataFrame) -> None:
         if not self._eager_staging:
             self._staged.append(("df", df))
             return
         rel = os.path.join("staging", self.session_id, f"m{len(self._staged):05d}.parquet")
-        df.write.parquet(os.path.join(self.root, rel))
+        df.write.parquet(_dp(self.root, rel))
         self._staged.append(("file", rel))
 
     def _flush_chunk_buffer(self) -> None:
@@ -572,7 +577,7 @@ class Session:
         if rows:
             local_df(self.spark, rows, "chunk_id string, payload binary").coalesce(
                 1
-            ).write.parquet(os.path.join(self.root, rel))
+            ).write.parquet(_dp(self.root, rel))
         self._stage_manifest(local_df(self.spark, refs, MANIFEST_SCHEMA))
         self._chunk_buffer.clear()
 
@@ -583,7 +588,7 @@ class Session:
         dfs = []
         for i, (kind, item) in enumerate(self._staged):
             d = (
-                self.spark.read.schema(MANIFEST_SCHEMA).parquet(os.path.join(self.root, item))
+                self.spark.read.schema(MANIFEST_SCHEMA).parquet(_dp(self.root, item))
                 if kind == "file"
                 else item
             )
@@ -776,7 +781,7 @@ class Session:
             for op in self._node_ops
         ]
         carry = (
-            os.path.join(self.root, "txlogs", f"{carry_from}.parquet") if carry_from else None
+            _dp(self.root, "txlogs", f"{carry_from}.parquet") if carry_from else None
         )
         if carry is not None and not os.path.exists(carry):
             carry = None
@@ -791,7 +796,7 @@ class Session:
             tx = tx.unionByName(local_df(self.spark, node_rows, TXLOG_SCHEMA))
         if carry is not None:
             tx = tx.unionByName(self.spark.read.schema(TXLOG_SCHEMA).parquet(carry))
-        tx.coalesce(1).write.parquet(os.path.join(self.root, "txlogs", f"{snap_id}.parquet"))
+        tx.coalesce(1).write.parquet(_dp(self.root, "txlogs", f"{snap_id}.parquet"))
 
     def _txlogs_between(self, old_id: str, new_id_: str) -> list[str]:
         """Snapshot ids on the path new_id_ → ... → old_id (exclusive)."""
@@ -807,9 +812,9 @@ class Session:
     def _rebase_onto(self, tip_id: str, solver: ConflictSolver | None) -> None:
         theirs_ids = self._txlogs_between(self._base.id, tip_id)
         their_logs = [
-            os.path.join(self.root, "txlogs", f"{sid}.parquet")
+            _dp(self.root, "txlogs", f"{sid}.parquet")
             for sid in theirs_ids
-            if os.path.exists(os.path.join(self.root, "txlogs", f"{sid}.parquet"))
+            if os.path.exists(_dp(self.root, "txlogs", f"{sid}.parquet"))
         ]
         staged = self._staged_manifest_df()
         ours_chunks = (

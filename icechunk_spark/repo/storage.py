@@ -1,0 +1,238 @@
+"""Pluggable storage for the repo's metadata plane.
+
+Mirrors the reference's ``Storage`` trait (icechunk/src/storage/mod.rs):
+every backend provides write-once object puts, a conditional
+create-if-absent put (the CAS primitive behind ref updates —
+icechunk/src/refs.rs implements the same scheme with S3 If-None-Match /
+conditional writes), listings, and deletes.  The BULK plane (chunk /
+manifest / txlog parquet) always goes through Spark's Hadoop
+filesystem layer via ``data_path()`` — pointing that at ``s3a://...``
+is how the engine runs against a real bucket; the metadata plane below
+is what must NOT assume a local filesystem.
+
+Backends:
+- ``LocalFilesystemStorage`` — json docs on disk; CAS via ``open(x)``.
+- ``InMemoryObjectStorage`` — a process-local bucket emulation with
+  true conditional-put semantics (atomic under a lock), modeled on the
+  reference's in-memory storage used by its test fixtures
+  (icechunk/src/storage/object_store.rs ``memory://``).  Bulk parquet
+  lives in a scratch directory standing in for the bucket's data
+  prefix, since Spark writes parquet through Hadoop, not through this
+  class.  Single-process by design (like the reference's).
+
+``resolve_storage`` maps a root string to a backend —
+``memory://bucket[/prefix]`` or a plain path — so every existing
+call site keeps passing ``self.root`` strings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import threading
+import time
+import uuid
+from typing import Any, Iterator
+
+
+class StorageConflict(Exception):
+    """Conditional put failed: the object already exists."""
+
+
+class Storage:
+    """Metadata-object API.  Keys are ``/``-separated relative paths
+    (e.g. ``snapshots/<id>.json``); listings return child names."""
+
+    root: str  # canonical root string (what the user passed)
+
+    # -- metadata objects --------------------------------------------------
+    def get(self, key: str) -> bytes:
+        raise NotImplementedError
+
+    def put(self, key: str, data: bytes, *, if_none_match: bool = False) -> None:
+        raise NotImplementedError
+
+    def exists(self, key: str) -> bool:
+        raise NotImplementedError
+
+    def list_dir(self, prefix: str) -> list[str]:
+        """Immediate child names under ``prefix`` (no recursion)."""
+        raise NotImplementedError
+
+    def delete(self, key: str) -> None:
+        raise NotImplementedError
+
+    def delete_prefix(self, prefix: str) -> None:
+        raise NotImplementedError
+
+    def mtime(self, key: str) -> float:
+        raise NotImplementedError
+
+    def getsize(self, key: str) -> int:
+        return len(self.get(key))
+
+    # -- bulk (Spark/Hadoop) plane ----------------------------------------
+    @property
+    def data_root(self) -> str:
+        """Path/URI under which Spark reads and writes parquet."""
+        raise NotImplementedError
+
+    def data_path(self, rel: str) -> str:
+        return os.path.join(self.data_root, rel)
+
+    # -- convenience -------------------------------------------------------
+    def get_json(self, key: str) -> dict:
+        return json.loads(self.get(key).decode())
+
+    def put_json(self, key: str, doc: dict, *, if_none_match: bool = False) -> None:
+        self.put(key, json.dumps(doc).encode(), if_none_match=if_none_match)
+
+
+class LocalFilesystemStorage(Storage):
+    def __init__(self, root: str):
+        self.root = root
+
+    def _p(self, key: str) -> str:
+        return os.path.join(self.root, key)
+
+    def get(self, key: str) -> bytes:
+        with open(self._p(key), "rb") as f:
+            return f.read()
+
+    def put(self, key: str, data: bytes, *, if_none_match: bool = False) -> None:
+        path = self._p(key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        if if_none_match:
+            try:
+                with open(path, "xb") as f:
+                    f.write(data)
+            except FileExistsError as e:
+                raise StorageConflict(key) from e
+            return
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    def exists(self, key: str) -> bool:
+        return os.path.exists(self._p(key))
+
+    def list_dir(self, prefix: str) -> list[str]:
+        d = self._p(prefix)
+        if not os.path.isdir(d):
+            return []
+        return sorted(os.listdir(d))
+
+    def delete(self, key: str) -> None:
+        try:
+            os.remove(self._p(key))
+        except FileNotFoundError:
+            pass
+
+    def delete_prefix(self, prefix: str) -> None:
+        shutil.rmtree(self._p(prefix), ignore_errors=True)
+
+    def mtime(self, key: str) -> float:
+        return os.path.getmtime(self._p(key))
+
+    def getsize(self, key: str) -> int:
+        return os.path.getsize(self._p(key))
+
+    @property
+    def data_root(self) -> str:
+        return self.root
+
+
+class InMemoryObjectStorage(Storage):
+    """Bucket emulation: a dict of key -> (bytes, mtime) guarded by a
+    lock, with genuine compare-and-set on conditional puts."""
+
+    _BUCKETS: dict[str, tuple[dict[str, tuple[bytes, float]], threading.Lock]] = {}
+    _REG_LOCK = threading.Lock()
+
+    def __init__(self, bucket: str, prefix: str = ""):
+        self.bucket = bucket
+        self.prefix = prefix.strip("/")
+        self.root = f"memory://{bucket}" + (f"/{self.prefix}" if self.prefix else "")
+        with self._REG_LOCK:
+            if bucket not in self._BUCKETS:
+                self._BUCKETS[bucket] = ({}, threading.Lock())
+        self._objects, self._lock = self._BUCKETS[bucket]
+
+    @classmethod
+    def wipe_bucket(cls, bucket: str) -> None:
+        with cls._REG_LOCK:
+            cls._BUCKETS.pop(bucket, None)
+        shutil.rmtree(cls._scratch_for(bucket), ignore_errors=True)
+
+    @staticmethod
+    def _scratch_for(bucket: str) -> str:
+        return os.path.join(tempfile.gettempdir(), f"icechunk-membucket-{bucket}")
+
+    def _k(self, key: str) -> str:
+        return f"{self.prefix}/{key}" if self.prefix else key
+
+    def get(self, key: str) -> bytes:
+        with self._lock:
+            try:
+                return self._objects[self._k(key)][0]
+            except KeyError:
+                raise FileNotFoundError(key) from None
+
+    def put(self, key: str, data: bytes, *, if_none_match: bool = False) -> None:
+        with self._lock:
+            k = self._k(key)
+            if if_none_match and k in self._objects:
+                raise StorageConflict(key)
+            self._objects[k] = (data, time.time())
+
+    def exists(self, key: str) -> bool:
+        with self._lock:
+            return self._k(key) in self._objects
+
+    def list_dir(self, prefix: str) -> list[str]:
+        p = self._k(prefix).rstrip("/") + "/"
+        names = set()
+        with self._lock:
+            for k in self._objects:
+                if k.startswith(p):
+                    names.add(k[len(p) :].split("/", 1)[0])
+        return sorted(names)
+
+    def delete(self, key: str) -> None:
+        with self._lock:
+            self._objects.pop(self._k(key), None)
+
+    def delete_prefix(self, prefix: str) -> None:
+        p = self._k(prefix).rstrip("/") + "/"
+        with self._lock:
+            for k in [k for k in self._objects if k.startswith(p)]:
+                del self._objects[k]
+        shutil.rmtree(self.data_path(prefix), ignore_errors=True)
+
+    def mtime(self, key: str) -> float:
+        with self._lock:
+            try:
+                return self._objects[self._k(key)][1]
+            except KeyError:
+                raise FileNotFoundError(key) from None
+
+    @property
+    def data_root(self) -> str:
+        d = self._scratch_for(self.bucket)
+        if self.prefix:
+            d = os.path.join(d, self.prefix)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+
+def resolve_storage(root: "str | Storage") -> Storage:
+    if isinstance(root, Storage):
+        return root
+    if root.startswith("memory://"):
+        rest = root[len("memory://") :]
+        bucket, _, prefix = rest.partition("/")
+        return InMemoryObjectStorage(bucket, prefix)
+    return LocalFilesystemStorage(root)

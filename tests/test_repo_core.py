@@ -10,9 +10,20 @@ from pyspark.sql import functions as F
 from icechunk_spark.repo import ConflictError, ConflictSolver, RefError, Repository
 
 
-@pytest.fixture()
-def repo(spark, tmp_path):
-    return Repository.create(spark, str(tmp_path / "repo"))
+@pytest.fixture(params=["local", "memory"])
+def repo(spark, tmp_path, request):
+    """Every core flow runs against BOTH storage backends (reference
+    precedent: icechunk test fixtures parameterize over storage)."""
+    if request.param == "memory":
+        import uuid
+
+        from icechunk_spark.repo import InMemoryObjectStorage
+
+        bucket = f"t{uuid.uuid4().hex[:8]}"
+        yield Repository.create(spark, f"memory://{bucket}/repo")
+        InMemoryObjectStorage.wipe_bucket(bucket)
+    else:
+        yield Repository.create(spark, str(tmp_path / "repo"))
 
 
 def grid_df(spark, n=8, m=8, scale=1.0):

@@ -1,0 +1,110 @@
+"""Storage-backend contract tests (icechunk/src/storage/mod.rs is the
+reference trait; refs.rs's conditional-write CAS is the critical
+semantic).  Both backends must behave identically for every metadata
+operation format.py performs."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+
+from icechunk_spark.repo import (
+    InMemoryObjectStorage,
+    LocalFilesystemStorage,
+    Repository,
+    StorageConflict,
+    resolve_storage,
+)
+
+
+@pytest.fixture(params=["local", "memory"])
+def storage(request, tmp_path):
+    if request.param == "memory":
+        bucket = f"s{uuid.uuid4().hex[:8]}"
+        yield InMemoryObjectStorage(bucket, "repo")
+        InMemoryObjectStorage.wipe_bucket(bucket)
+    else:
+        yield LocalFilesystemStorage(str(tmp_path / "repo"))
+
+
+def test_put_get_roundtrip(storage):
+    storage.put("a/b.json", b"{}")
+    assert storage.get("a/b.json") == b"{}"
+    assert storage.exists("a/b.json")
+    assert not storage.exists("a/c.json")
+    assert storage.getsize("a/b.json") == 2
+
+
+def test_conditional_put_is_cas(storage):
+    storage.put("refs/x.json", b"1", if_none_match=True)
+    with pytest.raises(StorageConflict):
+        storage.put("refs/x.json", b"2", if_none_match=True)
+    # loser must not have clobbered the winner
+    assert storage.get("refs/x.json") == b"1"
+    # unconditional put still overwrites
+    storage.put("refs/x.json", b"3")
+    assert storage.get("refs/x.json") == b"3"
+
+
+def test_list_dir_children_only(storage):
+    storage.put("refs/branch.main/0000000000.json", b"{}")
+    storage.put("refs/branch.dev/0000000000.json", b"{}")
+    storage.put("refs/tag.v1/ref.json", b"{}")
+    names = storage.list_dir("refs")
+    assert "branch.main" in names and "branch.dev" in names and "tag.v1" in names
+    assert storage.list_dir("refs/branch.main") == ["0000000000.json"]
+    assert storage.list_dir("nope") == []
+
+
+def test_delete_and_delete_prefix(storage):
+    storage.put("snapshots/a.json", b"{}")
+    storage.put("refs/tag.v1/ref.json", b"{}")
+    storage.delete("snapshots/a.json")
+    assert not storage.exists("snapshots/a.json")
+    storage.delete_prefix("refs/tag.v1")
+    assert storage.list_dir("refs/tag.v1") == []
+
+
+def test_mtime_monotone(storage):
+    storage.put("a.json", b"1")
+    t1 = storage.mtime("a.json")
+    storage.put("a.json", b"2")
+    assert storage.mtime("a.json") >= t1
+
+
+def test_resolve_storage_schemes(tmp_path):
+    local = resolve_storage(str(tmp_path))
+    assert isinstance(local, LocalFilesystemStorage)
+    mem = resolve_storage("memory://bkt/prefix/x")
+    assert isinstance(mem, InMemoryObjectStorage)
+    assert mem.bucket == "bkt" and mem.prefix == "prefix/x"
+    # a Storage instance passes through
+    assert resolve_storage(local) is local
+    InMemoryObjectStorage.wipe_bucket("bkt")
+
+
+def test_memory_repo_commit_race_cas(spark):
+    """Two sessions racing to commit on the same branch: exactly one
+    CAS wins per generation, and both commits land (the loser rebases
+    and retries)."""
+    bucket = f"r{uuid.uuid4().hex[:8]}"
+    root = f"memory://{bucket}/repo"
+    repo = Repository.create(spark, root)
+    with repo.transaction(message="init") as s:
+        s.create_array("/a", shape=[8], chunk_shape=[4])
+        s.create_array("/b", shape=[8], chunk_shape=[4])
+
+    s1 = repo.writable_session("main")
+    s2 = repo.writable_session("main")
+    s1.set_chunk_bytes("/a", "0", b"x" * 32)
+    s2.set_chunk_bytes("/b", "0", b"y" * 32)
+    id1 = s1.commit("write a")
+    id2 = s2.commit("write b")  # detects the moved tip, rebases, retries CAS
+    assert id1 != id2
+    chain = [s.id for s in repo.ancestry(branch="main")]
+    assert chain[0] == id2 and chain[1] == id1
+    sess = repo.readonly_session()
+    assert sess.get_chunk_bytes("/a", "0") == b"x" * 32
+    assert sess.get_chunk_bytes("/b", "0") == b"y" * 32
+    InMemoryObjectStorage.wipe_bucket(bucket)
