@@ -595,11 +595,28 @@ class Repository:
                     if not dry_run:
                         shutil.rmtree(full)
                     summary.manifests_deleted += 1
-        # chunk files referenced by no live manifest: Spark anti-join
+        # chunk files referenced by no live manifest: DISTRIBUTED —
+        # listing comes from a metadata-only recursive parquet scan
+        # (input_file_name, no data columns read), the liveness check
+        # is a Spark anti-join, and age-check + delete run per
+        # partition on executors.  Neither the file list nor the
+        # doomed set ever materializes on the driver.
         cdir = _dp(self.root, "chunks")
         if os.path.isdir(cdir):
-            all_files = local_df(
-                self.spark, [(os.path.join("chunks", f),) for f in os.listdir(cdir)], "file string"
+            from icechunk_spark.repo.arrays import CHUNK_FILE_SCHEMA_SUFFIX
+
+            all_files = (
+                self.spark.read.format("parquet")
+                .schema(CHUNK_FILE_SCHEMA_SUFFIX)  # no footer reads, no inference
+                .option("recursiveFileLookup", "true")
+                .load(cdir)
+                .select(
+                    F.regexp_extract(F.input_file_name(), r"(chunks/[^/]+\.parquet)", 1).alias(
+                        "file"
+                    )
+                )
+                .filter(F.col("file") != "")
+                .distinct()
             )
             if live_manifests:
                 referenced = (
@@ -611,13 +628,28 @@ class Repository:
                 doomed = all_files.join(referenced, "file", "left_anti")
             else:
                 doomed = all_files
-            for r in doomed.collect():
-                full = _dp(self.root, r["file"])
-                if not _old(full):
-                    continue
-                if not dry_run:
-                    shutil.rmtree(full, ignore_errors=True)
-                summary.chunk_files_deleted += 1
+            data_root = fmt.data_path(self.root)
+
+            def delete_batch(rows):
+                import os as _os
+                import shutil as _shutil
+
+                n = 0
+                for r in rows:
+                    full = _os.path.join(data_root, r["file"])
+                    try:
+                        if _os.path.getmtime(full) >= cutoff:
+                            continue
+                    except OSError:
+                        continue
+                    if not dry_run:
+                        _shutil.rmtree(full, ignore_errors=True)
+                    n += 1
+                yield n
+
+            summary.chunk_files_deleted += int(
+                sum(doomed.rdd.mapPartitions(delete_batch).collect())
+            )
         # orphaned staging dirs (per-session: delete only aged ones —
         # a fresh staging dir belongs to a live write session)
         sdir = _dp(self.root, "staging")

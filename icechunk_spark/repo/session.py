@@ -474,36 +474,56 @@ class Session:
 
         moved = live.mapInPandas(remap, MANIFEST_SCHEMA)
         if backward is not None:
-            # visit every grid position; clear positions whose source is empty
-            tombs_keys = []
-            live_keys = {r["chunk_key"] for r in live.select("chunk_key").collect()}
-            import itertools
+            # visit every grid position; clear positions whose source is
+            # empty.  The grid is generated DISTRIBUTED (crossJoin of
+            # per-dim ranges) and checked with a left-anti join against
+            # live keys — a 10^8-cell grid never touches the driver.
+            pos_df = None
+            for d, g in enumerate(grid):
+                dim = self.spark.range(g).select(F.col("id").cast("int").alias(f"p{d}"))
+                pos_df = dim if pos_df is None else pos_df.crossJoin(dim)
 
-            for pos in itertools.product(*[range(g) for g in grid]):
-                src = backward(list(pos))
-                if src is None:
-                    continue
-                if ".".join(str(x) for x in src) not in live_keys:
-                    tombs_keys.append(pos)
-            if tombs_keys:
-                rows = [
-                    {
-                        "node_id": meta.node_id,
-                        "chunk_key": ".".join(str(x) for x in pos),
-                        **{f"c{i}": (pos[i] if i < ndim else None) for i in range(4)},
-                        "chunk_id": None,
-                        "file": None,
-                        "n_bytes": None,
-                        "op": "del",
-                        "is_virtual": False,
-                        "vpath": None,
-                        "voffset": None,
-                        "vlength": None,
-                        "seq": 0,
-                    }
-                    for pos in tombs_keys
-                ]
-                self._stage_manifest(local_df(self.spark, rows, MANIFEST_SCHEMA))
+            def src_map(batches):
+                for pdf in batches:
+                    out_pos: list[str] = []
+                    out_src: list[str] = []
+                    for _, r in pdf.iterrows():
+                        pos = [int(r[f"p{d}"]) for d in range(ndim)]
+                        src = backward(list(pos))
+                        if src is None:
+                            continue
+                        out_pos.append(".".join(str(x) for x in pos))
+                        out_src.append(".".join(str(int(x)) for x in src))
+                    yield pd.DataFrame({"pos_key": out_pos, "src_key": out_src})
+
+            pairs = pos_df.mapInPandas(src_map, "pos_key string, src_key string")
+            missing = pairs.join(
+                live.select(F.col("chunk_key").alias("src_key")), "src_key", "left_anti"
+            )
+            parts = F.split(F.col("pos_key"), "\\.")
+            tombs = missing.select(
+                F.lit(meta.node_id).alias("node_id"),
+                F.col("pos_key").alias("chunk_key"),
+                *[
+                    (
+                        F.element_at(parts, i + 1).cast("int")
+                        if i < ndim
+                        else F.lit(None).cast("int")
+                    ).alias(f"c{i}")
+                    for i in range(4)
+                ],
+                F.lit(None).cast("string").alias("chunk_id"),
+                F.lit(None).cast("string").alias("file"),
+                F.lit(None).cast("bigint").alias("n_bytes"),
+                F.lit("del").alias("op"),
+                F.lit(False).alias("is_virtual"),
+                F.lit(None).cast("string").alias("vpath"),
+                F.lit(None).cast("bigint").alias("voffset"),
+                F.lit(None).cast("bigint").alias("vlength"),
+                F.lit(None).cast("binary").alias("inline"),
+                F.lit(0).cast("bigint").alias("seq"),
+            )
+            self._stage_manifest(tombs)
         cols = [c.strip().split(" ")[0] for c in MANIFEST_SCHEMA.split(",")]
         self._stage_manifest(moved.select(*cols))
 

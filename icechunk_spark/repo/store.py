@@ -150,16 +150,41 @@ class ChunkStore:
                 seen.add(head)
                 yield head
 
+    def list_keys_df(self):
+        """Chunk keys as a DataFrame (path-sorted) — the bulk listing
+        surface; ``list()``/``_all_keys`` stream this with
+        toLocalIterator so a 10^8-chunk manifest never materializes on
+        the driver."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import broadcast
+
+        from icechunk_spark.engine import local_df
+
+        nodes = self.session.list_nodes()
+        id_to_path = {self.session._nodes[p]["node_id"]: p.lstrip("/") for p in nodes}
+        paths = local_df(
+            self.session.spark,
+            [(nid, p) for nid, p in id_to_path.items()],
+            "node_id string, path string",
+        )
+        return (
+            self.session.chunk_manifest_df()
+            .select("node_id", "chunk_key")
+            .join(broadcast(paths), "node_id")
+            .select(
+                F.concat_ws(
+                    "/",
+                    F.when(F.col("path") != "", F.concat(F.col("path"), F.lit("/c"))).otherwise("c"),
+                    F.translate("chunk_key", ".", "/"),
+                ).alias("key")
+            )
+            .orderBy("key")
+        )
+
     def _all_keys(self) -> Iterator[str]:
         nodes = self.session.list_nodes()
-        id_to_path = {
-            self.session._nodes[p]["node_id"]: p.lstrip("/") for p in nodes
-        }
         for p in sorted(nodes):
             yield (p.lstrip("/") + "/zarr.json").lstrip("/")
-        man = self.session.chunk_manifest_df().select("node_id", "chunk_key").collect()
-        for r in sorted((id_to_path.get(x["node_id"], None), x["chunk_key"]) for x in man):
-            if r[0] is None:
-                continue
-            base = f"{r[0]}/c/" if r[0] else "c/"
-            yield base + r[1].replace(".", "/")
+        # stream, don't collect: partitions arrive one at a time
+        for r in self.list_keys_df().toLocalIterator():
+            yield r["key"]

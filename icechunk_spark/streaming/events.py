@@ -28,7 +28,6 @@ from pyspark.sql.types import (
     TimestampNTZType,
 )
 
-from icechunk_spark.engine import local_df
 from icechunk_spark.functions import money_sum
 
 EVENTS_SCHEMA = StructType(
@@ -208,22 +207,27 @@ def stream_append_to_repo(
         )
         if already:
             return
-        counts = batch_df.groupBy("user_id").agg(F.count(F.lit(1)).cast("double").alias("value"))
+        counts = batch_df.groupBy("user_id").agg(F.count(F.lit(1)).cast("double").alias("delta"))
         with repo.transaction(
             message=f"stream batch {batch_id}", metadata={"stream_batch_id": batch_id}
         ) as s:
-            live = {
-                r["i0"]: r["value"]
-                for r in s.read_array_df(array_path).collect()
-            }
-            rows = [
-                (int(r["user_id"]), float(r["value"]) + live.get(int(r["user_id"]), 0.0))
-                for r in counts.collect()
-            ]
-            if rows:
-                s.write_array_df(
-                    array_path, local_df(spark, rows, "i0 long, value double")
+            # merge DISTRIBUTED: full-outer join of the live array with
+            # this batch's deltas — no .collect(), the running state
+            # never materializes on the driver
+            live = s.read_array_df(array_path).select("i0", F.col("value").alias("old"))
+            merged = (
+                counts.select(F.col("user_id").cast("long").alias("i0"), "delta")
+                .join(live, "i0", "full_outer")
+                .select(
+                    "i0",
+                    (
+                        F.coalesce(F.col("old"), F.lit(0.0))
+                        + F.coalesce(F.col("delta"), F.lit(0.0))
+                    ).alias("value"),
                 )
+            )
+            if merged.limit(1).count() > 0:
+                s.write_array_df(array_path, merged)
 
     q = (
         events.writeStream.foreachBatch(write_batch)
