@@ -49,11 +49,21 @@ class RepositoryConfig:
     target_chunk_file_mb: int = 64
     manifest_split_files: int = 1
     inline_chunk_threshold_bytes: int = 512
+    # name -> {"url_prefix": ...}; scopes where virtual chunk refs may
+    # point (icechunk/src/virtual_chunks.rs VirtualChunkContainer)
+    virtual_chunk_containers: dict[str, dict[str, Any]] | None = None
     extra: dict[str, Any] | None = None
+
+    _KNOWN = (
+        "target_chunk_file_mb",
+        "manifest_split_files",
+        "inline_chunk_threshold_bytes",
+        "virtual_chunk_containers",
+    )
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "RepositoryConfig":
-        known = {f: d[f] for f in ("target_chunk_file_mb", "manifest_split_files", "inline_chunk_threshold_bytes") if f in d}
+        known = {f: d[f] for f in cls._KNOWN if f in d}
         extra = {k: v for k, v in d.items() if k not in known}
         return cls(**known, extra=extra or None)
 
@@ -63,6 +73,8 @@ class RepositoryConfig:
             "manifest_split_files": self.manifest_split_files,
             "inline_chunk_threshold_bytes": self.inline_chunk_threshold_bytes,
         }
+        if self.virtual_chunk_containers is not None:
+            out["virtual_chunk_containers"] = self.virtual_chunk_containers
         if self.extra:
             out.update(self.extra)
         return out
@@ -77,9 +89,52 @@ class GCSummary:
 
 
 class Repository:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        authorize_virtual_chunk_access: dict[str, Any] | None = None,
+    ):
         self.spark = spark
         self.root = root
+        # url_prefix -> credential (opaque; local/None for file paths),
+        # mirroring Repository.open(..., authorize_virtual_chunk_access)
+        self._virtual_auth = dict(authorize_virtual_chunk_access or {})
+
+    # --- virtual chunk containers (icechunk/src/virtual_chunks.rs) --------
+
+    def set_virtual_chunk_container(self, name: str, url_prefix: str) -> None:
+        """Register (or replace) a container scoping where virtual
+        chunk refs may point.  Persisted in config.json."""
+        if not url_prefix.endswith("/"):
+            raise ValueError("VirtualChunkContainer url_prefix must end in a / character")
+        cfg = self.config()
+        containers = dict(cfg.virtual_chunk_containers or {})
+        containers[name] = {"url_prefix": url_prefix}
+        cfg.virtual_chunk_containers = containers
+        self.save_config(cfg)
+
+    def delete_virtual_chunk_container(self, name: str) -> None:
+        cfg = self.config()
+        containers = dict(cfg.virtual_chunk_containers or {})
+        containers.pop(name, None)
+        cfg.virtual_chunk_containers = containers
+        self.save_config(cfg)
+
+    def virtual_chunk_containers(self) -> dict[str, str]:
+        """name -> url_prefix of every configured container."""
+        cfg = self.config()
+        return {
+            n: c["url_prefix"] for n, c in (cfg.virtual_chunk_containers or {}).items()
+        }
+
+    @property
+    def authorized_virtual_container_prefixes(self) -> set[str]:
+        """Configured container prefixes this Repository instance was
+        opened with access to (reference parity:
+        Repository.authorized_virtual_container_prefixes)."""
+        configured = set(self.virtual_chunk_containers().values())
+        return {p for p in self._virtual_auth if p in configured}
 
     # --- lifecycle --------------------------------------------------------
 
@@ -107,10 +162,15 @@ class Repository:
         return cls(spark, root)
 
     @classmethod
-    def open(cls, spark: SparkSession, root: str) -> "Repository":
+    def open(
+        cls,
+        spark: SparkSession,
+        root: str,
+        authorize_virtual_chunk_access: dict[str, Any] | None = None,
+    ) -> "Repository":
         if not cls.exists(root):
             raise RefError(f"no repository at {root}")
-        return cls(spark, root)
+        return cls(spark, root, authorize_virtual_chunk_access=authorize_virtual_chunk_access)
 
     @classmethod
     def open_or_create(cls, spark: SparkSession, root: str) -> "Repository":
@@ -355,11 +415,22 @@ class Repository:
         if branch is None and tag is None and snapshot_id is None:
             branch = MAIN
         sid = VersionSelector(branch, tag, snapshot_id).resolve(self.root)
-        return Session(self.spark, self.root, sid, branch=None, read_only=True)
+        return self._bind_virtual_auth(
+            Session(self.spark, self.root, sid, branch=None, read_only=True)
+        )
 
     def writable_session(self, branch: str = MAIN) -> Session:
         _, sid = fmt.branch_tip(self.root, branch)
-        return Session(self.spark, self.root, sid, branch=branch, read_only=False)
+        return self._bind_virtual_auth(
+            Session(self.spark, self.root, sid, branch=branch, read_only=False)
+        )
+
+    def _bind_virtual_auth(self, s: Session) -> Session:
+        containers = self.virtual_chunk_containers()
+        if containers:
+            s._virtual_containers = sorted(containers.values())
+            s._virtual_authorized = self.authorized_virtual_container_prefixes
+        return s
 
     def rearrange_session(self, branch: str = MAIN) -> Session:
         """Writable session restricted to ``move`` (rename/reorganize

@@ -135,6 +135,32 @@ class Session:
         self._eager_staging = False
         self._node_ops: list[dict[str, str]] = []  # {op, path, node_id}
         self._chunk_buffer: list[dict[str, Any]] = []  # small set_bytes/virtual writes
+        # virtual chunk container scoping (icechunk/src/virtual_chunks.rs):
+        # configured url prefixes, and the subset this session may READ.
+        # None = no containers configured (legacy/local mode: unscoped).
+        self._virtual_containers: list[str] | None = None
+        self._virtual_authorized: set[str] = set()
+
+    # --- virtual chunk authorization --------------------------------------
+
+    def _check_virtual_write(self, location: str) -> None:
+        if self._virtual_containers is None:
+            return
+        if not any(location.startswith(p) for p in self._virtual_containers):
+            raise RefError(
+                f"virtual ref location {location!r} matches no configured "
+                f"virtual chunk container (prefixes: {self._virtual_containers})"
+            )
+
+    def _check_virtual_read(self, vpath: str) -> None:
+        if self._virtual_containers is None:
+            return
+        if not any(vpath.startswith(p) for p in self._virtual_authorized):
+            raise RefError(
+                f"virtual chunk at {vpath!r} is not under an authorized "
+                "container; pass authorize_virtual_chunk_access when opening "
+                "the repository"
+            )
 
     # --- introspection ----------------------------------------------------
 
@@ -305,6 +331,16 @@ class Session:
         """Distributed read of an array region as coordinate rows."""
         meta = self.array_meta(path)
         manifest = self._resolved_manifest(meta.node_id, slice_chunk_filter(meta, slices))
+        if self._virtual_containers is not None:
+            # container scoping is active: refuse the read if any chunk
+            # in range points outside an authorized prefix (one cheap
+            # metadata-only probe; no payloads are touched)
+            ok = F.lit(False)
+            for p in sorted(self._virtual_authorized):
+                ok = ok | F.col("vpath").startswith(p)
+            bad = manifest.filter(F.col("is_virtual") & ~ok).select("vpath").limit(1).collect()
+            if bad:
+                self._check_virtual_read(bad[0]["vpath"])  # raises
         return decode_chunks_to_rows(self.spark, self.root, manifest, meta, slices)
 
     def chunk_manifest_df(self, path: str | None = None) -> DataFrame:
@@ -340,6 +376,7 @@ class Session:
         """Reference a byte range in an external file as a chunk
         (icechunk/src/virtual_chunks.rs)."""
         self._require_data_writable()
+        self._check_virtual_write(location)
         meta = self.array_meta(path)
         self._chunk_buffer.append(
             {
@@ -369,6 +406,7 @@ class Session:
                 if c["op"] != "set":
                     return None
                 if c["is_virtual"]:
+                    self._check_virtual_read(c["vpath"])
                     with open(c["vpath"], "rb") as f:
                         f.seek(int(c["voffset"]))
                         return f.read(int(c["vlength"]))
@@ -382,6 +420,7 @@ class Session:
             return None
         r = row[0]
         if r["is_virtual"]:
+            self._check_virtual_read(r["vpath"])
             with open(r["vpath"], "rb") as f:
                 f.seek(r["voffset"])
                 return f.read(r["vlength"])

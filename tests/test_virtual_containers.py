@@ -1,0 +1,88 @@
+"""Virtual chunk containers + authorization (reference parity:
+icechunk/src/virtual_chunks.rs VirtualChunkContainer;
+Repository.authorized_virtual_container_prefixes in
+icechunk-python/python/icechunk/repository.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from icechunk_spark.repo import RefError, Repository
+
+
+@pytest.fixture()
+def ext_file(tmp_path):
+    p = tmp_path / "external.bin"
+    with open(p, "wb") as f:
+        f.write(b"HDR!")
+        f.write(np.arange(4, dtype="float64").tobytes())
+    return str(p)
+
+
+def _mkrepo(spark, tmp_path, prefix):
+    repo = Repository.create(spark, str(tmp_path / "repo"))
+    repo.set_virtual_chunk_container("data", prefix)
+    return repo
+
+
+def test_container_config_roundtrip(spark, tmp_path):
+    repo = _mkrepo(spark, tmp_path, "file:///data/")
+    repo.set_virtual_chunk_container("lake", "s3://bucket/prefix/")
+    assert repo.virtual_chunk_containers() == {
+        "data": "file:///data/",
+        "lake": "s3://bucket/prefix/",
+    }
+    # persisted: a fresh open sees the same containers
+    reopened = Repository.open(spark, repo.root)
+    assert reopened.virtual_chunk_containers() == repo.virtual_chunk_containers()
+    reopened.delete_virtual_chunk_container("lake")
+    assert "lake" not in reopened.virtual_chunk_containers()
+
+
+def test_url_prefix_must_end_with_slash(spark, tmp_path):
+    repo = Repository.create(spark, str(tmp_path / "repo"))
+    with pytest.raises(ValueError, match="must end in a /"):
+        repo.set_virtual_chunk_container("bad", "s3://bucket/prefix")
+
+
+def test_write_outside_container_denied(spark, tmp_path, ext_file):
+    repo = _mkrepo(spark, tmp_path, "s3://somewhere-else/")
+    with pytest.raises(RefError, match="no configured virtual chunk container"):
+        with repo.transaction(message="virt") as s:
+            s.create_array("/v", shape=[4], chunk_shape=[4])
+            s.set_virtual_ref("/v", "0", ext_file, offset=4, length=32)
+
+
+def test_read_requires_authorization(spark, tmp_path, ext_file):
+    prefix = ext_file[: ext_file.rindex("/") + 1]
+    repo = _mkrepo(spark, tmp_path, prefix)
+    with repo.transaction(message="virt") as s:
+        s.create_array("/v", shape=[4], chunk_shape=[4])
+        s.set_virtual_ref("/v", "0", ext_file, offset=4, length=32)
+
+    # opened WITHOUT authorization: both read paths refuse
+    unauth = Repository.open(spark, repo.root)
+    assert unauth.authorized_virtual_container_prefixes == set()
+    with pytest.raises(RefError, match="not under an authorized"):
+        unauth.readonly_session().get_chunk_bytes("/v", "0")
+    with pytest.raises(RefError, match="not under an authorized"):
+        unauth.readonly_session().read_array_df("/v").collect()
+
+    # opened WITH authorization for the container: reads succeed
+    auth = Repository.open(spark, repo.root, authorize_virtual_chunk_access={prefix: None})
+    assert auth.authorized_virtual_container_prefixes == {prefix}
+    got = auth.readonly_session().get_chunk_bytes("/v", "0")
+    assert got == np.arange(4, dtype="float64").tobytes()
+    rows = auth.readonly_session().read_array_df("/v").collect()
+    assert sorted(r["value"] for r in rows) == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_authorization_ignores_unconfigured_prefixes(spark, tmp_path, ext_file):
+    prefix = ext_file[: ext_file.rindex("/") + 1]
+    repo = _mkrepo(spark, tmp_path, prefix)
+    # authorizing a prefix that is not a configured container grants nothing
+    other = Repository.open(
+        spark, repo.root, authorize_virtual_chunk_access={"s3://elsewhere/": None}
+    )
+    assert other.authorized_virtual_container_prefixes == set()
