@@ -22,6 +22,7 @@ import os
 import shutil
 import time
 from dataclasses import dataclass, field
+from enum import IntEnum
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,6 +53,15 @@ from icechunk_spark.repo.format import (
 def _dp(root: str, *parts: str) -> str:
     """Data-plane (Spark parquet) path under the repo's storage."""
     return fmt.data_path(root, os.path.join(*parts))
+
+
+class ChunkType(IntEnum):
+    """Zarr chunk storage kinds (reference parity: icechunk.ChunkType)."""
+
+    uninitialized = 0
+    native = 1
+    virtual = 2
+    inline = 3
 
 
 class ConflictError(Exception):
@@ -398,6 +408,51 @@ class Session:
     def all_virtual_chunk_locations(self) -> list[str]:
         df = self._resolved_manifest(None, None).filter(F.col("is_virtual"))
         return sorted({r["vpath"] for r in df.select("vpath").distinct().collect()})
+
+    def chunk_coordinates(self, array_path: str, batch_size: int = 1000):
+        """Iterator over the grid coordinates of every initialized
+        chunk of an array (reference parity: Session.chunk_coordinates,
+        icechunk-python session.py:327).  Streams the resolved manifest
+        partition-by-partition — never materializes it on the driver."""
+        meta = self.array_meta(array_path)
+        rows = (
+            self._resolved_manifest(meta.node_id, None)
+            .select("chunk_key")
+            .orderBy("chunk_key")
+            .toLocalIterator()
+        )
+        for r in rows:
+            yield tuple(int(x) for x in r["chunk_key"].split("."))
+
+    def chunk_type(self, array_path: str, chunk_coordinates) -> "ChunkType":
+        """The storage kind of one chunk (reference parity:
+        Session.chunk_type, session.py:343): uninitialized / native /
+        virtual / inline."""
+        meta = self.array_meta(array_path)
+        key = ".".join(str(int(x)) for x in chunk_coordinates)
+        for c in reversed(self._chunk_buffer):
+            if c["node_id"] == meta.node_id and c["chunk_key"] == key:
+                if c["op"] != "set":
+                    return ChunkType.uninitialized
+                if c.get("is_virtual"):
+                    return ChunkType.virtual
+                payload = c.get("payload")
+                if payload is not None and len(payload) <= self._inline_threshold():
+                    return ChunkType.inline
+                return ChunkType.native
+        row = (
+            self._resolved_manifest(meta.node_id, None)
+            .filter(F.col("chunk_key") == key)
+            .select("is_virtual", "inline")
+            .collect()
+        )
+        if not row:
+            return ChunkType.uninitialized
+        if row[0]["is_virtual"]:
+            return ChunkType.virtual
+        if row[0]["inline"] is not None:
+            return ChunkType.inline
+        return ChunkType.native
 
     def get_chunk_bytes(self, path: str, chunk_key: str) -> bytes | None:
         meta = self.array_meta(path)
@@ -985,6 +1040,41 @@ class Session:
             self._staged.extend(o._staged)
             self._node_ops.extend(o._node_ops)
 
+    # --- pickling (read-scaling across workers) ---------------------------
+    # Reference parity: Session.__getstate__ (session.py:39-60) — only
+    # read-only sessions serialize; writers must fork().
+
+    def __getstate__(self):
+        if not self._read_only:
+            raise ValueError(
+                "You must opt-in to pickle writable sessions in a distributed "
+                "context using Session.fork()"
+            )
+        return {
+            "root": self.root,
+            "snapshot_id": self._base.id,
+            "session_id": self.session_id,
+            "virtual_containers": self._virtual_containers,
+            "virtual_authorized": sorted(self._virtual_authorized),
+        }
+
+    def __setstate__(self, state):
+        from pyspark.sql import SparkSession
+
+        self.spark = SparkSession.getActiveSession()
+        self.root = state["root"]
+        self._base = fmt.read_snapshot(self.root, state["snapshot_id"])
+        self._branch = None
+        self._read_only = True
+        self.session_id = state["session_id"]
+        self._nodes = dict(self._base.nodes)
+        self._staged = []
+        self._eager_staging = False
+        self._node_ops = []
+        self._chunk_buffer = []
+        self._virtual_containers = state.get("virtual_containers")
+        self._virtual_authorized = set(state.get("virtual_authorized") or [])
+
 
 class ForkSession(Session):
     def __init__(self, spark, root, snapshot_id, nodes):
@@ -1018,6 +1108,8 @@ class ForkSession(Session):
         self._eager_staging = True
         self._node_ops = []
         self._chunk_buffer = []
+        self._virtual_containers = None
+        self._virtual_authorized = set()
 
 
 def _norm(path: str) -> str:

@@ -128,6 +128,186 @@ class ChunkStore:
             except RefError:
                 pass
 
+    def clear(self) -> None:
+        """Reference parity: store.clear (store.py:116)."""
+        self.sync_clear()
+
+    # --- sizes (store.py:668-671) -----------------------------------------
+
+    def getsize(self, key: str) -> int:
+        """Byte size of one key WITHOUT fetching chunk payloads —
+        native/virtual sizes come from the manifest."""
+        from pyspark.sql import functions as F
+
+        path, chunk = self._parse(key)
+        if chunk is None:
+            return len(json.dumps(self.session._node(path)).encode())
+        meta = self.session.array_meta(path)
+        for c in reversed(self.session._chunk_buffer):
+            if c["node_id"] == meta.node_id and c["chunk_key"] == chunk:
+                if c["op"] != "set":
+                    raise RefError(f"no chunk at {key}")
+                if c.get("is_virtual"):
+                    return int(c["vlength"])
+                return len(c["payload"])
+        row = (
+            self.session._resolved_manifest(meta.node_id, None)
+            .filter(F.col("chunk_key") == chunk)
+            .select("n_bytes", "is_virtual", "vlength", "inline")
+            .collect()
+        )
+        if not row:
+            raise RefError(f"no chunk at {key}")
+        r = row[0]
+        if r["is_virtual"]:
+            return int(r["vlength"])
+        if r["inline"] is not None:
+            return len(bytes(r["inline"]))
+        return int(r["n_bytes"])
+
+    def getsize_prefix(self, prefix: str) -> int:
+        """Total bytes under a prefix — one distributed aggregation
+        over the manifest (no payload reads, nothing collected but the
+        final sum)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import broadcast
+
+        from icechunk_spark.engine import local_df
+
+        prefix = prefix.lstrip("/")
+        total = 0
+        for p in self.session.list_nodes():
+            k = (p.lstrip("/") + "/zarr.json").lstrip("/")
+            if k.startswith(prefix):
+                total += len(json.dumps(self.session._node(p)).encode())
+        nodes = self.session.list_nodes()
+        paths = local_df(
+            self.session.spark,
+            [(self.session._nodes[p]["node_id"], p.lstrip("/")) for p in nodes],
+            "node_id string, path string",
+        )
+        size = (
+            F.when(F.col("is_virtual"), F.col("vlength"))
+            .when(F.col("inline").isNotNull(), F.octet_length("inline"))
+            .otherwise(F.coalesce(F.col("n_bytes"), F.lit(0)))
+        )
+        sized = (
+            self.session.chunk_manifest_df()
+            .join(broadcast(paths), "node_id")
+            .select(
+                F.concat_ws(
+                    "/",
+                    F.when(F.col("path") != "", F.concat(F.col("path"), F.lit("/c"))).otherwise(
+                        "c"
+                    ),
+                    F.translate("chunk_key", ".", "/"),
+                ).alias("key"),
+                size.alias("size"),
+            )
+        )
+        if prefix:
+            sized = sized.filter(F.col("key").startswith(prefix))
+        row = sized.agg(F.sum("size").alias("b")).collect()[0]
+        return total + int(row["b"] or 0)
+
+    # --- columnar chunk-ref iteration (store.py:278) ----------------------
+
+    def array_chunk_iterator(self, array_path: str, batch_size: int = 100_000):
+        """Yield columnar batches of chunk references for one array,
+        mirroring the reference's 6-tuple layout: (coords uint32 (n,
+        ndim), kinds uint8 (native=1, virtual=2, inline=3), paths
+        list[str], offsets uint64, lengths uint64, inlined {row:
+        bytes}).  Streams the manifest; driver holds one batch at a
+        time."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from icechunk_spark.repo.session import ChunkType
+
+        meta = self.session.array_meta(array_path)
+        ndim = len(meta.shape)
+        rows = (
+            self.session._resolved_manifest(meta.node_id, None)
+            .select("chunk_key", "chunk_id", "n_bytes", "is_virtual", "vpath", "voffset", "vlength", "inline")
+            .orderBy("chunk_key")
+            .toLocalIterator()
+        )
+
+        def flush(batch):
+            n = len(batch)
+            coords = np.zeros((n, ndim), dtype=np.uint32)
+            kinds = np.zeros(n, dtype=np.uint8)
+            paths: list[str] = []
+            offsets = np.zeros(n, dtype=np.uint64)
+            lengths = np.zeros(n, dtype=np.uint64)
+            inlined: dict[int, bytes] = {}
+            for i, r in enumerate(batch):
+                coords[i] = [int(x) for x in r["chunk_key"].split(".")]
+                if r["is_virtual"]:
+                    kinds[i] = int(ChunkType.virtual)
+                    paths.append(r["vpath"])
+                    offsets[i] = int(r["voffset"] or 0)
+                    lengths[i] = int(r["vlength"] or 0)
+                elif r["inline"] is not None:
+                    kinds[i] = int(ChunkType.inline)
+                    paths.append("")
+                    inlined[i] = bytes(r["inline"])
+                    lengths[i] = len(inlined[i])
+                else:
+                    kinds[i] = int(ChunkType.native)
+                    paths.append(r["chunk_id"] or "")
+                    lengths[i] = int(r["n_bytes"] or 0)
+            return coords, kinds, paths, offsets, lengths, inlined
+
+        batch: list = []
+        for r in rows:
+            batch.append(r)
+            if len(batch) >= batch_size:
+                yield flush(batch)
+                batch = []
+        if batch:
+            yield flush(batch)
+
+    # --- bulk virtual refs (store.py:421) ---------------------------------
+
+    def set_virtual_refs_arr(
+        self,
+        array_path: str,
+        chunk_grid_shape: tuple[int, ...],
+        locations: list[str],
+        offsets,
+        lengths,
+        *,
+        validate_containers: bool = True,
+        arr_offset: tuple[int, ...] | None = None,
+    ) -> list[tuple[int, ...]] | None:
+        """Store virtual refs from flat C-order arrays of locations /
+        offsets / lengths.  Empty locations are skipped; refs failing
+        container validation are skipped and their grid coordinates
+        returned (reference parity: store.set_virtual_refs_arr)."""
+        import itertools
+
+        n = 1
+        for g in chunk_grid_shape:
+            n *= g
+        if not (len(locations) == len(offsets) == len(lengths) == n):
+            raise ValueError("array lengths must equal prod(chunk_grid_shape)")
+        base = arr_offset or tuple(0 for _ in chunk_grid_shape)
+        failed: list[tuple[int, ...]] = []
+        sess = self.session
+        for i, pos in enumerate(itertools.product(*[range(g) for g in chunk_grid_shape])):
+            loc = locations[i]
+            if not loc:
+                continue
+            coord = tuple(p + b for p, b in zip(pos, base))
+            if validate_containers and sess._virtual_containers is not None:
+                if not any(loc.startswith(p) for p in sess._virtual_containers):
+                    failed.append(coord)
+                    continue
+            key = ".".join(str(x) for x in coord)
+            sess.set_virtual_ref(array_path, key, loc, int(offsets[i]), int(lengths[i]))
+        return failed or None
+
     # --- listing ----------------------------------------------------------
 
     def list(self) -> Iterator[str]:
