@@ -271,13 +271,14 @@ ORDER BY day ASC NULLS FIRST, hour ASC NULLS FIRST, event_type ASC NULLS FIRST
 
 
 def sketch_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch frequency estimation (rows-only: DuckDB has no
-    CMS).  The sketch is built distributed — Spark's count_min_sketch
-    aggregate merges per-partition sketches, so the shuffle carries one
-    small binary blob per partition, never the keys.  Estimates are
-    read driver-side and returned next to the exact counts; the
-    one-sided CMS guarantee (estimate ≥ exact, ≤ exact + eps·N w.h.p.)
-    is asserted in tests."""
+    """Count-min sketch frequency estimation.  The sketch is built
+    distributed — Spark's count_min_sketch aggregate merges
+    per-partition sketches, so the shuffle carries one small binary
+    blob per partition, never the keys.  The sketch value itself is
+    engine-specific, so the query emits the exact counts plus a
+    boolean asserting the one-sided CMS guarantee (exact <= estimate
+    <= exact + eps*N); the oracle produces the same counts with
+    within_bounds = TRUE, making the invariant driver-checkable."""
     from icechunk_spark.engine import local_df
 
     t = load_tables(spark, sf_dir)
@@ -297,13 +298,29 @@ def sketch_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["event_type"]: r["n"]
         for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    total = sum(exact.values())
+    eps_bound = int(0.001 * total) + 1  # CMS guarantee: exact <= est <= exact + eps*N
     rows = [
-        {"event_type": et, "exact_count": n, "cms_estimate": int(cms.estimateCount(et))}
+        {
+            "event_type": et,
+            "exact_count": n,
+            "within_bounds": n <= int(cms.estimateCount(et)) <= n + eps_bound,
+        }
         for et, n in sorted(exact.items())
     ]
     return local_df(
-        spark, rows, "event_type string, exact_count bigint, cms_estimate bigint"
+        spark, rows, "event_type string, exact_count bigint, within_bounds boolean"
     )
+
+
+SKETCH_EVENT_COUNTS_SQL = """
+SELECT event_type,
+       count(*) AS exact_count,
+       TRUE AS within_bounds
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 QUERIES = {
@@ -324,5 +341,6 @@ ORACLES = {
     "histogram_value": HISTOGRAM_SQL,
     "time_resample": TIME_RESAMPLE_SQL,
     "customer_retention_setops": RETENTION_SETOPS_SQL,
+    "sketch_event_counts": SKETCH_EVENT_COUNTS_SQL,
     "hypertable_rollup": HYPERTABLE_ROLLUP_SQL,
 }

@@ -543,6 +543,55 @@ ORDER BY vec_a, vec_b
 EMBEDDING_NEARDUP_SQL = _neardup_sql(NEARDUP_BANDS, NEARDUP_BAND_BITS, NEARDUP_THRESHOLD)
 
 
+def _simhash_sql() -> str:
+    """DuckDB mirror of the banded simhash pipeline.  Note the 4x8-bit
+    block bucketing is EXHAUSTIVE for hamming <= 3 (pigeonhole: 3 bit
+    flips touch at most 3 of the 4 blocks, so one block always
+    matches), so this oracle checks full equality of the operator, not
+    a sampled invariant.  Token hashes are the same
+    md5-prefix-as-int32 on both engines; DuckDB lacks conv(hex), so
+    the hex digits are folded positionally."""
+    hex2int = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
+  FROM documents
+), hh AS (
+  SELECT doc_id, substr(md5(tok), 1, 8) AS hh FROM toks
+), hashed AS (
+  SELECT doc_id, CAST({hex2int} AS BIGINT) AS h FROM hh
+), votes AS (
+  SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+), sim AS (
+  SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes
+), blocks AS (
+  SELECT doc_id, simhash, b AS blk_idx, (simhash >> (b * 8)) & 255 AS blk
+  FROM sim, (SELECT unnest([0, 1, 2, 3]) AS b) t
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM blocks a JOIN blocks b
+    ON a.blk_idx = b.blk_idx AND a.blk = b.blk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs
+WHERE hamming <= {HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_keep_first": dedup_exact_keep_first,
@@ -559,5 +608,6 @@ ORACLES = {
     "ngram_jaccard": NGRAM_JACCARD_SQL,
     "minhash_lsh": MINHASH_LSH_SQL,
     "dedup_cluster": DEDUP_CLUSTER_SQL,
+    "simhash": SIMHASH_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
 }

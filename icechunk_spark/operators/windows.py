@@ -117,15 +117,40 @@ ORDER BY l_returnflag
 
 
 def distinct_count_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct (rows-only check: sketch values are
-    engine-specific; exactness asserted separately in tests)."""
+    """HLL approximate distinct with an ORACLE-CHECKABLE error bound:
+    the sketch value itself is engine-specific, so the query emits the
+    exact count plus a boolean asserting |approx - exact| / exact <=
+    5% (2.5x the configured 2% rsd).  The DuckDB oracle produces the
+    same exact counts with within_bound = TRUE, so the driver's hash
+    compare fails iff the HLL estimate ever drifts out of bounds."""
     t = load_tables(spark, sf_dir)
     return (
         t["lineitem"]
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_partkey", 0.02).alias("n_parts_approx"))
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts_exact"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
+        )
+        .select(
+            "l_returnflag",
+            "n_parts_exact",
+            (
+                F.abs(F.col("approx") - F.col("n_parts_exact"))
+                <= F.col("n_parts_exact") * 0.05
+            ).alias("within_bound"),
+        )
         .orderBy("l_returnflag")
     )
+
+
+DISTINCT_APPROX_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts_exact,
+       TRUE AS within_bound
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
 
 
 def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,6 +512,7 @@ ORACLES = {
     "topk_per_group": TOPK_SQL,
     "running_agg": RUNNING_SQL,
     "distinct_count_exact": DISTINCT_SQL,
+    "distinct_count_approx": DISTINCT_APPROX_SQL,
     "percentiles": PERCENTILES_SQL,
     "rollup_cube": ROLLUP_SQL,
     "asof_join": ASOF_SQL,
