@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from icechunk_spark.catalog import load_tables
 from icechunk_spark.functions import cosine, normalized_text, tokenize
@@ -109,17 +110,30 @@ ORDER BY doc_id
 
 # --- n-gram jaccard ------------------------------------------------------
 
-def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All near-dup pairs with shingle-set Jaccard ≥ 0.5, found via the
-    shared-shingle explode-join (no full cross product)."""
-    t = load_tables(spark, sf_dir)
-    # persist: the shingle projection feeds three branches (sizes,
-    # explode-a, explode-b) — without it the split+distinct recomputes per branch
-    docs = (
-        t["documents"].select("doc_id", shingles_col(F.col("text")).alias("sh")).persist()
+# Hot-shingle cap: shingles appearing in more than this many documents
+# are excluded from the UNIVERSE (sizes and join alike, so the Jaccard
+# stays exact over the capped universe — the stop-phrase-removal
+# trick).  A shingle with df=d produces O(d^2) join pairs; one
+# boilerplate phrase shared by 1% of a 10^9-doc corpus would alone
+# emit 10^14 pairs.  The oracle applies the identical cap.  At the
+# test SFs max df is 3, so results are unchanged there.
+NGRAM_DF_CAP = 100
+
+
+def ngram_jaccard_pairs(docs: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
+    """Near-dup pairs (Jaccard >= threshold over the df-capped shingle
+    universe) from a (doc_id, sh: array<string>) frame.  Split out so
+    the skew test can drive it with an adversarial corpus."""
+    ex_all = docs.select("doc_id", F.explode("sh").alias("s"))
+    hot = (
+        ex_all.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("s")
     )
-    sizes = docs.select("doc_id", F.size("sh").alias("n_sh"))
-    ex = docs.select("doc_id", F.explode("sh").alias("s"))
+    # the hot set is tiny by construction — broadcast the anti-join
+    ex = ex_all.join(broadcast(hot), "s", "left_anti")
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = ex.alias("a"), ex.alias("b")
     shared = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -139,12 +153,27 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All near-dup pairs with shingle-set Jaccard ≥ 0.5, found via the
+    shared-shingle explode-join (no full cross product), with hot
+    shingles df-capped out of the universe."""
+    t = load_tables(spark, sf_dir)
+    # persist: the shingle projection feeds several branches — without
+    # it the split+distinct recomputes per branch
+    docs = (
+        t["documents"].select("doc_id", shingles_col(F.col("text")).alias("sh")).persist()
+    )
+    return ngram_jaccard_pairs(docs)
+
+
 NGRAM_JACCARD_SQL = f"""
 WITH sh AS (
   SELECT doc_id, {DUCK_SHINGLES} AS sh
   FROM (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents)
-), ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
-sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+), ex_all AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+hot AS (SELECT s FROM ex_all GROUP BY s HAVING count(*) > {NGRAM_DF_CAP}),
+ex AS (SELECT doc_id, s FROM ex_all ANTI JOIN hot USING (s)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
