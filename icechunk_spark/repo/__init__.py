@@ -29,6 +29,13 @@ from icechunk_spark.repo.session import (
     Session,
     VersionSelector,
 )
+from icechunk_spark.repo.admin import (
+    FeatureFlag,
+    FeatureFlagDisabled,
+    RepoAvailability,
+    RepoStatus,
+    Update,
+)
 from icechunk_spark.repo.storage import (
     InMemoryObjectStorage,
     LocalFilesystemStorage,

@@ -23,6 +23,14 @@ from icechunk_spark.engine import local_df
 
 from icechunk_spark.repo import format as fmt
 from icechunk_spark.repo import manifests as mf
+from icechunk_spark.repo.admin import (
+    FEATURE_FLAGS,
+    FeatureFlag,
+    RepoAvailability,
+    RepoStatus,
+    Update,
+    check_flag,
+)
 from icechunk_spark.repo.format import RefError, SnapshotInfo, new_id
 from icechunk_spark.repo.session import ConflictSolver, Diff, Session, VersionSelector
 
@@ -135,6 +143,78 @@ class Repository:
         Repository.authorized_virtual_container_prefixes)."""
         configured = set(self.virtual_chunk_containers().values())
         return {p for p in self._virtual_auth if p in configured}
+
+    # --- status / feature flags / ops log (admin plane) -------------------
+
+    def get_status(self) -> RepoStatus:
+        """Reference parity: Repository.get_status (repository.py:798)."""
+        doc = fmt.read_repo_info(self.root).get("status")
+        if doc is None:
+            return RepoStatus(availability=RepoAvailability.online)
+        return RepoStatus.from_dict(doc)
+
+    @property
+    def status(self) -> RepoStatus:
+        return self.get_status()
+
+    def set_status(self, status: RepoStatus) -> None:
+        info = fmt.read_repo_info(self.root)
+        info["status"] = status.to_dict()
+        fmt.write_repo_info(self.root, info)
+        self._log_update({"type": "StatusChanged", "availability": status.availability.name})
+
+    def _require_online(self, what: str) -> None:
+        st = self.get_status()
+        if st.availability is not RepoAvailability.online:
+            reason = st.limited_availability_reason or "repository is read-only"
+            raise RefError(f"cannot {what}: {reason}")
+
+    def _flag_settings(self) -> dict[str, bool]:
+        return dict(fmt.read_repo_info(self.root).get("feature_flags", {}))
+
+    def feature_flags(self) -> list[FeatureFlag]:
+        """All flags with id, name, default, setting, and effective
+        state (reference parity: feature_flags.rs registry)."""
+        settings = self._flag_settings()
+        return [
+            FeatureFlag(id=fid, name=name, default=default, setting=settings.get(name))
+            for name, (fid, default) in sorted(FEATURE_FLAGS.items(), key=lambda kv: kv[1][0])
+        ]
+
+    def enabled_feature_flags(self) -> list[FeatureFlag]:
+        return [f for f in self.feature_flags() if f.enabled]
+
+    def disabled_feature_flags(self) -> list[FeatureFlag]:
+        return [f for f in self.feature_flags() if not f.enabled]
+
+    def set_feature_flag(self, name: str, setting: bool | None) -> None:
+        """True = enable, False = disable, None = reset to default."""
+        if name not in FEATURE_FLAGS:
+            raise KeyError(f"unknown feature flag {name!r}")
+        info = fmt.read_repo_info(self.root)
+        flags = dict(info.get("feature_flags", {}))
+        if setting is None:
+            flags.pop(name, None)
+        else:
+            flags[name] = bool(setting)
+        info["feature_flags"] = flags
+        fmt.write_repo_info(self.root, info)
+        self._log_update({"type": "FeatureFlagChanged", "name": name, "setting": setting})
+
+    def _check_flag(self, name: str, what: str) -> None:
+        check_flag(self._flag_settings(), name, what)
+
+    def _log_update(self, kind: dict[str, Any]) -> None:
+        u = Update(kind=kind)
+        key = f"ops_log/{u.updated_at:020.6f}-{new_id()[:8]}.json"
+        fmt.resolve_storage(self.root).put_json(key, u.to_dict())
+
+    def ops_log(self) -> Iterator[Update]:
+        """Summary of administrative changes, oldest first (reference
+        parity: Repository.ops_log, repository.py:1067)."""
+        s = fmt.resolve_storage(self.root)
+        for name in sorted(s.list_dir("ops_log")):
+            yield Update.from_dict(s.get_json(f"ops_log/{name}"))
 
     # --- lifecycle --------------------------------------------------------
 
@@ -313,8 +393,10 @@ class Repository:
     # --- refs -------------------------------------------------------------
 
     def create_branch(self, branch: str, snapshot_id: str) -> None:
+        self._require_online("create branch")
         fmt.read_snapshot(self.root, snapshot_id)  # must exist
         fmt.create_branch(self.root, branch, snapshot_id)
+        self._log_update({"type": "BranchCreated", "name": branch})
 
     def list_branches(self) -> set[str]:
         return fmt.list_branches(self.root)
@@ -323,23 +405,38 @@ class Repository:
         return fmt.branch_tip(self.root, branch)[1]
 
     def reset_branch(self, branch: str, snapshot_id: str) -> None:
+        self._require_online("reset branch")
         fmt.read_snapshot(self.root, snapshot_id)
         gen, _ = fmt.branch_tip(self.root, branch)
         fmt.update_branch(self.root, branch, snapshot_id, expected_gen=gen)
+        self._log_update(
+            {"type": "BranchReset", "name": branch, "to_snap_id": snapshot_id}
+        )
 
     def delete_branch(self, branch: str) -> None:
         if branch == MAIN:
             raise RefError("cannot delete main")
+        self._require_online("delete branch")
+        prev = fmt.branch_tip(self.root, branch)[1]
         fmt.delete_branch(self.root, branch)
+        self._log_update(
+            {"type": "BranchDeleted", "name": branch, "previous_snap_id": prev}
+        )
 
     def create_tag(self, tag: str, snapshot_id: str) -> None:
+        self._require_online("create tag")
+        self._check_flag("create_tag", "tag creation")
         if fmt.tag_was_deleted(self.root, tag):
             raise RefError(f"tag {tag} was deleted; names are never reused")
         fmt.read_snapshot(self.root, snapshot_id)
         fmt.create_tag(self.root, tag, snapshot_id)
+        self._log_update({"type": "TagCreated", "name": tag})
 
     def delete_tag(self, tag: str) -> None:
+        self._require_online("delete tag")
+        self._check_flag("delete_tag", "tag deletion")
         fmt.delete_tag(self.root, tag)
+        self._log_update({"type": "TagDeleted", "name": tag})
 
     def list_tags(self) -> set[str]:
         return fmt.list_tags(self.root)
@@ -420,6 +517,7 @@ class Repository:
         )
 
     def writable_session(self, branch: str = MAIN) -> Session:
+        self._require_online("open a writable session")
         _, sid = fmt.branch_tip(self.root, branch)
         return self._bind_virtual_auth(
             Session(self.spark, self.root, sid, branch=branch, read_only=False)
@@ -602,6 +700,7 @@ class Repository:
             for t in self.list_tags():
                 if fmt.read_tag(self.root, t) in expired:
                     fmt.delete_tag(self.root, t)
+        self._log_update({"type": "SnapshotsExpired", "n_expired": len(expired)})
         return expired
 
     def _reachable_snapshots(self) -> set[str]:
@@ -729,6 +828,14 @@ class Repository:
                 full = os.path.join(sdir, d)
                 if _old(full):
                     shutil.rmtree(full, ignore_errors=True)
+        if not dry_run:
+            self._log_update(
+                {
+                    "type": "GarbageCollected",
+                    "chunk_files_deleted": summary.chunk_files_deleted,
+                    "snapshots_deleted": summary.snapshots_deleted,
+                }
+            )
         return summary
 
     def rewrite_manifests(self, branch: str = MAIN, message: str = "rewrite manifests") -> str:
@@ -756,6 +863,7 @@ class Repository:
         )
         fmt.write_snapshot(self.root, snap)
         fmt.update_branch(self.root, branch, snap.id, expected_gen=gen)
+        self._log_update({"type": "ManifestsRewritten", "branch": branch})
         return snap.id
 
     def chunk_storage_stats(self, snapshot_id: str | None = None) -> DataFrame:

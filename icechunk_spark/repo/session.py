@@ -290,6 +290,11 @@ class Session:
         key chunks by node_id, so no chunk or manifest rewrite happens
         (same design as icechunk-types Move / session.move)."""
         self._require_writable()
+        from icechunk_spark.repo.admin import check_flag
+
+        check_flag(
+            fmt.read_repo_info(self.root).get("feature_flags", {}), "move_node", "move()"
+        )
         src, dst = _norm(from_path), _norm(to_path)
         if dst in self._nodes:
             raise RefError(f"destination {dst} exists")
