@@ -22,7 +22,13 @@ from icechunk_spark.repo.format import (
     RefError,
     SnapshotInfo,
 )
-from icechunk_spark.repo.repository import Repository
+from icechunk_spark.repo.repository import (
+    CachingConfig,
+    CompressionConfig,
+    ManifestConfig,
+    Repository,
+    RepositoryConfig,
+)
 from icechunk_spark.repo.session import (
     ConflictError,
     ConflictSolver,

@@ -129,15 +129,34 @@ def _snapshot_key(snapshot_id: str) -> str:
     return f"snapshots/{snapshot_id}.json"
 
 
+# Snapshot docs optionally compress (config.json compression section —
+# the reference zstd-compresses snapshot metadata in icechunk-format;
+# zlib here).  Self-describing magic prefix so mixed repos read fine.
+_ZMAGIC = b"ICZ1"
+
+
 def write_snapshot(root: "str | Storage", snap: SnapshotInfo) -> None:
-    resolve_storage(root).put_json(_snapshot_key(snap.id), asdict(snap))
+    s = resolve_storage(root)
+    raw = json.dumps(asdict(snap)).encode()
+    doc = read_config_doc(s)
+    comp = (doc or {}).get("compression") or {}
+    if comp.get("algorithm") == "zlib":
+        import zlib
+
+        raw = _ZMAGIC + zlib.compress(raw, int(comp.get("level", 3)))
+    s.put(_snapshot_key(snap.id), raw)
 
 
 def read_snapshot(root: "str | Storage", snapshot_id: str) -> SnapshotInfo:
     s = resolve_storage(root)
     if not s.exists(_snapshot_key(snapshot_id)):
         raise RefError(f"snapshot {snapshot_id} not found")
-    return SnapshotInfo(**s.get_json(_snapshot_key(snapshot_id)))
+    raw = s.get(_snapshot_key(snapshot_id))
+    if raw[:4] == _ZMAGIC:
+        import zlib
+
+        raw = zlib.decompress(raw[4:])
+    return SnapshotInfo(**json.loads(raw.decode()))
 
 
 def delete_snapshot(root: "str | Storage", snapshot_id: str) -> None:

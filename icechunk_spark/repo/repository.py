@@ -45,13 +45,77 @@ SPEC_VERSION = 1
 
 
 @dataclass
+class CompressionConfig:
+    """Metadata compression (reference: CompressionConfig — zstd level
+    3 by default there; zlib here, the container's stdlib codec).
+    Applies to snapshot JSON docs; manifests are parquet and already
+    codec-compressed."""
+
+    algorithm: str = "zlib"  # "zlib" | "none"
+    level: int = 3
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"algorithm": self.algorithm, "level": self.level}
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "CompressionConfig":
+        return cls(algorithm=d.get("algorithm", "zlib"), level=int(d.get("level", 3)))
+
+
+@dataclass
+class CachingConfig:
+    """Metadata caching (reference: CachingConfig).  In the Spark
+    re-expression the one cache that matters is the resolved manifest
+    DataFrame: with num_chunk_refs > 0, sessions persist() it so
+    repeated reads in a session skip the resolve shuffle."""
+
+    num_snapshot_nodes: int = 500_000
+    num_chunk_refs: int = 15_000_000
+    num_transaction_changes: int = 0
+    num_bytes_attributes: int = 0
+    num_bytes_chunks: int = 0
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "num_snapshot_nodes": self.num_snapshot_nodes,
+            "num_chunk_refs": self.num_chunk_refs,
+            "num_transaction_changes": self.num_transaction_changes,
+            "num_bytes_attributes": self.num_bytes_attributes,
+            "num_bytes_chunks": self.num_bytes_chunks,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "CachingConfig":
+        return cls(**{k: int(v) for k, v in d.items() if k in cls.__dataclass_fields__})
+
+
+@dataclass
+class ManifestConfig:
+    """Manifest policies (reference: ManifestConfig).  ``splitting``
+    maps to the split-file count used by write_manifest;
+    ``preload_paths`` lists node paths whose resolved manifests a
+    readonly session eagerly persists (the reference's
+    ManifestPreloadConfig, re-expressed as Spark caching)."""
+
+    preload_paths: list[str] | None = None
+
+    def to_dict(self) -> dict[str, Any]:
+        return {"preload_paths": self.preload_paths}
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "ManifestConfig":
+        return cls(preload_paths=d.get("preload_paths"))
+
+
+@dataclass
 class RepositoryConfig:
     """Persisted repository configuration (config.json).
 
     The Spark-relevant subset of the reference's RepositoryConfig
     (icechunk-python config.py): knobs that change how the data plane
-    lays files out.  Unknown keys round-trip untouched so configs
-    written by newer versions still open.
+    lays files out, plus compression/caching/manifest/retry policies.
+    Unknown keys round-trip untouched so configs written by newer
+    versions still open.
     """
 
     target_chunk_file_mb: int = 64
@@ -60,6 +124,13 @@ class RepositoryConfig:
     # name -> {"url_prefix": ...}; scopes where virtual chunk refs may
     # point (icechunk/src/virtual_chunks.rs VirtualChunkContainer)
     virtual_chunk_containers: dict[str, dict[str, Any]] | None = None
+    compression: CompressionConfig | None = None
+    caching: CachingConfig | None = None
+    manifest: ManifestConfig | None = None
+    # bound on commit CAS retries (reference: RepoUpdateRetryConfig)
+    repo_update_retries: int = 10
+    # thread fan-out for store.get_partial_values (reference knob)
+    get_partial_values_concurrency: int = 1
     extra: dict[str, Any] | None = None
 
     _KNOWN = (
@@ -67,22 +138,41 @@ class RepositoryConfig:
         "manifest_split_files",
         "inline_chunk_threshold_bytes",
         "virtual_chunk_containers",
+        "compression",
+        "caching",
+        "manifest",
+        "repo_update_retries",
+        "get_partial_values_concurrency",
     )
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "RepositoryConfig":
-        known = {f: d[f] for f in cls._KNOWN if f in d}
+        known: dict[str, Any] = {f: d[f] for f in cls._KNOWN if f in d}
+        if known.get("compression") is not None:
+            known["compression"] = CompressionConfig.from_dict(known["compression"])
+        if known.get("caching") is not None:
+            known["caching"] = CachingConfig.from_dict(known["caching"])
+        if known.get("manifest") is not None:
+            known["manifest"] = ManifestConfig.from_dict(known["manifest"])
         extra = {k: v for k, v in d.items() if k not in known}
         return cls(**known, extra=extra or None)
 
     def to_dict(self) -> dict[str, Any]:
-        out = {
+        out: dict[str, Any] = {
             "target_chunk_file_mb": self.target_chunk_file_mb,
             "manifest_split_files": self.manifest_split_files,
             "inline_chunk_threshold_bytes": self.inline_chunk_threshold_bytes,
+            "repo_update_retries": self.repo_update_retries,
+            "get_partial_values_concurrency": self.get_partial_values_concurrency,
         }
         if self.virtual_chunk_containers is not None:
             out["virtual_chunk_containers"] = self.virtual_chunk_containers
+        if self.compression is not None:
+            out["compression"] = self.compression.to_dict()
+        if self.caching is not None:
+            out["caching"] = self.caching.to_dict()
+        if self.manifest is not None:
+            out["manifest"] = self.manifest.to_dict()
         if self.extra:
             out.update(self.extra)
         return out
@@ -512,9 +602,20 @@ class Repository:
         if branch is None and tag is None and snapshot_id is None:
             branch = MAIN
         sid = VersionSelector(branch, tag, snapshot_id).resolve(self.root)
-        return self._bind_virtual_auth(
+        s = self._bind_virtual_auth(
             Session(self.spark, self.root, sid, branch=None, read_only=True)
         )
+        # ManifestConfig.preload_paths: eagerly resolve (and, with
+        # caching on, persist) the listed arrays' manifests so the
+        # session's first read skips the resolve shuffle
+        cfg = self.config()
+        for p in (cfg.manifest.preload_paths if cfg.manifest else None) or []:
+            try:
+                node_id = s.array_meta(p).node_id
+                s._cached_base_manifest(node_id, None).count()
+            except Exception:
+                pass  # preload is best-effort; a missing path is not an error
+        return s
 
     def writable_session(self, branch: str = MAIN) -> Session:
         self._require_online("open a writable session")

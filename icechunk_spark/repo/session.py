@@ -752,10 +752,30 @@ class Session:
             )
         return local_df(self.spark, entries, MANIFEST_SCHEMA)
 
+    def _cached_base_manifest(self, node_id, chunk_filter) -> DataFrame:
+        """Resolve (and, when the caching config enables it, persist)
+        the base snapshot's manifest.  Caching is keyed per node with
+        no chunk filter — pruned reads still filter the cached frame,
+        trading a wider cache for skipping the resolve shuffle on
+        every subsequent read in this session (CachingConfig
+        num_chunk_refs, reference parity)."""
+        doc = fmt.read_config_doc(self.root)
+        caching = (doc or {}).get("caching") or {}
+        if int(caching.get("num_chunk_refs", 0) or 0) <= 0:
+            return mf.resolve_manifests(self.spark, self.root, self._base, node_id, chunk_filter)
+        if not hasattr(self, "_manifest_cache"):
+            self._manifest_cache: dict[Any, DataFrame] = {}
+        if node_id not in self._manifest_cache:
+            self._manifest_cache[node_id] = mf.resolve_manifests(
+                self.spark, self.root, self._base, node_id, None
+            ).persist()
+        base = self._manifest_cache[node_id]
+        return base.filter(chunk_filter) if chunk_filter is not None else base
+
     def _resolved_manifest(self, node_id, chunk_filter) -> DataFrame:
         """Base-snapshot manifest overlaid with staged (uncommitted)
         writes — read-your-writes inside the transaction."""
-        base = mf.resolve_manifests(self.spark, self.root, self._base, node_id, chunk_filter)
+        base = self._cached_base_manifest(node_id, chunk_filter)
         staged = self._staged_manifest_df()
         buffered = self._buffer_manifest_df()
         overlays = []
@@ -794,7 +814,16 @@ class Session:
         if self._branch is None:
             raise RefError("no branch to commit to")
         self._flush_chunk_buffer()
+        doc = fmt.read_config_doc(self.root)
+        max_attempts = int((doc or {}).get("repo_update_retries", 10) or 10)
+        attempts = 0
         while True:
+            attempts += 1
+            if attempts > max_attempts:
+                raise RefError(
+                    f"commit lost the branch CAS race {max_attempts} times "
+                    "(repo_update_retries); branch is too contended"
+                )
             gen, tip_id = fmt.branch_tip(self.root, self._branch)
             parent = self._base
             if tip_id != self._base.id:

@@ -87,17 +87,29 @@ class ChunkStore:
         self, key_ranges: list[tuple[str, tuple[int | None, int | None]]]
     ) -> list[bytes | None]:
         """Byte-range reads: (key, (offset, length)); None offset = 0,
-        None length = to end (store.py:get_partial_values)."""
-        out: list[bytes | None] = []
-        for key, (offset, length) in key_ranges:
+        None length = to end (store.py:get_partial_values).  Fans out
+        over a thread pool when the repo config sets
+        get_partial_values_concurrency > 1 (the reference's knob)."""
+
+        def one(kr):
+            key, (offset, length) = kr
             raw = self.get(key)
             if raw is None:
-                out.append(None)
-                continue
+                return None
             start = offset or 0
             end = len(raw) if length is None else start + length
-            out.append(raw[start:end])
-        return out
+            return raw[start:end]
+
+        from icechunk_spark.repo import format as fmt
+
+        doc = fmt.read_config_doc(self.session.root)
+        conc = int((doc or {}).get("get_partial_values_concurrency", 1) or 1)
+        if conc > 1 and len(key_ranges) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=conc) as pool:
+                return list(pool.map(one, key_ranges))
+        return [one(kr) for kr in key_ranges]
 
     def set_if_not_exists(self, key: str, value: bytes) -> None:
         if not self.exists(key):
