@@ -48,3 +48,47 @@ def read_orc(spark: SparkSession, path: str, schema: StructType | str | None = N
 
 def write_orc(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").orc(path)
+
+
+class FormatUnavailable(RuntimeError):
+    """The Spark deployment lacks the external module for a format."""
+
+
+def _avro_available(spark: SparkSession) -> bool:
+    # probe the registered V2 provider, not AvroFileFormat — core Spark
+    # ships a few avro classes while the actual data source lives in
+    # the external spark-avro module
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.v2.avro.AvroDataSourceV2"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_avro(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:
+    """Avro read.  Avro has been an EXTERNAL Spark module since 2.4
+    (spark-avro jar via --packages); this container's pyspark ships
+    without it, so the helper degrades to a typed capability error
+    instead of Spark's opaque ClassNotFound."""
+    if not _avro_available(spark):
+        raise FormatUnavailable(
+            "avro support requires the spark-avro module "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
+            "not present in this deployment"
+        )
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.format("avro").load(path)
+
+
+def write_avro(df: DataFrame, path: str) -> None:
+    if not _avro_available(df.sparkSession):
+        raise FormatUnavailable(
+            "avro support requires the spark-avro module "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>); "
+            "not present in this deployment"
+        )
+    df.write.mode("overwrite").format("avro").save(path)

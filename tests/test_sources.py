@@ -83,3 +83,22 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert "PushedFilters: [" in plan and "o_totalprice" in plan
     expected = orders.filter(F.col("o_totalprice") > 100000.0).count()
     assert back.count() == expected
+
+
+def test_avro_gate(spark, tmp_path):
+    """Avro is an external Spark module; absent here, the helpers must
+    raise the typed capability error (and would pass through if the
+    jar were deployed)."""
+    import pytest
+
+    from icechunk_spark.sources import FormatUnavailable, read_avro, write_avro, _avro_available
+
+    df = spark.range(3)
+    if _avro_available(spark):
+        write_avro(df, str(tmp_path / "a"))
+        assert read_avro(spark, str(tmp_path / "a")).count() == 3
+    else:
+        with pytest.raises(FormatUnavailable, match="spark-avro"):
+            write_avro(df, str(tmp_path / "a"))
+        with pytest.raises(FormatUnavailable, match="spark-avro"):
+            read_avro(spark, str(tmp_path / "a"))
