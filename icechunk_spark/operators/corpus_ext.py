@@ -1,0 +1,268 @@
+"""Additional corpus/dataset-management operators for LLM pipelines
+(SURVEY.md §2e extension): stratified sampling, length-percentile
+filtering, per-doc word entropy, int8 embedding quantization error,
+and shard assignment.
+
+Scale design: every operator is a pure columnar plan — deterministic
+md5 bucketing instead of RNG (stable under re-runs/repartitioning),
+per-group percentiles via a single grouped sort, entropy via the
+log-sum identity H = log2(n) - sum(c*log2 c)/n so one aggregation
+pass suffices, and quantization error as an in-order array fold that
+never leaves the JVM.  No UDFs, no driver loops, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from icechunk_spark.catalog import load_tables
+from icechunk_spark.functions import tokenize
+
+# --- stratified sample ----------------------------------------------------
+
+# source -> keep-rate tier, applied via the md5 2-hex-digit bucket the
+# split_train_val operator uses (rate r keeps bucket < hex(256*r))
+_FULL = {"src0", "src1", "src2", "src3", "src4"}
+_HALF = {"src5", "src6", "src7", "src8", "src9"}
+_FULL_T, _HALF_T, _REST_T = "zz", "80", "33"  # 100% / 50% / ~20%
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source stratified sampling: high-value
+    sources kept fully, mid-tier at 50%, the tail at ~20% — the
+    standard corpus-mixture downsample, RNG-free so the sample is
+    reproducible and insert-stable."""
+    t = load_tables(spark, sf_dir)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thr = (
+        F.when(F.col("source").isin(*sorted(_FULL)), _FULL_T)
+        .when(F.col("source").isin(*sorted(_HALF)), _HALF_T)
+        .otherwise(_REST_T)
+    )
+    return (
+        t["documents"]
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") < thr)
+        .select("doc_id", "source", "bucket")
+        .orderBy("doc_id")
+    )
+
+
+def _in_list(vals: set[str]) -> str:
+    return ", ".join(f"'{v}'" for v in sorted(vals))
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      CASE WHEN source IN ({_in_list(_FULL)}) THEN '{_FULL_T}'
+           WHEN source IN ({_in_list(_HALF)}) THEN '{_HALF_T}'
+           ELSE '{_REST_T}' END
+ORDER BY doc_id
+"""
+
+
+# --- length-percentile filter ---------------------------------------------
+
+P_LO, P_HI = 0.1, 0.9
+
+
+def length_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep documents whose n_chars lies within the per-source
+    [P10, P90] band — the outlier-trim every corpus pipeline applies
+    before tokenization.  Per-source thresholds are one grouped
+    percentile (exact, interpolated) broadcast back onto the scan."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    bands = docs.groupBy("source").agg(
+        F.percentile("n_chars", P_LO).alias("lo"),
+        F.percentile("n_chars", P_HI).alias("hi"),
+    )
+    return (
+        docs.join(broadcast(bands), "source")
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+LENGTH_PCT_SQL = f"""
+WITH bands AS (
+  SELECT source,
+         quantile_cont(n_chars, {P_LO}) AS lo,
+         quantile_cont(n_chars, {P_HI}) AS hi
+  FROM documents GROUP BY source
+)
+SELECT doc_id, d.source AS source, n_chars
+FROM documents d JOIN bands b ON d.source = b.source
+WHERE n_chars >= lo AND n_chars <= hi
+ORDER BY doc_id
+"""
+
+
+# --- per-doc word entropy -------------------------------------------------
+
+def word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each document's word distribution — a
+    cheap diversity/quality proxy (low entropy = repetitive spam).
+    Uses H = log2(n) - sum(c*log2 c)/n so the whole thing is one
+    explode + two grouped sums."""
+    t = load_tables(spark, sf_dir)
+    counts = (
+        t["documents"]
+        .select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.log2("c")).alias("clogc"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.log2("n_tokens") - F.col("clogc") / F.col("n_tokens"), 4).alias(
+                "entropy_bits"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+WORD_ENTROPY_SQL = """
+WITH counts AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       sum(c) AS n_tokens,
+       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy_bits
+FROM counts
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --- int8 quantization error ----------------------------------------------
+
+def _mse_col(emb: Column) -> Column:
+    absmax = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
+    scale = F.lit(127.0) / absmax
+    sq = F.aggregate(
+        emb,
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.pow(x.cast("double") - F.round(x.cast("double") * scale) / scale, 2),
+    )
+    return sq / F.size(emb)
+
+
+def vector_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization (per-vector absmax scaling,
+    the standard embedding-compression layout) with per-label
+    reconstruction-error stats.  The per-vector MSE is an in-order
+    JVM array fold; only label aggregates shuffle."""
+    t = load_tables(spark, sf_dir)
+    per_vec = t["embeddings"].select("label", _mse_col(F.col("embedding")).alias("mse"))
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum(F.col("mse").cast("decimal(18,15)")).cast("double")
+                / F.count(F.lit(1)),
+                10,
+            ).alias("avg_mse"),
+            F.round(F.max("mse"), 10).alias("max_mse"),
+        )
+        .orderBy("label")
+    )
+
+
+_D_MSE = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    " list_transform(embedding, x -> power(CAST(x AS DOUBLE)"
+    "   - round(CAST(x AS DOUBLE) * (127.0 / absmax)) / (127.0 / absmax), 2))),"
+    " (a, b) -> a + b) / len(embedding)"
+)
+
+VECTOR_QUANTIZE_SQL = f"""
+WITH v AS (
+  SELECT label, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS absmax
+  FROM embeddings
+), per_vec AS (
+  SELECT label, {_D_MSE} AS mse FROM v
+)
+SELECT label,
+       count(*) AS n_vectors,
+       round(CAST(sum(CAST(mse AS DECIMAL(18,15))) AS DOUBLE) / count(*), 10) AS avg_mse,
+       round(max(mse), 10) AS max_mse
+FROM per_vec
+GROUP BY label
+ORDER BY label
+"""
+
+
+# --- shard assignment -----------------------------------------------------
+
+N_OUT_SHARDS = 8
+
+
+def shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to output shards by content hash and report
+    shard balance (doc + char totals) — the write-layout step before
+    emitting training shards.  Hash sharding keeps shards balanced
+    regardless of doc_id clustering."""
+    t = load_tables(spark, sf_dir)
+    b0 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+    return (
+        t["documents"]
+        .withColumn("shard", (b0 % N_OUT_SHARDS).cast("int"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("shard")
+    )
+
+
+_HEX2 = (
+    "((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)"
+)
+
+SHARD_ASSIGN_SQL = f"""
+SELECT CAST({_HEX2} % {N_OUT_SHARDS} AS INT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+QUERIES = {
+    "stratified_sample": stratified_sample,
+    "length_percentile_filter": length_percentile_filter,
+    "word_entropy": word_entropy,
+    "vector_quantize_error": vector_quantize_error,
+    "shard_assign": shard_assign,
+}
+
+ORACLES = {
+    "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "length_percentile_filter": LENGTH_PCT_SQL,
+    "word_entropy": WORD_ENTROPY_SQL,
+    "vector_quantize_error": VECTOR_QUANTIZE_SQL,
+    "shard_assign": SHARD_ASSIGN_SQL,
+}

@@ -19,7 +19,7 @@ def _modules():
     from icechunk_spark.operators import tpch
 
     mods = [tpch]
-    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "textstats", "textquality", "pipeline_ext", "multimodal", "repo_queries", "streaming_queries"):
+    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "textstats", "textquality", "pipeline_ext", "corpus_ext", "multimodal", "repo_queries", "streaming_queries"):
         try:
             mods.append(__import__(f"icechunk_spark.operators.{name}", fromlist=[name]))
         except ImportError:
