@@ -64,3 +64,32 @@ def test_multimodal_uses_arrow_batches(spark):
     # by design a Pandas (Arrow) map, never row-at-a-time eval
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_corpus_ext_plans(spark):
+    """Round-2 corpus ops: JVM-side only, and the percentile filter's
+    band join must broadcast (no fact-side shuffle for a 20-row dim)."""
+    from icechunk_spark.operators.corpus_ext import (
+        length_percentile_filter,
+        shard_assign,
+        stratified_sample,
+        vector_quantize_error,
+        word_entropy,
+    )
+
+    for fn in (stratified_sample, word_entropy, vector_quantize_error, shard_assign):
+        plan = plan_of(fn(spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, f"{fn.__name__} fell back to Python rows"
+        assert "PythonUDF" not in plan
+
+    plan = plan_of(length_percentile_filter(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_neardup_bands_stay_jvm_side(spark):
+    from icechunk_spark.operators.dedup import embedding_neardup
+
+    plan = plan_of(embedding_neardup(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "PythonUDF" not in plan
