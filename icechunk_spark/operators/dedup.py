@@ -572,6 +572,101 @@ ORDER BY vec_a, vec_b
 EMBEDDING_NEARDUP_SQL = _neardup_sql(NEARDUP_BANDS, NEARDUP_BAND_BITS, NEARDUP_THRESHOLD)
 
 
+# --- cross-doc duplicate spans (exact-substring dedup) -------------------
+
+SPAN_K = 8  # gram width in tokens
+MIN_SPAN = 16  # report pairs sharing a run of >= this many tokens
+SPAN_DF_CAP = 50  # grams in more than this many rows are boilerplate
+
+
+def cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate SPANS across documents (the Lee et al.
+    'Deduplicating Training Data' signal, cross-document form): pairs
+    of docs sharing a verbatim run of >= MIN_SPAN tokens, with the
+    longest shared run per pair.
+
+    Shape: positional K-grams -> df-capped gram join (same hot-gram
+    bound as ngram_jaccard) -> runs of consecutive positions merged
+    per (pair, diagonal) with the classic pos - row_number() grouping
+    — one window, no per-pair quadratic scan.  A matched diagonal run
+    of c grams is a shared span of c + K - 1 tokens."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("doc_id", tokenize(F.col("text")).alias("toks"))
+    grams_arr = F.when(
+        F.size("toks") >= SPAN_K,
+        F.expr(
+            f"transform(sequence(0, size(toks) - {SPAN_K}),"
+            f" i -> struct(i AS pos, array_join(slice(toks, i + 1, {SPAN_K}), ' ') AS gram))"
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,gram:string>>"))
+    ex_all = (
+        docs.select("doc_id", F.explode(grams_arr).alias("g"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    )
+    hot = (
+        ex_all.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SPAN_DF_CAP)
+        .select("gram")
+    )
+    ex = ex_all.join(broadcast(hot), "gram", "left_anti")
+    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "gram")
+    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "gram")
+    matches = a.join(b, "gram").filter(F.col("doc_a") < F.col("doc_b"))
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        matches.withColumn("diag", F.col("pa") - F.col("pb"))
+        .withColumn("grp", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg((F.count(F.lit(1)) + SPAN_K - 1).alias("span_tokens"))
+        .filter(F.col("span_tokens") >= MIN_SPAN)
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.max("span_tokens").alias("max_span_tokens"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+CROSS_DOC_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {DUCK_TOKS} AS toks FROM documents
+), ex_all AS (
+  SELECT doc_id, g.pos, g.gram FROM (
+    SELECT doc_id,
+           unnest([{{'pos': i - 1,
+                     'gram': array_to_string(toks[i:i + {SPAN_K} - 1], ' ')}}
+                   FOR i IN range(1, len(toks) - {SPAN_K} + 2)]) AS g
+    FROM toks
+  )
+), hot AS (
+  SELECT gram FROM ex_all GROUP BY gram HAVING count(*) > {SPAN_DF_CAP}
+), ex AS (
+  SELECT doc_id, pos, gram FROM ex_all ANTI JOIN hot USING (gram)
+), matches AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+         a.pos - b.pos AS diag
+  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+), runs AS (
+  SELECT doc_a, doc_b, diag,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS grp,
+         pa
+  FROM matches
+), spans AS (
+  SELECT doc_a, doc_b, count(*) + {SPAN_K} - 1 AS span_tokens
+  FROM runs GROUP BY doc_a, doc_b, diag, grp
+  HAVING count(*) + {SPAN_K} - 1 >= {MIN_SPAN}
+)
+SELECT doc_a, doc_b, count(*) AS n_spans,
+       CAST(max(span_tokens) AS BIGINT) AS max_span_tokens
+FROM spans GROUP BY doc_a, doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
 def _simhash_sql() -> str:
     """DuckDB mirror of the banded simhash pipeline.  Note the 4x8-bit
     block bucketing is EXHAUSTIVE for hamming <= 3 (pigeonhole: 3 bit
@@ -629,6 +724,7 @@ QUERIES = {
     "dedup_cluster": dedup_cluster,
     "simhash": simhash,
     "embedding_neardup": embedding_neardup,
+    "cross_doc_spans": cross_doc_spans,
 }
 
 ORACLES = {
@@ -639,4 +735,5 @@ ORACLES = {
     "dedup_cluster": DEDUP_CLUSTER_SQL,
     "simhash": SIMHASH_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
+    "cross_doc_spans": CROSS_DOC_SPANS_SQL,
 }
