@@ -147,13 +147,76 @@ def repo_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def repo_changed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style diff read: v2 doubles the first 128 days' revenue;
+    the query reads BOTH snapshots (time travel) and emits only cells
+    whose value changed — the incremental-consumer pattern where the
+    chunk-level diff (diff_df) prunes what must be re-read."""
+    root = os.path.join(tempfile.gettempdir(), f"icr_{uuid.uuid4().hex}")
+    try:
+        repo = Repository.create(spark, root)
+        rev = _daily_revenue(spark, sf_dir)
+        with repo.transaction(message="v1") as s:
+            s.create_array("/revenue", shape=[N_DAYS], chunk_shape=[CHUNK])
+            s.write_array_df("/revenue", rev)
+        v1 = repo.lookup_branch("main")
+        with repo.transaction(message="v2") as s:
+            s.write_array_df(
+                "/revenue",
+                rev.filter(F.col("i0") < 128).withColumn("value", F.col("value") * 2),
+            )
+        v2 = repo.lookup_branch("main")
+        # chunk-level diff bounds the re-read: only changed chunks differ
+        n_changed_chunks = repo.diff_df(v1, v2).count()
+        assert n_changed_chunks >= 1
+        old = (
+            repo.readonly_session(snapshot_id=v1)
+            .read_array_df("/revenue", slices=[(0, 128)])
+            .select("i0", F.col("value").alias("old_revenue"))
+        )
+        new = (
+            repo.readonly_session(snapshot_id=v2)
+            .read_array_df("/revenue", slices=[(0, 128)])
+            .select("i0", F.col("value").alias("new_revenue"))
+        )
+        out = (
+            old.join(new, "i0")
+            .filter(F.col("old_revenue") != F.col("new_revenue"))
+            .select(F.col("i0").alias("day_idx"), "old_revenue", "new_revenue")
+            .orderBy("day_idx")
+        )
+        return _materialize(
+            spark, out, "day_idx bigint, old_revenue double, new_revenue double"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+CHANGED_CELLS_SQL = f"""
+WITH rev AS (
+  SELECT CAST(datediff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) AS BIGINT) AS day_idx,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+  FROM lineitem
+  WHERE datediff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) >= 0
+    AND datediff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) < 128
+  GROUP BY day_idx
+)
+SELECT day_idx, revenue AS old_revenue, revenue * 2 AS new_revenue
+FROM rev
+WHERE revenue <> 0.0
+ORDER BY day_idx
+"""
+
+
 QUERIES = {
     "array_store_roundtrip": array_store_roundtrip,
     "repo_time_travel": repo_time_travel,
     "repo_manifest_stats": repo_manifest_stats,
+    "repo_changed_cells": repo_changed_cells,
 }
 
 ORACLES = {
     "array_store_roundtrip": ARRAY_ROUNDTRIP_SQL,
     "repo_time_travel": TIME_TRAVEL_SQL,
+    "repo_changed_cells": CHANGED_CELLS_SQL,
 }

@@ -347,6 +347,65 @@ ORDER BY label
 """
 
 
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means as a first-class query: train centroids with
+    distributed Lloyd iterations (train_ivf_centroids), assign every
+    vector, and emit one summary row with an oracle-checkable
+    invariant — clustering must beat the single-centroid baseline on
+    cosine inertia (sum of 1 - cos(v, centroid)).  The assignment/
+    centroid values themselves are iteration-order artifacts no other
+    engine reproduces, so the invariant IS the contract."""
+    from icechunk_spark.engine import local_df
+
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    cents = train_ivf_centroids(emb)
+    assigned = emb.withColumn(
+        "best", F.element_at(_cell_scores(F.col("embedding"), cents), 1)
+    )
+    inertia = assigned.agg(
+        F.sum(F.lit(1.0) - F.col("best.cos")).alias("inertia"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("best.cell").alias("used"),
+    ).collect()[0]
+    # baseline: every vector in one cluster at the global mean centroid
+    mean_rows = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"))
+        .orderBy("pos")
+        .collect()
+    )
+    mean_c = [(0, [float(r["m"]) for r in mean_rows])]
+    base = emb.agg(
+        F.sum(
+            F.lit(1.0) - F.element_at(_cell_scores(F.col("embedding"), mean_c), 1)["cos"]
+        ).alias("inertia")
+    ).collect()[0]
+    return local_df(
+        spark,
+        [
+            {
+                "n_vectors": int(inertia["n"]),
+                "n_clusters": N_CELLS,
+                "clusters_used_at_least_half": int(inertia["used"]) >= N_CELLS // 2,
+                "beats_single_centroid": float(inertia["inertia"]) < float(base["inertia"]),
+            }
+        ],
+        "n_vectors bigint, n_clusters int, "
+        "clusters_used_at_least_half boolean, beats_single_centroid boolean",
+    )
+
+
+KMEANS_CLUSTERS_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       {N_CELLS} AS n_clusters,
+       TRUE AS clusters_used_at_least_half,
+       TRUE AS beats_single_centroid
+FROM embeddings
+"""
+
+
 QUERIES = {
     "knn_brute_force": knn_brute_force,
     "pairwise_topk": pairwise_topk,
@@ -354,9 +413,11 @@ QUERIES = {
     "knn_ivf": knn_ivf,
     "label_centroids": label_centroids,
     "vector_norm_stats": vector_norm_stats,
+    "kmeans_clusters": kmeans_clusters,
 }
 
 ORACLES = {
+    "kmeans_clusters": KMEANS_CLUSTERS_SQL,
     "knn_brute_force": KNN_BRUTE_SQL,
     "pairwise_topk": PAIRWISE_TOPK_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
