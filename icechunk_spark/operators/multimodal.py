@@ -10,9 +10,10 @@ The container has no image/audio libraries, so the decoder is a
 clearly-marked deterministic fake: features derive from the payload
 bytes via md5/byte-length only.  That keeps the Spark-side plumbing —
 schema, partitioning, UDF signature, Arrow batch shape — real AND
-oracle-checkable (DuckDB md5 over the same bytes).  ``resize`` /
-``frame_sample`` raise NotImplementedError at the decode step behind
-the same plumbing.
+oracle-checkable (DuckDB md5 over the same bytes).  ``resize`` and
+``frame_sample`` operate on declared RAW byte layouts, so the
+resampling/slicing math is real and value-verified cross-engine; a
+PIL/ffmpeg deployment swaps only the frombuffer decode.
 """
 
 from __future__ import annotations
@@ -89,31 +90,125 @@ ORDER BY media_id
 """
 
 
-def frame_sample(spark: SparkSession, sf_dir: str, every_n: int = 10) -> DataFrame:
-    """Video frame sampling: STUB — the Arrow plumbing (explode frames
-    per payload) is real; actual decode needs ffmpeg, absent here."""
+# Synthetic RAW codecs: the container ships no media libraries, so the
+# payloads are declared RAW byte layouts and the decode step is a
+# numpy frombuffer — but everything downstream (frame slicing,
+# nearest-neighbor resampling, Arrow batching) is the REAL math a
+# PIL/ffmpeg deployment would run after its decode.  Swap the
+# frombuffer for the codec call and nothing else changes.
+FRAME_BYTES = 32  # video: stream of 32-byte RAW8 frames
+FRAME_EVERY_N = 2  # sample every 2nd frame
+IMG_W = 16  # image: RAW8, 16 px wide, len//16 rows
+RESIZE_TO = 8  # resize target (8x8 RAW8)
+
+
+def frame_sample(spark: SparkSession, sf_dir: str, every_n: int = FRAME_EVERY_N) -> DataFrame:
+    """Video frame sampling: treat the payload as a stream of
+    FRAME_BYTES-sized RAW8 frames, keep every ``every_n``-th, and emit
+    (frame_idx, md5, bytes) per kept frame — the decode-free half of
+    an ffmpeg pipeline, Arrow-batched with one output row per frame."""
+    import hashlib as _hashlib
+
     media = media_table(spark, sf_dir).filter(F.col("media_type") == "video")
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "frame decode requires ffmpeg/PyAV (not in this container); "
-            "schema and batch plumbing are exercised via multimodal_features"
-        )
+        for pdf in batches:
+            ids, idxs, md5s, sizes = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload)
+                for k in range(0, len(raw) // FRAME_BYTES, every_n):
+                    frame = raw[k * FRAME_BYTES : (k + 1) * FRAME_BYTES]
+                    ids.append(mid)
+                    idxs.append(k)
+                    md5s.append(_hashlib.md5(frame).hexdigest())
+                    sizes.append(len(frame))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_md5": md5s, "n_bytes": sizes}
+            )
 
-    return media.mapInPandas(sample, "media_id bigint, frame_idx int, frame binary")
+    return media.mapInPandas(
+        sample, "media_id bigint, frame_idx int, frame_md5 string, n_bytes bigint"
+    ).orderBy("media_id", "frame_idx")
 
 
-def resize(spark: SparkSession, sf_dir: str, width: int = 224, height: int = 224) -> DataFrame:
-    """Image resize: STUB — see frame_sample."""
+FRAME_SAMPLE_SQL = f"""
+WITH v AS (
+  SELECT doc_id AS media_id, text
+  FROM documents WHERE doc_id % 3 = 2  -- media_type = video
+), frames AS (
+  SELECT media_id,
+         CAST(k AS INT) AS frame_idx,
+         md5(substr(text, k * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+  FROM v, (SELECT unnest(range(0, 100000, {FRAME_EVERY_N})) AS k) ks
+  WHERE k < length(text) // {FRAME_BYTES}
+)
+SELECT media_id, frame_idx, frame_md5, CAST({FRAME_BYTES} AS BIGINT) AS n_bytes
+FROM frames ORDER BY media_id, frame_idx
+"""
+
+
+def resize(spark: SparkSession, sf_dir: str, out: int = RESIZE_TO) -> DataFrame:
+    """Image resize: decode the payload as a RAW8 image (IMG_W px
+    wide), nearest-neighbor resample to ``out`` x ``out``, and emit
+    the resized payload's md5 + mean pixel — the real resampling math
+    (index gather), verified value-for-value by the oracle."""
+    import hashlib as _hashlib
+
+    import numpy as np
+
     media = media_table(spark, sf_dir).filter(F.col("media_type") == "image")
 
     def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "image decode requires PIL (not in this container); "
-            "schema and batch plumbing are exercised via multimodal_features"
-        )
+        for pdf in batches:
+            ids, md5s, means = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                h = len(raw) // IMG_W
+                img = raw[: h * IMG_W].reshape(h, IMG_W)
+                rr = (np.arange(out) * h) // out
+                cc = (np.arange(out) * IMG_W) // out
+                small = img[np.ix_(rr, cc)]
+                buf = small.tobytes()
+                ids.append(mid)
+                md5s.append(_hashlib.md5(buf).hexdigest())
+                # exact integer sum, not a rounded mean: n/64 lands
+                # exactly on round-half boundaries where engines'
+                # rounding modes differ
+                means.append(int(small.sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "out_w": [out] * len(ids),
+                    "out_h": [out] * len(ids),
+                    "resized_md5": md5s,
+                    "sum_pixels": means,
+                }
+            )
 
-    return media.mapInPandas(do_resize, "media_id bigint, payload binary")
+    return media.mapInPandas(
+        do_resize,
+        "media_id bigint, out_w int, out_h int, resized_md5 string, sum_pixels bigint",
+    ).orderBy("media_id")
+
+
+RESIZE_SQL = f"""
+WITH img AS (
+  SELECT doc_id AS media_id, text, length(text) // {IMG_W} AS h
+  FROM documents WHERE doc_id % 3 = 0  -- media_type = image
+), px AS (
+  SELECT media_id,
+         [substr(text,
+                 ((i // {RESIZE_TO}) * h // {RESIZE_TO}) * {IMG_W}
+                 + ((i % {RESIZE_TO}) * {IMG_W} // {RESIZE_TO}) + 1, 1)
+          FOR i IN range(0, {RESIZE_TO} * {RESIZE_TO})] AS pix
+  FROM img
+)
+SELECT media_id,
+       {RESIZE_TO} AS out_w, {RESIZE_TO} AS out_h,
+       md5(array_to_string(pix, '')) AS resized_md5,
+       CAST(list_sum(list_transform(pix, c -> ascii(c))) AS BIGINT) AS sum_pixels
+FROM px ORDER BY media_id
+"""
 
 
 def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,8 +240,12 @@ ORDER BY keep_media_id
 QUERIES = {
     "multimodal_features": multimodal_features,
     "media_dedup": media_dedup,
+    "frame_sample": frame_sample,
+    "media_resize": resize,
 }
 ORACLES = {
     "multimodal_features": MULTIMODAL_SQL,
     "media_dedup": MEDIA_DEDUP_SQL,
+    "frame_sample": FRAME_SAMPLE_SQL,
+    "media_resize": RESIZE_SQL,
 }
