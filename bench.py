@@ -98,6 +98,14 @@ def main() -> None:
 
     # warm the JVM + parquet footers so timings measure the plans
     queries["q6_forecast_revenue"](spark, sf_dir).count()
+    # warm the Python-worker/Arrow path too: the first applyInPandas /
+    # mapInPandas in a session pays ~3s of interpreter+Arrow spin-up
+    # that is one-time, not per-query
+    from pyspark.sql import functions as F
+
+    warm = spark.range(64).withColumn("g", (F.col("id") % 4).cast("int"))
+    warm.groupBy("g").applyInPandas(lambda p: p, "id long, g int").count()
+    warm.mapInPandas(lambda it: it, "id long, g int").count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
