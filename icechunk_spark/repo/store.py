@@ -52,6 +52,42 @@ class ChunkStore:
 
     # --- byte API ---------------------------------------------------------
 
+    # internal dtype <-> zarr v3 data_type names
+    _ZARR_DTYPES = {
+        "float64": "float64",
+        "float32": "float32",
+        "int64": "int64",
+        "int32": "int32",
+    }
+
+    def _zarr_doc(self, node: dict) -> dict:
+        """Render a node as a real Zarr v3 metadata document (the shape
+        zarr clients parse — icechunk/src/store.rs ArrayMetadata):
+        zarr_format 3, node_type, regular chunk_grid, attributes."""
+        if node.get("kind") == "array":
+            return {
+                "zarr_format": 3,
+                "node_type": "array",
+                "shape": list(node["shape"]),
+                "data_type": self._ZARR_DTYPES.get(node.get("dtype", "float64"), "float64"),
+                "chunk_grid": {
+                    "name": "regular",
+                    "configuration": {"chunk_shape": list(node["chunk_shape"])},
+                },
+                "chunk_key_encoding": {
+                    "name": "default",
+                    "configuration": {"separator": "/"},
+                },
+                "fill_value": node.get("fill_value", 0.0),
+                "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+                "attributes": node.get("attrs", {}),
+            }
+        return {
+            "zarr_format": 3,
+            "node_type": "group",
+            "attributes": node.get("attrs", {}),
+        }
+
     def get(self, key: str) -> bytes | None:
         path, chunk = self._parse(key)
         if chunk is None:
@@ -59,7 +95,7 @@ class ChunkStore:
                 node = self.session._node(path)
             except RefError:
                 return None
-            return json.dumps(node).encode()
+            return json.dumps(self._zarr_doc(node)).encode()
         return self.session.get_chunk_bytes(path, chunk)
 
     def set(self, key: str, value: bytes) -> None:
@@ -71,7 +107,7 @@ class ChunkStore:
                     path,
                     shape=doc["shape"],
                     chunk_shape=doc.get("chunk_shape") or doc["chunk_grid"]["configuration"]["chunk_shape"],
-                    dtype=doc.get("dtype", "float64"),
+                    dtype=doc.get("dtype") or doc.get("data_type", "float64"),
                     fill_value=doc.get("fill_value", 0.0),
                     attrs=doc.get("attrs") or doc.get("attributes") or {},
                 )
@@ -153,7 +189,7 @@ class ChunkStore:
 
         path, chunk = self._parse(key)
         if chunk is None:
-            return len(json.dumps(self.session._node(path)).encode())
+            return len(json.dumps(self._zarr_doc(self.session._node(path))).encode())
         meta = self.session.array_meta(path)
         for c in reversed(self.session._chunk_buffer):
             if c["node_id"] == meta.node_id and c["chunk_key"] == chunk:
@@ -191,7 +227,7 @@ class ChunkStore:
         for p in self.session.list_nodes():
             k = (p.lstrip("/") + "/zarr.json").lstrip("/")
             if k.startswith(prefix):
-                total += len(json.dumps(self.session._node(p)).encode())
+                total += len(json.dumps(self._zarr_doc(self.session._node(p))).encode())
         nodes = self.session.list_nodes()
         paths = local_df(
             self.session.spark,

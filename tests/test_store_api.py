@@ -147,3 +147,40 @@ def test_writable_session_pickle_raises(spark, loaded):
     sess = loaded.writable_session()
     with pytest.raises(ValueError, match="fork"):
         pickle.dumps(sess)
+
+
+def test_zarr_v3_metadata_docs(spark, loaded):
+    """zarr.json documents are real Zarr v3 metadata (store.rs
+    ArrayMetadata shape): zarr_format 3, node_type, regular chunk
+    grid — and a v3 doc round-trips through set()."""
+    store = ChunkStore(loaded.readonly_session())
+    doc = json.loads(store.get("a/zarr.json"))
+    assert doc["zarr_format"] == 3
+    assert doc["node_type"] == "array"
+    assert doc["shape"] == [12]
+    assert doc["chunk_grid"] == {
+        "name": "regular",
+        "configuration": {"chunk_shape": [4]},
+    }
+    assert doc["data_type"] == "float64"
+    root = json.loads(store.get("zarr.json"))
+    assert root["node_type"] == "group" and root["zarr_format"] == 3
+
+    w = loaded.writable_session()
+    ChunkStore(w).set(
+        "b/zarr.json",
+        json.dumps(
+            {
+                "zarr_format": 3,
+                "node_type": "array",
+                "shape": [6],
+                "data_type": "float32",
+                "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [3]}},
+                "fill_value": 1.5,
+                "attributes": {"units": "K"},
+            }
+        ).encode(),
+    )
+    back = json.loads(ChunkStore(w).get("b/zarr.json"))
+    assert back["data_type"] == "float32" and back["fill_value"] == 1.5
+    assert back["attributes"] == {"units": "K"}
