@@ -101,6 +101,38 @@ ORDER BY user_id
 """
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each event enriched against the (broadcast)
+    customer dimension, then aggregated per nation.  The static side
+    is re-read per micro-batch by Spark — the canonical slowly-
+    changing-dimension enrichment — and never shuffles the stream."""
+    from pyspark.sql.functions import broadcast
+
+    from icechunk_spark.catalog import load_tables
+    from icechunk_spark.functions import money_sum
+
+    name = f"enr_{uuid.uuid4().hex[:8]}"
+    ev = read_event_stream(spark, sf_dir)
+    cust = load_tables(spark, sf_dir)["customer"].select("c_custkey", "c_nationkey")
+    enriched = ev.join(broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = enriched.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum("value").alias("total_value"),
+    )
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name).orderBy("c_nationkey")
+
+
+STREAM_STATIC_ENRICH_SQL = """
+SELECT c_nationkey,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join drained with availableNow; the
     bounded replay arrives in one batch, so no row falls behind the
@@ -128,9 +160,11 @@ QUERIES = {
     "stream_sessionize": stream_sessionize,
     "stream_running_totals": stream_running_totals,
     "stream_interval_join": stream_interval_join,
+    "stream_static_enrich": stream_static_enrich,
 }
 
 ORACLES = {
+    "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
     "stream_windowed_agg": STREAM_WINDOWED_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
     "stream_running_totals": STREAM_RUNNING_TOTALS_SQL,

@@ -598,9 +598,28 @@ class Repository:
         *,
         tag: str | None = None,
         snapshot_id: str | None = None,
+        as_of: "float | None" = None,
     ) -> Session:
+        """Read-only checkout.  ``as_of`` (unix seconds or a datetime),
+        combined with ``branch``, opens the last snapshot written at or
+        before that time (reference parity: readonly_session(as_of=...),
+        icechunk-python repository.py:1503)."""
         if branch is None and tag is None and snapshot_id is None:
             branch = MAIN
+        if as_of is not None:
+            if branch is None:
+                raise ValueError("as_of requires a branch")
+            cutoff = as_of.timestamp() if hasattr(as_of, "timestamp") else float(as_of)
+            sid = None
+            for snap in self.ancestry(branch=branch):
+                if snap.written_at <= cutoff:
+                    sid = snap.id
+                    break
+            if sid is None:
+                raise RefError(
+                    f"branch {branch} has no snapshot at or before {as_of}"
+                )
+            branch, tag, snapshot_id = None, None, sid
         sid = VersionSelector(branch, tag, snapshot_id).resolve(self.root)
         s = self._bind_virtual_auth(
             Session(self.spark, self.root, sid, branch=None, read_only=True)

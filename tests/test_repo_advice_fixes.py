@@ -99,3 +99,28 @@ def test_gc_age_cutoff_spares_in_flight_writes(spark, repo):
     sess.commit("late commit")
     rows = repo.readonly_session().read_array_df("/a").collect()
     assert sorted(r["value"] for r in rows) == [float(i) for i in range(8)]
+
+
+def test_readonly_session_as_of(spark, repo):
+    """as_of time travel (reference: readonly_session(as_of=...)):
+    opens the last snapshot written at or before the given time."""
+    import pytest as _pytest
+
+    from icechunk_spark.repo import RefError
+
+    with repo.transaction(message="s1") as s:
+        s.create_array("/a", shape=[4], chunk_shape=[4])
+        s.set_chunk_bytes("/a", "0", b"v1" * 8)
+    s1 = repo.lookup_branch("main")
+    t1 = repo.lookup_snapshot(s1).written_at
+    _commit_chunk(repo, "/a", "0", b"v2" * 8, "s2")
+    s2 = repo.lookup_branch("main")
+    t2 = repo.lookup_snapshot(s2).written_at
+
+    sess = repo.readonly_session("main", as_of=(t1 + t2) / 2)
+    assert sess.snapshot_id == s1
+    assert sess.get_chunk_bytes("/a", "0") == b"v1" * 8
+    assert repo.readonly_session("main", as_of=t2 + 1).snapshot_id == s2
+    root_t = list(repo.ancestry(branch="main"))[-1].written_at
+    with _pytest.raises(RefError, match="no snapshot at or before"):
+        repo.readonly_session("main", as_of=root_t - 10)
