@@ -401,6 +401,62 @@ ORDER BY doc_id
 """
 
 
+def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., 'Connected Components in MapReduce and Beyond') —
+    the O(log n)-round variant that replaces min-label propagation's
+    O(diameter) rounds at web scale.  Each round is one groupBy-min +
+    one join over (node, node) pairs; the driver sees only a
+    convergence probe per round.  Final labels equal the component
+    minimum, so the recursive-CTE oracle is shared with
+    dedup_cluster."""
+    pairs = minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+
+    def symmetrize(e: DataFrame) -> DataFrame:
+        return (
+            e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def star_round(e: DataFrame, large: bool) -> DataFrame:
+        mins = e.groupBy("u").agg(F.min("v").alias("mn"))
+        wm = e.join(mins, "u").withColumn("m", F.least("u", "mn"))
+        moved = wm.filter(F.col("v") > F.col("u") if large else F.col("v") < F.col("u"))
+        new = moved.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+            wm.select("u", F.col("m").alias("v"))
+        )
+        return symmetrize(new)
+
+    # localCheckpoint truncates lineage each round — without it the
+    # logical plan doubles per iteration and the driver blows the
+    # analyzer stack long before the data is large
+    edges = symmetrize(pairs.toDF("u", "v")).localCheckpoint(eager=True)
+    for _ in range(32):  # O(log n) expected; 32 is a far-out backstop
+        stepped = star_round(star_round(edges, large=True), large=False).localCheckpoint(
+            eager=True
+        )
+        changed = (
+            stepped.subtract(edges).limit(1).count()
+            + edges.subtract(stepped).limit(1).count()
+        )
+        edges = stepped
+        if changed == 0:
+            break
+    labels = edges.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("cluster_id"))
+    t = load_tables(spark, sf_dir)
+    out = (
+        t["documents"]
+        .select("doc_id")
+        .join(labels.withColumnRenamed("u", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+        )
+        .orderBy("doc_id")
+    )
+    return out
+
+
 # --- simhash (rows-only: 32-bit bit-voting isn't reasonable oracle SQL) --
 
 SIMHASH_BITS = 32
@@ -722,6 +778,7 @@ QUERIES = {
     "ngram_jaccard": ngram_jaccard,
     "minhash_lsh": minhash_lsh,
     "dedup_cluster": dedup_cluster,
+    "dedup_cluster_star": dedup_cluster_star,
     "simhash": simhash,
     "embedding_neardup": embedding_neardup,
     "cross_doc_spans": cross_doc_spans,
@@ -733,6 +790,7 @@ ORACLES = {
     "ngram_jaccard": NGRAM_JACCARD_SQL,
     "minhash_lsh": MINHASH_LSH_SQL,
     "dedup_cluster": DEDUP_CLUSTER_SQL,
+    "dedup_cluster_star": DEDUP_CLUSTER_SQL,  # same contract: component min
     "simhash": SIMHASH_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     "cross_doc_spans": CROSS_DOC_SPANS_SQL,

@@ -76,3 +76,15 @@ def test_pairwise_topk_label_cap_binds(spark, monkeypatch):
     for r in out:
         assert (r["label"], r["vec_a"]) in allowed
         assert (r["label"], r["vec_b"]) in allowed
+
+
+def test_dedup_cluster_star_equals_propagation(spark):
+    """Large-star/small-star must produce the identical component-min
+    labeling as min-label propagation."""
+    from icechunk_spark.operators.dedup import dedup_cluster, dedup_cluster_star
+
+    a = {(r["doc_id"], r["cluster_id"]) for r in dedup_cluster(spark, SF_DIR).collect()}
+    b = {
+        (r["doc_id"], r["cluster_id"]) for r in dedup_cluster_star(spark, SF_DIR).collect()
+    }
+    assert a == b and len(a) > 0
