@@ -251,8 +251,86 @@ ORDER BY shard
 """
 
 
+# --- bigram LM perplexity proxy ------------------------------------------
+
+LM_ADD_K = 1.0  # add-one smoothing
+
+
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: train a corpus-level bigram LM
+    (add-one smoothing) in one aggregation pass, then score every
+    document by its mean bigram log-probability — the KenLM-filter
+    shape (CCNet/Gopher pipelines) without the external model.  Two
+    shuffles total: bigram-count agg, then score agg after a join of
+    doc bigrams against the model."""
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select("doc_id", tokenize(F.col("text")).alias("toks"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.slice("toks", 2, F.size("toks") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    pair_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = bigrams.select(F.col("w2").alias("w")).union(
+        bigrams.select(F.col("w1"))
+    ).distinct().count()
+    logp = F.log(
+        (F.col("c12") + LM_ADD_K) / (F.col("c1") + LM_ADD_K * F.lit(float(vocab)))
+    )
+    return (
+        bigrams.join(pair_counts, ["w1", "w2"])
+        .join(ctx_counts, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(logp) / F.count(F.lit(1)), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BG = (
+    "SELECT doc_id, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z\n"
+    "  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks\n"
+    "        FROM documents)\n"
+    "  WHERE len(toks) >= 2"
+)
+
+BIGRAM_LOGPROB_SQL = f"""
+WITH bg AS (
+  SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM ({_BG})
+), pair_counts AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+), ctx_counts AS (
+  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+), vocab AS (
+  SELECT count(*) AS v FROM (SELECT w2 AS w FROM bg UNION SELECT w1 FROM bg)
+)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(sum(ln((c12 + {LM_ADD_K}) / (c1 + {LM_ADD_K} * v))) / count(*), 4)
+         AS avg_logprob
+FROM bg
+JOIN pair_counts USING (w1, w2)
+JOIN ctx_counts USING (w1)
+CROSS JOIN vocab
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "stratified_sample": stratified_sample,
+    "bigram_logprob_score": bigram_logprob_score,
     "length_percentile_filter": length_percentile_filter,
     "word_entropy": word_entropy,
     "vector_quantize_error": vector_quantize_error,
@@ -261,6 +339,7 @@ QUERIES = {
 
 ORACLES = {
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "bigram_logprob_score": BIGRAM_LOGPROB_SQL,
     "length_percentile_filter": LENGTH_PCT_SQL,
     "word_entropy": WORD_ENTROPY_SQL,
     "vector_quantize_error": VECTOR_QUANTIZE_SQL,
