@@ -108,3 +108,37 @@ def test_memory_repo_commit_race_cas(spark):
     assert sess.get_chunk_bytes("/a", "0") == b"x" * 32
     assert sess.get_chunk_bytes("/b", "0") == b"y" * 32
     InMemoryObjectStorage.wipe_bucket(bucket)
+
+
+def test_concurrent_commit_stress(spark):
+    """Many writers racing on one branch: every commit must land
+    (CAS + rebase retry), history must be linear and complete, and
+    every write must be readable at the tip."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    bucket = f"c{uuid.uuid4().hex[:8]}"
+    repo = Repository.create(spark, f"memory://{bucket}/repo")
+    n_writers, n_commits = 4, 2
+    with repo.transaction(message="init") as s:
+        for w in range(n_writers):
+            s.create_array(f"/w{w}", shape=[64], chunk_shape=[8])
+
+    def writer(w: int) -> list[str]:
+        out = []
+        for i in range(n_commits):
+            sess = repo.writable_session("main")
+            sess.set_chunk_bytes(f"/w{w}", str(i), bytes([w * 16 + i]) * 16)
+            out.append(sess.commit(f"w{w}-c{i}"))
+        return out
+
+    with ThreadPoolExecutor(max_workers=n_writers) as pool:
+        ids = [i for ids in pool.map(writer, range(n_writers)) for i in ids]
+
+    chain = [s.id for s in repo.ancestry(branch="main")]
+    assert len(set(ids)) == n_writers * n_commits
+    assert set(ids) <= set(chain), "a successful commit is missing from history"
+    sess = repo.readonly_session()
+    for w in range(n_writers):
+        for i in range(n_commits):
+            assert sess.get_chunk_bytes(f"/w{w}", str(i)) == bytes([w * 16 + i]) * 16
+    InMemoryObjectStorage.wipe_bucket(bucket)
