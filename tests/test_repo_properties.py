@@ -91,3 +91,76 @@ def test_discard_changes_restores_base(spark, tmp_path_factory, ops):
     assert s.get_chunk_bytes("/a", "0.0") == b"base"
     for key in KEYS[1:]:
         assert s.get_chunk_bytes("/a", key) is None
+
+
+# --- array codec properties ----------------------------------------------
+
+shape_st = st.one_of(
+    st.tuples(st.integers(5, 40)),
+    st.tuples(st.integers(3, 12), st.integers(3, 12)),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(shape=shape_st, data=st.data())
+def test_array_codec_roundtrip_matches_numpy(spark, tmp_path_factory, shape, data):
+    """Sparse writes + slice reads through the chunk codec must equal
+    a plain numpy dense-array model, for arbitrary shapes, chunk
+    shapes, written cells, and slice bounds."""
+    import numpy as np
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from icechunk_spark.engine import local_df
+
+    ndim = len(shape)
+    chunk_shape = tuple(
+        data.draw(st.integers(2, max(2, s)), label=f"chunk{d}") for d, s in enumerate(shape)
+    )
+    n_cells = int(np.prod(shape))
+    n_writes = data.draw(st.integers(1, min(12, n_cells)), label="n_writes")
+    cells = data.draw(
+        st.lists(
+            st.tuples(*[st.integers(0, s - 1) for s in shape]),
+            min_size=n_writes,
+            max_size=n_writes,
+            unique=True,
+        ),
+        label="cells",
+    )
+    values = [float(i + 1) for i in range(len(cells))]
+    slices = [
+        (lo := data.draw(st.integers(0, s - 1), label=f"lo{d}"),
+         data.draw(st.integers(lo + 1, s), label=f"hi{d}"))
+        for d, s in enumerate(shape)
+    ]
+
+    model = np.zeros(shape)
+    for c, v in zip(cells, values):
+        model[tuple(c)] = v
+
+    root = tmp_path_factory.mktemp("codec")
+    repo = Repository.create(spark, str(root / "r"))
+    cols = ", ".join([f"i{d} long" for d in range(ndim)]) + ", value double"
+    rows = [tuple(list(c) + [v]) for c, v in zip(cells, values)]
+    with repo.transaction(message="w") as s:
+        s.create_array("/a", shape=list(shape), chunk_shape=list(chunk_shape))
+        s.write_array_df("/a", local_df(spark, rows, cols))
+
+    got = repo.readonly_session().read_array_df("/a", slices=slices).collect()
+    got_map = {tuple(int(r[f"i{d}"]) for d in range(ndim)): r["value"] for r in got}
+    # every returned coordinate is in-slice and matches the model
+    for coord, v in got_map.items():
+        for d in range(ndim):
+            assert slices[d][0] <= coord[d] < slices[d][1]
+        assert v == model[coord]
+    # every nonzero model cell inside the slice is present
+    it = np.ndindex(*shape)
+    for coord in it:
+        if all(slices[d][0] <= coord[d] < slices[d][1] for d in range(ndim)):
+            if model[coord] != 0.0:
+                assert got_map.get(tuple(coord)) == model[coord]
