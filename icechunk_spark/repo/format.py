@@ -60,6 +60,9 @@ class ArrayMeta:
     dtype: str = "float64"
     fill_value: float = 0.0
     attrs: dict[str, Any] = field(default_factory=dict)
+    # per-dimension names, None entries allowed (reference parity:
+    # ArrayMetadata.dimension_names, icechunk/src/store.rs:1167)
+    dimension_names: list[str | None] | None = None
     kind: str = "array"
 
     def __post_init__(self) -> None:
@@ -69,6 +72,8 @@ class ArrayMeta:
             raise ValueError("shape and chunk_shape rank mismatch")
         if len(self.shape) > 4:
             raise ValueError("at most 4 dimensions supported")
+        if self.dimension_names is not None and len(self.dimension_names) != len(self.shape):
+            raise ValueError("dimension_names rank mismatch")
 
     def grid_shape(self) -> list[int]:
         return [(s + c - 1) // c for s, c in zip(self.shape, self.chunk_shape)]

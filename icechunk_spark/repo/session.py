@@ -249,6 +249,7 @@ class Session:
         dtype: str = "float64",
         fill_value: float = 0.0,
         attrs: dict | None = None,
+        dimension_names: list | None = None,
     ) -> ArrayMeta:
         self._require_data_writable()
         path = _norm(path)
@@ -261,6 +262,7 @@ class Session:
             dtype=dtype,
             fill_value=fill_value,
             attrs=attrs or {},
+            dimension_names=list(dimension_names) if dimension_names else None,
         )
         self._nodes[path] = _asdict(meta)
         self._node_ops.append({"op": "create", "path": path, "node_id": meta.node_id})

@@ -65,7 +65,10 @@ class ChunkStore:
         zarr clients parse — icechunk/src/store.rs ArrayMetadata):
         zarr_format 3, node_type, regular chunk_grid, attributes."""
         if node.get("kind") == "array":
-            return {
+            doc: dict = {}
+            if node.get("dimension_names") is not None:
+                doc["dimension_names"] = node["dimension_names"]
+            return doc | {
                 "zarr_format": 3,
                 "node_type": "array",
                 "shape": list(node["shape"]),
@@ -110,6 +113,7 @@ class ChunkStore:
                     dtype=doc.get("dtype") or doc.get("data_type", "float64"),
                     fill_value=doc.get("fill_value", 0.0),
                     attrs=doc.get("attrs") or doc.get("attributes") or {},
+                    dimension_names=doc.get("dimension_names"),
                 )
             else:
                 self.session.create_group(path, attrs=doc.get("attrs") or doc.get("attributes") or {})

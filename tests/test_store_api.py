@@ -184,3 +184,18 @@ def test_zarr_v3_metadata_docs(spark, loaded):
     back = json.loads(ChunkStore(w).get("b/zarr.json"))
     assert back["data_type"] == "float32" and back["fill_value"] == 1.5
     assert back["attributes"] == {"units": "K"}
+
+
+def test_dimension_names_roundtrip(spark, repo):
+    """dimension_names persist through commit and appear in the v3 doc
+    (store.rs ArrayMetadata.dimension_names)."""
+    with repo.transaction(message="dims") as s:
+        s.create_array(
+            "/grid", shape=[4, 6], chunk_shape=[2, 3], dimension_names=["y", "x"]
+        )
+    doc = json.loads(ChunkStore(repo.readonly_session()).get("grid/zarr.json"))
+    assert doc["dimension_names"] == ["y", "x"]
+    # rank mismatch rejected
+    w = repo.writable_session()
+    with pytest.raises(ValueError, match="rank"):
+        w.create_array("/bad", shape=[4], chunk_shape=[2], dimension_names=["a", "b"])
