@@ -65,4 +65,13 @@ __all__ = [
     "InMemoryObjectStorage",
     "resolve_storage",
     "VersionSelector",
+    "RepositoryConfig",
+    "CompressionConfig",
+    "CachingConfig",
+    "ManifestConfig",
+    "RepoStatus",
+    "RepoAvailability",
+    "FeatureFlag",
+    "FeatureFlagDisabled",
+    "Update",
 ]

@@ -18,7 +18,6 @@ data-parallel on executors instead of in a client process.
 
 from __future__ import annotations
 
-import os
 import uuid
 from collections.abc import Iterator
 

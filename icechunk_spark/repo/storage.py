@@ -34,8 +34,6 @@ import tempfile
 import threading
 import time
 import uuid
-from typing import Any, Iterator
-
 
 class StorageConflict(Exception):
     """Conditional put failed: the object already exists."""

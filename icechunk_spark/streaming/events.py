@@ -25,7 +25,6 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampNTZType,
 )
 
 from icechunk_spark.functions import money_sum
