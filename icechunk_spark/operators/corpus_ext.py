@@ -328,9 +328,70 @@ ORDER BY doc_id
 """
 
 
+# --- cross-source vocabulary overlap --------------------------------------
+
+VOCAB_OVERLAP_MIN = 0.5  # report source pairs with Jaccard >= this
+
+
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Jaccard between every pair of sources — the corpus-
+    diversity diagnostic that flags near-identical feeds before they
+    skew a mixture.  Same shared-token explode-join shape as
+    ngram_jaccard, but at source granularity: the join key space is
+    the vocabulary, so candidate pairs are O(sources^2) counts, never
+    doc pairs."""
+    t = load_tables(spark, sf_dir)
+    vocab = (
+        t["documents"]
+        .select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = vocab.select(F.col("source").alias("src_a"), "tok")
+    b = vocab.select(F.col("source").alias("src_b"), "tok")
+    shared = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(sizes.select(F.col("source").alias("src_a"), F.col("n_tok").alias("na")), "src_a")
+        .join(sizes.select(F.col("source").alias("src_b"), F.col("n_tok").alias("nb")), "src_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= VOCAB_OVERLAP_MIN)
+        .select("src_a", "src_b", "jaccard")
+        .orderBy("src_a", "src_b")
+    )
+
+
+SOURCE_VOCAB_OVERLAP_SQL = f"""
+WITH vocab AS (
+  SELECT DISTINCT source,
+         unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
+  FROM documents
+), sizes AS (
+  SELECT source, count(*) AS n_tok FROM vocab GROUP BY source
+), shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared
+  FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b,
+       round(shared * 1.0 / (sa.n_tok + sb.n_tok - shared), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON src_a = sa.source
+JOIN sizes sb ON src_b = sb.source
+WHERE shared * 1.0 / (sa.n_tok + sb.n_tok - shared) >= {VOCAB_OVERLAP_MIN}
+ORDER BY src_a, src_b
+"""
+
+
 QUERIES = {
     "stratified_sample": stratified_sample,
     "bigram_logprob_score": bigram_logprob_score,
+    "source_vocab_overlap": source_vocab_overlap,
     "length_percentile_filter": length_percentile_filter,
     "word_entropy": word_entropy,
     "vector_quantize_error": vector_quantize_error,
@@ -340,6 +401,7 @@ QUERIES = {
 ORACLES = {
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "bigram_logprob_score": BIGRAM_LOGPROB_SQL,
+    "source_vocab_overlap": SOURCE_VOCAB_OVERLAP_SQL,
     "length_percentile_filter": LENGTH_PCT_SQL,
     "word_entropy": WORD_ENTROPY_SQL,
     "vector_quantize_error": VECTOR_QUANTIZE_SQL,
