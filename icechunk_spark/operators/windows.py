@@ -332,8 +332,8 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("user_id", "sess_seq")
         .agg(
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
+            F.min("ts").cast("timestamp_ntz").alias("session_start"),
+            F.max("ts").cast("timestamp_ntz").alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
             money_sum("value").alias("total_value"),
         )

@@ -26,7 +26,10 @@ def norm_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # Full precision: the driver's gate hashes exact values, so the
+        # local gate must be at least as strict (VERDICT r2 item 3 — .6g
+        # masked penny-level drift on values >= 1e4).
+        return f"{v:.17g}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_value(x) for x in v) + "]"
     return str(v)
