@@ -40,7 +40,7 @@ def resolve_manifests(
     """Live chunk refs at a snapshot: latest row per (node_id,
     chunk_key), tombstones dropped.  ``chunk_filter`` (over c0..c3)
     prunes before the dedup shuffle and pushes down to the scan."""
-    df = read_manifest_files(spark, root, snap.manifests)
+    df = read_manifest_files(spark, root, prune_manifest_paths(snap.manifests, node_id))
     if node_id is not None:
         df = df.filter(F.col("node_id") == node_id)
     if chunk_filter is not None:
@@ -61,3 +61,61 @@ def write_manifest(df: DataFrame, root: str, n_files: int = 1) -> str:
     writer = out.repartition(n_files) if n_files else out
     writer.write.parquet(data_path(root, rel))
     return rel
+
+
+def write_manifests(
+    df: DataFrame, root: str, splitting: dict | None = None, n_files: int = 1
+) -> list[str]:
+    """Write manifest rows as one or more immutable manifest files.
+
+    With ``splitting`` (the persisted form of the reference's
+    ManifestSplittingConfig / ManifestSplitCondition —
+    icechunk-python/python/icechunk/config.py:59-64, design-docs/005),
+    one snapshot's refs are split into per-array files, optionally
+    capped at ``max_refs_per_manifest`` rows each, so a snapshot of a
+    huge repo never produces one monolithic manifest and readers of a
+    single array fetch only that array's files.
+
+    Spark-first: the split is ONE partitioned parquet write
+    (``partitionBy`` on a copied node column + a range-ordered bucket),
+    not N driver-side writes.  Buckets are ordered by chunk grid
+    coordinates so parquet min/max stats on c0..c3 still prune inside
+    each split file.  Returns the list of snapshot-relative paths
+    (leaf partition dirs), which ``SnapshotInfo.manifests`` stores and
+    ``resolve_manifests`` prunes by node before reading.
+    """
+    splitting = splitting or {}
+    max_refs = splitting.get("max_refs_per_manifest")
+    if not splitting.get("split_by_array") and not max_refs:
+        return [write_manifest(df, root, n_files)]
+    base = os.path.join("manifests", f"{new_id()}.parquet")
+    cols = [c.strip().split(" ")[0] for c in MANIFEST_SCHEMA.split(",")]
+    out = df.select(*cols).withColumn("__node", F.col("node_id"))
+    if max_refs:
+        w = Window.partitionBy("node_id").orderBy("c0", "c1", "c2", "c3", "chunk_key")
+        out = out.withColumn(
+            "__split", ((F.row_number().over(w) - 1) / F.lit(int(max_refs))).cast("int")
+        )
+    else:
+        out = out.withColumn("__split", F.lit(0))
+    full = data_path(root, base)
+    out.write.partitionBy("__node", "__split").parquet(full)
+    rels: list[str] = []
+    for nd in sorted(os.listdir(full)):
+        if not nd.startswith("__node="):
+            continue
+        for sd in sorted(os.listdir(os.path.join(full, nd))):
+            if sd.startswith("__split="):
+                rels.append(f"{base}/{nd}/{sd}")
+    if not rels:  # empty change set still needs a (single) manifest file
+        return [base] if os.path.isdir(full) else []
+    return rels
+
+
+def prune_manifest_paths(relpaths: list[str], node_id: str | None) -> list[str]:
+    """File-level pruning for split manifests: when resolving a single
+    node, skip split files belonging to other nodes entirely (unsplit
+    manifests are always kept — they may contain any node)."""
+    if node_id is None:
+        return list(relpaths)
+    return [p for p in relpaths if "/__node=" not in p or f"/__node={node_id}/" in p]

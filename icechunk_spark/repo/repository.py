@@ -98,13 +98,22 @@ class ManifestConfig:
     ManifestPreloadConfig, re-expressed as Spark caching)."""
 
     preload_paths: list[str] | None = None
+    # Persisted ManifestSplittingConfig (reference:
+    # icechunk-python/python/icechunk/config.py:59-64 and
+    # design-docs/005): {"split_by_array": bool,
+    # "max_refs_per_manifest": int | None}.  When set, every commit
+    # writes per-array (and size-capped) manifest files instead of one
+    # monolith; readers prune split files by node before scanning.
+    splitting: dict[str, Any] | None = None
 
     def to_dict(self) -> dict[str, Any]:
-        return {"preload_paths": self.preload_paths}
+        return {"preload_paths": self.preload_paths, "splitting": self.splitting}
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "ManifestConfig":
-        return cls(preload_paths=d.get("preload_paths"))
+        return cls(
+            preload_paths=d.get("preload_paths"), splitting=d.get("splitting")
+        )
 
 
 @dataclass
@@ -881,7 +890,13 @@ class Repository:
             for f in os.listdir(mdir):
                 rel = os.path.join("manifests", f)
                 full = os.path.join(mdir, f)
-                if rel not in live_manifests and _old(full):
+                # split manifests record LEAF partition dirs in
+                # snapshots; the top-level dir is live if any live
+                # path sits underneath it
+                live = rel in live_manifests or any(
+                    m.startswith(rel + "/") for m in live_manifests
+                )
+                if not live and _old(full):
                     if not dry_run:
                         shutil.rmtree(full)
                     summary.manifests_deleted += 1

@@ -837,10 +837,13 @@ class Session:
             if staged is not None:
                 staged = staged.persist()  # one scan feeds manifest + txlog
                 seq_base = (parent.seq + 1) * 100_000
-                rel = mf.write_manifest(
-                    staged.withColumn("seq", F.col("seq") + seq_base), self.root
+                manifests.extend(
+                    mf.write_manifests(
+                        staged.withColumn("seq", F.col("seq") + seq_base),
+                        self.root,
+                        splitting=((doc or {}).get("manifest") or {}).get("splitting"),
+                    )
                 )
-                manifests.append(rel)
             self._write_txlog(snap_id, staged)
             snap = SnapshotInfo(
                 id=snap_id,
@@ -890,8 +893,13 @@ class Session:
         manifests = list(tip.manifests)
         if staged is not None:
             seq_base = (tip.seq + 1) * 100_000
-            manifests.append(
-                mf.write_manifest(staged.withColumn("seq", F.col("seq") + seq_base), self.root)
+            doc = fmt.read_config_doc(self.root)
+            manifests.extend(
+                mf.write_manifests(
+                    staged.withColumn("seq", F.col("seq") + seq_base),
+                    self.root,
+                    splitting=((doc or {}).get("manifest") or {}).get("splitting"),
+                )
             )
         self._write_txlog(snap_id, staged, carry_from=tip_id)
         snap = SnapshotInfo(
