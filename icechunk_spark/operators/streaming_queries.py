@@ -27,7 +27,13 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"wagg_{uuid.uuid4().hex[:8]}"
     ev = read_event_stream(spark, sf_dir)
     run_to_memory(windowed_agg_stream(ev), name, output_mode="complete")
-    return spark.table(name).orderBy("window_start", "event_type")
+    # stream processes in LTZ (watermark requirement); session tz is UTC
+    # so the NTZ cast is exact and matches the naive oracle
+    return (
+        spark.table(name)
+        .withColumn("window_start", F.col("window_start").cast("timestamp_ntz"))
+        .orderBy("window_start", "event_type")
+    )
 
 
 STREAM_WINDOWED_SQL = """
@@ -46,7 +52,13 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_to_memory(dedup_stream(ev), name)
     return (
         spark.table(name)
-        .select("event_id", "ts", "user_id", "event_type", "value")
+        .select(
+            "event_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
         .orderBy("event_id")
     )
 
@@ -66,7 +78,12 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"sess_{uuid.uuid4().hex[:8]}"
     ev = read_event_stream(spark, sf_dir)
     run_to_memory(sessionize_stream(ev), name, output_mode="complete")
-    return spark.table(name).orderBy("user_id", "session_start")
+    return (
+        spark.table(name)
+        .withColumn("session_start", F.col("session_start").cast("timestamp_ntz"))
+        .withColumn("session_end", F.col("session_end").cast("timestamp_ntz"))
+        .orderBy("user_id", "session_start")
+    )
 
 
 def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:

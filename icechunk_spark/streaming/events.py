@@ -19,26 +19,8 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
 from icechunk_spark.functions import money_sum
-
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # raw int64 nanoseconds (see catalog.py)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
 
 
 def _stream_dir(sf_dir: str) -> str:
@@ -56,16 +38,31 @@ def _stream_dir(sf_dir: str) -> str:
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = _stream_dir(sf_dir)
+    # The file source needs a declared schema: sniff it from the parquet
+    # footers with a driver-side batch read (metadata only, no job), the
+    # same way the batch path (catalog.load_tables) discovers the ts
+    # type.  Testdata stores ts as parquet timestamp[us] (reads as a
+    # timestamp directly); legacy TIMESTAMP(NANOS) files surface as
+    # bigint nanoseconds under nanosAsLong and need the manual convert.
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(spark.read.parquet(d).schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(_stream_dir(sf_dir))
+        .parquet(d)
     )
-    # watermarks require TIMESTAMP (with local tz); session tz is pinned
-    # to UTC above so values collect identically to the naive oracle
-    return raw.withColumn(
-        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-    )
+    # Watermarks require TIMESTAMP (with local tz): normalize whatever
+    # the footer gave (timestamp_ntz for timestamp[us] parquet, bigint
+    # nanos for legacy NANOS) to LTZ.  Session tz is pinned to UTC so
+    # the NTZ↔LTZ casts are exact; query wrappers cast outputs back to
+    # TIMESTAMP_NTZ to match the naive DuckDB oracle.
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
+        raw = raw.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_agg_stream(events: DataFrame) -> DataFrame:
