@@ -143,7 +143,7 @@ WITH counts AS (
   GROUP BY doc_id, tok
 )
 SELECT doc_id,
-       sum(c) AS n_tokens,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
        round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy_bits
 FROM counts
 GROUP BY doc_id

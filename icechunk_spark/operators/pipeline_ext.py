@@ -111,7 +111,7 @@ WITH toks AS (
               / {PACK_BUDGET}) AS BIGINT) AS pack_id
   FROM toks
 )
-SELECT shard, pack_id, count(*) AS n_docs, SUM(tok) AS pack_tokens
+SELECT shard, pack_id, count(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS pack_tokens
 FROM offs GROUP BY shard, pack_id ORDER BY shard, pack_id
 """
 
@@ -158,7 +158,7 @@ WITH b AS (
   FROM documents
 )
 SELECT source, count(*) AS n_total,
-       SUM(CAST(bucket < thr AS BIGINT)) AS n_kept,
+       CAST(SUM(CAST(bucket < thr AS BIGINT)) AS BIGINT) AS n_kept,
        round(SUM(CAST(bucket < thr AS BIGINT)) / count(*), 6) AS keep_rate
 FROM b GROUP BY source ORDER BY source
 """

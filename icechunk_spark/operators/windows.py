@@ -350,8 +350,10 @@ WITH marked AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
-  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq
+  -- CAST: DuckDB types a bare SUM(BIGINT) as HUGEINT, which the
+  -- driver materializes through pandas as float64 and hash-diverges
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq
   FROM marked
 )
 SELECT user_id, sess_seq, min(ts) AS session_start, max(ts) AS session_end,

@@ -77,14 +77,29 @@ def main():
             n_rows_only += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            # Driver parity: the driver materializes oracle results via
+            # pandas, where DuckDB HUGEINT (bare SUM(BIGINT)) becomes
+            # float64 and hash-diverges from Spark's bigint even though
+            # fetchall() ints agree.  Fail loudly on any HUGEINT column
+            # so the local gate can never be green where the driver is
+            # red (VERDICT r3 item 2).
+            hugeint_cols = [
+                c
+                for c, t in zip(rel.columns, rel.types)
+                if "HUGEINT" in str(t).upper()
+            ]
+            drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
             n_fail += 1
             continue
         problems = []
+        if hugeint_cols:
+            problems.append(
+                f"oracle HUGEINT column(s) {hugeint_cols} — CAST(... AS BIGINT) in the SQL"
+            )
         if len(srows) != len(drows):
             problems.append(f"rows {len(srows)} vs {len(drows)}")
         if sorted(scols) != sorted(dcols):
