@@ -117,18 +117,32 @@ def word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # The c*log2(c) sum is folded IN TOKEN ORDER (array_sort on the
+    # unique tok key, then a sequential F.aggregate) instead of a
+    # partition-order F.sum: float addition is not associative, and an
+    # order-dependent sum feeding round(..., 4) can flip at a .00005
+    # boundary between runs/partitionings.  The oracle folds the same
+    # sorted list, so both engines add the same doubles in the same
+    # order — bit-stable (same pattern as cosine/vector_quantize_error).
     return (
         counts.groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_tokens"),
-            F.sum(F.col("c") * F.log2("c")).alias("clogc"),
+            F.array_sort(F.collect_list(F.struct("tok", "c"))).alias("pairs"),
         )
         .select(
             "doc_id",
             "n_tokens",
-            F.round(F.log2("n_tokens") - F.col("clogc") / F.col("n_tokens"), 4).alias(
-                "entropy_bits"
-            ),
+            F.round(
+                F.log2("n_tokens")
+                - F.aggregate(
+                    "pairs",
+                    F.lit(0.0),
+                    lambda acc, p: acc + p["c"] * F.log2(p["c"]),
+                )
+                / F.col("n_tokens"),
+                4,
+            ).alias("entropy_bits"),
         )
         .orderBy("doc_id")
     )
@@ -144,7 +158,11 @@ WITH counts AS (
 )
 SELECT doc_id,
        CAST(sum(c) AS BIGINT) AS n_tokens,
-       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS entropy_bits
+       round(log2(sum(c))
+             - list_reduce(list_transform(list_sort(list({'tok': tok, 'c': c})),
+                                          x -> x.c * log2(x.c)),
+                           (a, b) -> a + b)
+               / sum(c), 4) AS entropy_bits
 FROM counts
 GROUP BY doc_id
 ORDER BY doc_id
