@@ -1,0 +1,92 @@
+"""URI-aware filesystem helpers for the repo's BULK data plane.
+
+The metadata plane goes through the pluggable ``Storage`` backends
+(storage.py); the bulk plane (chunk/manifest/txlog parquet) is read
+and written by Spark through Hadoop, so its paths may be URIs
+(``s3a://bucket/...``).  Maintenance code (GC, manifest splitting)
+that walked these paths with ``os.listdir`` / ``shutil.rmtree`` broke
+the "pointing data_root at s3a:// is a config change" claim — every
+bulk-plane walk now routes through here instead.
+
+Built on ``pyarrow.fs`` (not the JVM Hadoop FileSystem) deliberately:
+these helpers must also run inside Spark Python workers (GC deletes
+execute per-partition on executors), where there is no JVM gateway.
+``s3a://`` URIs are mapped to pyarrow's ``s3://`` scheme.
+"""
+
+from __future__ import annotations
+
+
+def _fs_path(path: str):
+    """Resolve a path-or-URI to (pyarrow FileSystem, fs-local path)."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        if path.startswith("s3a://"):
+            path = "s3://" + path[len("s3a://") :]
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def list_child_names(path: str) -> list[str]:
+    """Immediate child names (files and dirs) under ``path``; [] if the
+    path does not exist.  Object-store-true: one LIST, no recursion."""
+    from pyarrow import fs as pafs
+
+    fs, p = _fs_path(path)
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(p, recursive=False))
+    except (FileNotFoundError, OSError):
+        return []
+    return sorted(i.base_name for i in infos)
+
+
+def exists(path: str) -> bool:
+    from pyarrow import fs as pafs
+
+    fs, p = _fs_path(path)
+    return fs.get_file_info(p).type != pafs.FileType.NotFound
+
+
+def mtime(path: str) -> float | None:
+    """Modification time (epoch seconds) of a file or directory; for a
+    directory on stores without dir mtimes, the newest child mtime.
+    None if the path doesn't exist / has no usable timestamp."""
+    from pyarrow import fs as pafs
+
+    fs, p = _fs_path(path)
+    info = fs.get_file_info(p)
+    if info.type == pafs.FileType.NotFound:
+        return None
+    if info.mtime is not None:
+        return info.mtime.timestamp()
+    if info.type == pafs.FileType.Directory:
+        ts = [
+            i.mtime.timestamp()
+            for i in fs.get_file_info(pafs.FileSelector(p, recursive=True))
+            if i.mtime is not None
+        ]
+        return max(ts) if ts else None
+    return None
+
+
+def dir_size(path: str) -> int:
+    """Total bytes of all files under ``path`` (one recursive LIST)."""
+    from pyarrow import fs as pafs
+
+    fs, p = _fs_path(path)
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(p, recursive=True))
+    except (FileNotFoundError, OSError):
+        return 0
+    return sum(i.size or 0 for i in infos if i.is_file)
+
+
+def delete_dir(path: str) -> None:
+    """Recursively delete a directory (prefix); missing paths are a
+    no-op, matching ``shutil.rmtree(ignore_errors=True)``."""
+    fs, p = _fs_path(path)
+    try:
+        fs.delete_dir(p)
+    except (FileNotFoundError, OSError):
+        pass

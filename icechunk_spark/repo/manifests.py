@@ -84,32 +84,90 @@ def write_manifests(
     (leaf partition dirs), which ``SnapshotInfo.manifests`` stores and
     ``resolve_manifests`` prunes by node before reading.
     """
+    from icechunk_spark.repo import fsio
+
     splitting = splitting or {}
+    # ``is None`` (not falsy) checks: max_refs_per_manifest=0 is a
+    # configured value (clamped to the smallest real cap, 1 ref/file),
+    # not "unset" — the persisted ManifestSplittingConfig must
+    # round-trip with predictable behavior.  A size cap IMPLIES
+    # per-array splitting (the partition layout always includes the
+    # node dir — documented reference semantics here).
     max_refs = splitting.get("max_refs_per_manifest")
-    if not splitting.get("split_by_array") and not max_refs:
+    if not splitting.get("split_by_array") and max_refs is None:
         return [write_manifest(df, root, n_files)]
     base = os.path.join("manifests", f"{new_id()}.parquet")
     cols = [c.strip().split(" ")[0] for c in MANIFEST_SCHEMA.split(",")]
     out = df.select(*cols).withColumn("__node", F.col("node_id"))
-    if max_refs:
+    if max_refs is not None:
         w = Window.partitionBy("node_id").orderBy("c0", "c1", "c2", "c3", "chunk_key")
         out = out.withColumn(
-            "__split", ((F.row_number().over(w) - 1) / F.lit(int(max_refs))).cast("int")
+            "__split",
+            ((F.row_number().over(w) - 1) / F.lit(max(1, int(max_refs)))).cast("int"),
         )
     else:
         out = out.withColumn("__split", F.lit(0))
     full = data_path(root, base)
     out.write.partitionBy("__node", "__split").parquet(full)
+    # partition-dir discovery via the URI-aware bulk plane (fsio), not
+    # os.listdir — data_root may be an object-store URI
     rels: list[str] = []
-    for nd in sorted(os.listdir(full)):
+    for nd in fsio.list_child_names(full):
         if not nd.startswith("__node="):
             continue
-        for sd in sorted(os.listdir(os.path.join(full, nd))):
+        for sd in fsio.list_child_names(f"{full}/{nd}"):
             if sd.startswith("__split="):
                 rels.append(f"{base}/{nd}/{sd}")
     if not rels:  # empty change set still needs a (single) manifest file
-        return [base] if os.path.isdir(full) else []
+        return [base] if fsio.exists(full) else []
     return rels
+
+
+def resolve_manifest_rows_local(
+    root,
+    manifests: list[str],
+    node_id: str | None = None,
+    chunk_key: str | None = None,
+) -> list[dict]:
+    """Spark-free manifest resolution (pyarrow) for executor-side point
+    reads: a read-only Session unpickled inside a task has no JVM
+    gateway, so the advertised read-scaling path (pickle a readonly
+    session into a UDF, fetch chunk bytes per row) must not launch
+    Spark jobs.  Same LSM semantics as ``resolve_manifests``: latest
+    seq per (node_id, chunk_key) wins, tombstones dropped.  Pushdown
+    via pyarrow dataset filters; split manifests prune at file level
+    first (``prune_manifest_paths``)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    flt = None
+    if node_id is not None:
+        flt = pc.field("node_id") == node_id
+    if chunk_key is not None:
+        k = pc.field("chunk_key") == chunk_key
+        flt = k if flt is None else (flt & k)
+    rows: list[dict] = []
+    for rel in prune_manifest_paths(manifests, node_id):
+        dataset = ds.dataset(data_path(root, rel), format="parquet")
+        rows.extend(dataset.to_table(filter=flt).to_pylist())
+    best: dict[tuple[str, str], dict] = {}
+    for r in rows:
+        key = (r["node_id"], r["chunk_key"])
+        if key not in best or r["seq"] > best[key]["seq"]:
+            best[key] = r
+    return [r for r in best.values() if r["op"] == "set"]
+
+
+_HIVE_ESCAPE = set('"#%\'*/:=?\\{[]^\x7f') | {chr(c) for c in range(0x20)}
+
+
+def _escape_partition_value(value: str) -> str:
+    """Escape a partition value the way Spark's partitioned writer does
+    (Hive ``escapePathName``): node ids are uuid hex today, but if they
+    ever carry escapable characters the on-disk dir name would differ
+    from the raw id and a raw-substring match would silently prune ALL
+    of that node's split files (empty reads instead of errors)."""
+    return "".join(f"%{ord(c):02X}" if c in _HIVE_ESCAPE else c for c in value)
 
 
 def prune_manifest_paths(relpaths: list[str], node_id: str | None) -> list[str]:
@@ -118,4 +176,5 @@ def prune_manifest_paths(relpaths: list[str], node_id: str | None) -> list[str]:
     manifests are always kept — they may contain any node)."""
     if node_id is None:
         return list(relpaths)
-    return [p for p in relpaths if "/__node=" not in p or f"/__node={node_id}/" in p]
+    marker = f"/__node={_escape_partition_value(node_id)}/"
+    return [p for p in relpaths if "/__node=" not in p or marker in p]

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from icechunk_spark.engine import local_df
 
 from icechunk_spark.repo import format as fmt
+from icechunk_spark.repo import fsio
 from icechunk_spark.repo import manifests as mf
 from icechunk_spark.repo.admin import (
     FEATURE_FLAGS,
@@ -321,7 +322,9 @@ class Repository:
     def create(cls, spark: SparkSession, root: str, metadata: dict | None = None) -> "Repository":
         if cls.exists(root):
             raise RefError(f"repository already exists at {root}")
-        os.makedirs(fmt.data_path(root), exist_ok=True)
+        dp = fmt.data_path(root)
+        if "://" not in dp:  # object stores have no dirs to pre-create
+            os.makedirs(dp, exist_ok=True)
         root_snap = SnapshotInfo(
             id=new_id(),
             parent_id=None,
@@ -444,11 +447,7 @@ class Repository:
         )
         return {
             "id": manifest_rel,
-            "size_bytes": sum(
-                os.path.getsize(os.path.join(dp, f))
-                for dp, _, fs in os.walk(_dp(self.root, manifest_rel))
-                for f in fs
-            ),
+            "size_bytes": fsio.dir_size(_dp(self.root, manifest_rel)),
             "num_arrays": len(per_array),
             "total_chunk_refs": sum(r["chunk_refs"] for r in per_array),
             "total_native": sum(r["native"] for r in per_array),
@@ -470,7 +469,7 @@ class Repository:
         """What one commit changed: chunk writes/deletes per node and
         node-level ops (reference parity: inspect_transaction_log)."""
         p = _dp(self.root, "txlogs", f"{snapshot_id}.parquet")
-        if not os.path.exists(p):
+        if not fsio.exists(p):
             return {"id": snapshot_id, "chunks_updated": {}, "node_ops": []}
         tx = self.spark.read.schema(fmt.TXLOG_SCHEMA).parquet(p)
         chunk_rows = (
@@ -857,10 +856,10 @@ class Repository:
         cutoff = now - older_than_seconds
 
         def _old(path: str) -> bool:
-            try:
-                return os.path.getmtime(path) < cutoff
-            except OSError:
-                return False  # vanished concurrently: not ours to count
+            ts = fsio.mtime(path)
+            # None = vanished concurrently / store without timestamps:
+            # not ours to count
+            return ts is not None and ts < cutoff
 
         live_snaps = self._reachable_snapshots()
         summary = GCSummary()
@@ -880,49 +879,40 @@ class Repository:
                     fmt.delete_snapshot(self.root, sid)
                 summary.snapshots_deleted += 1
                 tx = _dp(self.root, "txlogs", f"{sid}.parquet")
-                if os.path.exists(tx):
+                if fsio.exists(tx):
                     if not dry_run:
-                        shutil.rmtree(tx)
+                        fsio.delete_dir(tx)
                     summary.txlogs_deleted += 1
         # drop unreferenced manifest files
         mdir = _dp(self.root, "manifests")
-        if os.path.isdir(mdir):
-            for f in os.listdir(mdir):
-                rel = os.path.join("manifests", f)
-                full = os.path.join(mdir, f)
-                # split manifests record LEAF partition dirs in
-                # snapshots; the top-level dir is live if any live
-                # path sits underneath it
-                live = rel in live_manifests or any(
-                    m.startswith(rel + "/") for m in live_manifests
-                )
-                if not live and _old(full):
-                    if not dry_run:
-                        shutil.rmtree(full)
-                    summary.manifests_deleted += 1
-        # chunk files referenced by no live manifest: DISTRIBUTED —
-        # listing comes from a metadata-only recursive parquet scan
-        # (input_file_name, no data columns read), the liveness check
-        # is a Spark anti-join, and age-check + delete run per
-        # partition on executors.  Neither the file list nor the
-        # doomed set ever materializes on the driver.
-        cdir = _dp(self.root, "chunks")
-        if os.path.isdir(cdir):
-            from icechunk_spark.repo.arrays import CHUNK_FILE_SCHEMA_SUFFIX
-
-            all_files = (
-                self.spark.read.format("parquet")
-                .schema(CHUNK_FILE_SCHEMA_SUFFIX)  # no footer reads, no inference
-                .option("recursiveFileLookup", "true")
-                .load(cdir)
-                .select(
-                    F.regexp_extract(F.input_file_name(), r"(chunks/[^/]+\.parquet)", 1).alias(
-                        "file"
-                    )
-                )
-                .filter(F.col("file") != "")
-                .distinct()
+        for f in fsio.list_child_names(mdir):
+            rel = f"manifests/{f}"
+            full = _dp(self.root, "manifests", f)
+            # split manifests record LEAF partition dirs in
+            # snapshots; the top-level dir is live if any live
+            # path sits underneath it
+            live = rel in live_manifests or any(
+                m.startswith(rel + "/") for m in live_manifests
             )
+            if not live and _old(full):
+                if not dry_run:
+                    fsio.delete_dir(full)
+                summary.manifests_deleted += 1
+        # chunk files referenced by no live manifest: the candidate set
+        # comes from ONE shallow LIST of chunks/ (names only — the same
+        # primitive object-store GC is built on, and the only listing
+        # that also sees zero-row or corrupt chunk dirs a parquet scan
+        # would skip, which previously leaked forever).  The liveness
+        # check is a Spark anti-join and age-check + delete run per
+        # partition on executors through pyarrow.fs, so bulk work never
+        # touches the driver and the path may be an object-store URI.
+        chunk_names = fsio.list_child_names(_dp(self.root, "chunks"))
+        if chunk_names:
+            all_files = local_df(
+                self.spark,
+                [{"file": f"chunks/{n}"} for n in chunk_names],
+                "file string",
+            ).repartition(max(1, min(32, len(chunk_names) // 1000 + 1)))
             if live_manifests:
                 referenced = (
                     mf.read_manifest_files(self.spark, self.root, sorted(live_manifests))
@@ -936,19 +926,17 @@ class Repository:
             data_root = fmt.data_path(self.root)
 
             def delete_batch(rows):
-                import os as _os
-                import shutil as _shutil
+                # runs inside executors: pyarrow fsio only, no JVM
+                from icechunk_spark.repo import fsio as _fsio
 
                 n = 0
                 for r in rows:
-                    full = _os.path.join(data_root, r["file"])
-                    try:
-                        if _os.path.getmtime(full) >= cutoff:
-                            continue
-                    except OSError:
+                    full = f"{data_root.rstrip('/')}/{r['file']}"
+                    ts = _fsio.mtime(full)
+                    if ts is None or ts >= cutoff:
                         continue
                     if not dry_run:
-                        _shutil.rmtree(full, ignore_errors=True)
+                        _fsio.delete_dir(full)
                     n += 1
                 yield n
 
@@ -958,11 +946,11 @@ class Repository:
         # orphaned staging dirs (per-session: delete only aged ones —
         # a fresh staging dir belongs to a live write session)
         sdir = _dp(self.root, "staging")
-        if os.path.isdir(sdir) and not dry_run:
-            for d in os.listdir(sdir):
-                full = os.path.join(sdir, d)
+        if not dry_run:
+            for d in fsio.list_child_names(sdir):
+                full = _dp(self.root, "staging", d)
                 if _old(full):
-                    shutil.rmtree(full, ignore_errors=True)
+                    fsio.delete_dir(full)
         if not dry_run:
             self._log_update(
                 {

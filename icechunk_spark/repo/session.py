@@ -151,6 +151,37 @@ class Session:
         self._virtual_containers: list[str] | None = None
         self._virtual_authorized: set[str] = set()
 
+    # --- spark handle (lazy: executor-side sessions have none) -------------
+    # An unpickled read-only session inside a Spark task has no JVM
+    # gateway: ``getActiveSession()`` is None there, so ``spark`` must
+    # not be resolved eagerly at unpickle time and DataFrame APIs must
+    # fail with a clear error while the point-read APIs
+    # (get_chunk_bytes / chunk_type / chunk_coordinates) fall back to
+    # pyarrow (reference parity: readonly sessions are pickled into
+    # tasks for read scaling — icechunk-python session.py:39-60).
+
+    @property
+    def spark(self) -> SparkSession:
+        if self._spark is None:
+            self._spark = SparkSession.getActiveSession()
+        if self._spark is None:
+            raise RefError(
+                "no active SparkSession in this process (executor-side "
+                "session?): only point reads — get_chunk_bytes, chunk_type, "
+                "chunk_coordinates — are available without a driver"
+            )
+        return self._spark
+
+    @spark.setter
+    def spark(self, value: SparkSession | None) -> None:
+        self._spark = value
+
+    @property
+    def _has_spark(self) -> bool:
+        if self._spark is None:
+            self._spark = SparkSession.getActiveSession()
+        return self._spark is not None
+
     # --- virtual chunk authorization --------------------------------------
 
     def _check_virtual_write(self, location: str) -> None:
@@ -223,6 +254,19 @@ class Session:
     def _require_writable(self) -> None:
         if self._read_only:
             raise RefError("session is read-only")
+
+    def _require_repo_online(self) -> None:
+        """Re-check the repo-level availability gate at COMMIT time,
+        not just at session open: an admin flipping the repo to
+        read_only must stop in-flight writers too (reference parity:
+        repository status gating, repository.py:798+)."""
+        try:
+            doc = fmt.read_repo_info(self.root).get("status")
+        except Exception:
+            return  # pre-status-era repo layout
+        if doc and doc.get("availability") not in (None, "online"):
+            reason = doc.get("limited_availability_reason") or "repository is read-only"
+            raise RefError(f"cannot commit: {reason}")
 
     def _require_data_writable(self) -> None:
         """Data-mutation guard: rearrange sessions (move-only) pass the
@@ -388,12 +432,23 @@ class Session:
         )
 
     def set_virtual_ref(
-        self, path: str, chunk_key: str, location: str, offset: int, length: int
+        self,
+        path: str,
+        chunk_key: str,
+        location: str,
+        offset: int,
+        length: int,
+        *,
+        validate_container: bool = True,
     ) -> None:
         """Reference a byte range in an external file as a chunk
-        (icechunk/src/virtual_chunks.rs)."""
+        (icechunk/src/virtual_chunks.rs).  ``validate_container=False``
+        skips the configured-container check (the store facade's bulk
+        ``set_virtual_refs_arr(validate_containers=False)`` contract —
+        reads remain subject to read authorization regardless)."""
         self._require_data_writable()
-        self._check_virtual_write(location)
+        if validate_container:
+            self._check_virtual_write(location)
         meta = self.array_meta(path)
         self._chunk_buffer.append(
             {
@@ -422,6 +477,16 @@ class Session:
         icechunk-python session.py:327).  Streams the resolved manifest
         partition-by-partition — never materializes it on the driver."""
         meta = self.array_meta(array_path)
+        if not self._has_spark:  # executor-side unpickled session
+            keys = sorted(
+                r["chunk_key"]
+                for r in mf.resolve_manifest_rows_local(
+                    self.root, self._base.manifests, meta.node_id
+                )
+            )
+            for k in keys:
+                yield tuple(int(x) for x in k.split("."))
+            return
         rows = (
             self._resolved_manifest(meta.node_id, None)
             .select("chunk_key")
@@ -447,12 +512,7 @@ class Session:
                 if payload is not None and len(payload) <= self._inline_threshold():
                     return ChunkType.inline
                 return ChunkType.native
-        row = (
-            self._resolved_manifest(meta.node_id, None)
-            .filter(F.col("chunk_key") == key)
-            .select("is_virtual", "inline")
-            .collect()
-        )
+        row = self._point_manifest_rows(meta.node_id, key)
         if not row:
             return ChunkType.uninitialized
         if row[0]["is_virtual"]:
@@ -460,6 +520,23 @@ class Session:
         if row[0]["inline"] is not None:
             return ChunkType.inline
         return ChunkType.native
+
+    def _point_manifest_rows(self, node_id: str, chunk_key: str) -> list[dict]:
+        """Resolved manifest rows for ONE chunk.  Driver-side this is a
+        pruned Spark scan (read-your-writes via the staged overlay);
+        executor-side (no JVM gateway) it is a pyarrow point lookup —
+        read-only sessions have nothing staged, so base-only resolution
+        is exact there."""
+        if not self._has_spark:
+            return mf.resolve_manifest_rows_local(
+                self.root, self._base.manifests, node_id, chunk_key
+            )
+        return [
+            r.asDict()
+            for r in self._resolved_manifest(node_id, None)
+            .filter(F.col("chunk_key") == chunk_key)
+            .collect()
+        ]
 
     def get_chunk_bytes(self, path: str, chunk_key: str) -> bytes | None:
         meta = self.array_meta(path)
@@ -473,11 +550,7 @@ class Session:
                         f.seek(int(c["voffset"]))
                         return f.read(int(c["vlength"]))
                 return c["payload"]
-        row = (
-            self._resolved_manifest(meta.node_id, None)
-            .filter(F.col("chunk_key") == chunk_key)
-            .collect()
-        )
+        row = self._point_manifest_rows(meta.node_id, chunk_key)
         if not row:
             return None
         r = row[0]
@@ -488,6 +561,14 @@ class Session:
                 return f.read(r["vlength"])
         if r["inline"] is not None:
             return bytes(r["inline"])
+        if not self._has_spark:  # executor-side: pyarrow point read
+            import pyarrow.compute as pc
+            import pyarrow.dataset as ds
+
+            tbl = ds.dataset(_dp(self.root, r["file"]), format="parquet").to_table(
+                filter=pc.field("chunk_id") == r["chunk_id"], columns=["payload"]
+            )
+            return tbl["payload"][0].as_py() if tbl.num_rows else None
         payload = (
             self.spark.read.parquet(_dp(self.root, r["file"]))
             .filter(F.col("chunk_id") == r["chunk_id"])
@@ -774,6 +855,21 @@ class Session:
         base = self._manifest_cache[node_id]
         return base.filter(chunk_filter) if chunk_filter is not None else base
 
+    def _drop_manifest_cache(self) -> None:
+        """Invalidate (and unpersist) cached base manifests.  MUST run
+        whenever ``self._base`` is reassigned — commit, amend, rebase —
+        or a session with ``CachingConfig.num_chunk_refs > 0`` keeps
+        serving pre-commit manifests after the base moved (and the
+        persisted DataFrames leak executor memory)."""
+        cache = getattr(self, "_manifest_cache", None)
+        if cache:
+            for df in cache.values():
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass  # spark may already be stopped at teardown
+            cache.clear()
+
     def _resolved_manifest(self, node_id, chunk_filter) -> DataFrame:
         """Base-snapshot manifest overlaid with staged (uncommitted)
         writes — read-your-writes inside the transaction."""
@@ -813,6 +909,7 @@ class Session:
     ) -> str:
         """Commit staged changes; returns the new snapshot id."""
         self._require_writable()
+        self._require_repo_online()
         if self._branch is None:
             raise RefError("no branch to commit to")
         self._flush_chunk_buffer()
@@ -873,12 +970,14 @@ class Session:
             self._staged.clear()
             self._node_ops.clear()
             self._base = snap
+            self._drop_manifest_cache()
             return snap_id
 
     def amend(self, message: str | None = None, metadata: dict | None = None) -> str:
         """Replace the tip commit with tip+staged (same parent) —
         session.py:amend."""
         self._require_writable()
+        self._require_repo_online()
         if self._branch is None:
             raise RefError("no branch to amend")
         self._flush_chunk_buffer()
@@ -917,6 +1016,7 @@ class Session:
         self._staged.clear()
         self._node_ops.clear()
         self._base = snap
+        self._drop_manifest_cache()
         return snap_id
 
     def rebase(self, solver: ConflictSolver) -> None:
@@ -1052,6 +1152,7 @@ class Session:
                     merged[path] = self._nodes[path]
         self._nodes = merged
         self._base = tip
+        self._drop_manifest_cache()
 
     def _replace_staging(self, df: DataFrame) -> None:
         materialized = df.collect()  # conflict remainders are small
@@ -1103,9 +1204,9 @@ class Session:
         }
 
     def __setstate__(self, state):
-        from pyspark.sql import SparkSession
-
-        self.spark = SparkSession.getActiveSession()
+        # Resolved lazily by the ``spark`` property: inside an executor
+        # there is no active session and point reads use pyarrow.
+        self.spark = None
         self.root = state["root"]
         self._base = fmt.read_snapshot(self.root, state["snapshot_id"])
         self._branch = None
@@ -1139,9 +1240,7 @@ class ForkSession(Session):
         }
 
     def __setstate__(self, state):
-        from pyspark.sql import SparkSession
-
-        self.spark = SparkSession.getActiveSession()
+        self.spark = None  # lazy (see Session.spark property)
         self.root = state["root"]
         self._base = fmt.read_snapshot(self.root, state["snapshot_id"])
         self._branch = None

@@ -357,7 +357,14 @@ class ChunkStore:
                     failed.append(coord)
                     continue
             key = ".".join(str(x) for x in coord)
-            sess.set_virtual_ref(array_path, key, loc, int(offsets[i]), int(lengths[i]))
+            sess.set_virtual_ref(
+                array_path,
+                key,
+                loc,
+                int(offsets[i]),
+                int(lengths[i]),
+                validate_container=validate_containers,
+            )
         return failed or None
 
     # --- listing ----------------------------------------------------------

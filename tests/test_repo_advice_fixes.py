@@ -124,3 +124,148 @@ def test_readonly_session_as_of(spark, repo):
     root_t = list(repo.ancestry(branch="main"))[-1].written_at
     with _pytest.raises(RefError, match="no snapshot at or before"):
         repo.readonly_session("main", as_of=root_t - 10)
+
+
+def test_manifest_cache_invalidated_on_commit(spark, tmp_path):
+    """With CachingConfig.num_chunk_refs > 0, a session that commits
+    must NOT keep serving the pre-commit (persisted) base manifest:
+    a read after commit sees the just-committed value."""
+    from icechunk_spark.repo import CachingConfig, Repository, RepositoryConfig
+
+    repo = Repository.create(spark, str(tmp_path / "repo"))
+    repo.save_config(RepositoryConfig(caching=CachingConfig(num_chunk_refs=1000)))
+    with repo.transaction(message="init") as s:
+        s.create_array("/a", shape=[4], chunk_shape=[4])
+        s.set_chunk_bytes("/a", "0", b"v1" * 8)
+
+    sess = repo.writable_session("main")
+    # prime the cache from the v1 base
+    assert sess.get_chunk_bytes("/a", "0") == b"v1" * 8
+    sess.set_chunk_bytes("/a", "0", b"v2" * 8)
+    sess.commit("v2")
+    # post-commit read through the SAME session must see v2, not the
+    # stale persisted manifest of the old base
+    assert sess.get_chunk_bytes("/a", "0") == b"v2" * 8
+
+
+def test_readonly_session_point_reads_on_executors(spark, repo):
+    """The advertised read-scaling path: pickle a readonly session into
+    Spark tasks (no active SparkSession there) and fetch chunk bytes
+    per task via the pyarrow fallback."""
+    import pickle
+
+    with repo.transaction(message="init") as s:
+        s.create_array("/a", shape=[8], chunk_shape=[4])
+        # large enough to be a native (non-inline) chunk
+        s.set_chunk_bytes("/a", "0", b"A" * 4096)
+        s.set_chunk_bytes("/a", "1", b"B" * 4096)
+    blob = pickle.dumps(repo.readonly_session())
+
+    def fetch(key):
+        sess = pickle.loads(blob)
+        data = sess.get_chunk_bytes("/a", key)
+        return (key, data[:1], len(data), sess.chunk_type("/a", (int(key),)).name)
+
+    got = sorted(spark.sparkContext.parallelize(["0", "1"], 2).map(fetch).collect())
+    assert got == [("0", b"A", 4096, "native"), ("1", b"B", 4096, "native")]
+
+
+def test_set_virtual_refs_arr_validate_false_skips_container_check(spark, tmp_path):
+    """validate_containers=False must actually bypass the configured-
+    container check (it previously re-raised inside set_virtual_ref)."""
+    from icechunk_spark.repo.store import ChunkStore
+
+    repo = Repository.create(spark, str(tmp_path / "repo"))
+    repo.set_virtual_chunk_container("allowed", "file:///allowed/")
+    with repo.transaction(message="init") as s:
+        s.create_array("/a", shape=[2], chunk_shape=[1])
+    sess = repo.writable_session("main")
+    store = ChunkStore(sess)
+    failed = store.set_virtual_refs_arr(
+        "/a", (2,), ["/not/allowed/x.bin", ""], [0, 0], [4, 0],
+        validate_containers=False,
+    )
+    assert failed is None  # nothing rejected
+    assert sess.chunk_type("/a", (0,)).name == "virtual"
+    # with validation ON the same location is rejected (returned, not raised)
+    sess2 = repo.writable_session("main")
+    failed2 = ChunkStore(sess2).set_virtual_refs_arr(
+        "/a", (2,), ["/not/allowed/x.bin", ""], [0, 0], [4, 0],
+    )
+    assert failed2 == [(0,)]
+
+
+def test_gc_reclaims_zero_row_chunk_dirs(spark, repo):
+    """Chunk dirs a parquet scan can't see (zero rows / no part files)
+    must still be listed and reclaimed by GC — they leaked forever when
+    the candidate list came from input_file_name() rows only."""
+    import os
+
+    from icechunk_spark.repo import format as fmt
+
+    with repo.transaction(message="init") as s:
+        s.create_array("/a", shape=[4], chunk_shape=[4])
+        s.set_chunk_bytes("/a", "0", b"x" * 4096)
+    # fabricate an orphan dir with no readable parquet rows
+    cdir = fmt.data_path(str(repo.root), "chunks/deadbeef.parquet")
+    os.makedirs(cdir)
+    open(os.path.join(cdir, "_SUCCESS"), "w").close()
+
+    summary = repo.garbage_collect(older_than_seconds=-1)
+    assert summary.chunk_files_deleted == 1
+    assert not os.path.exists(cdir)
+    # the live chunk survives
+    assert repo.readonly_session().get_chunk_bytes("/a", "0") == b"x" * 4096
+
+
+def test_commit_blocked_when_repo_flipped_read_only(spark, repo):
+    """An in-flight writable session must re-check RepoStatus at commit
+    time: flipping the repo read_only stops it."""
+    from icechunk_spark.repo import RefError, RepoAvailability, RepoStatus
+
+    with repo.transaction(message="init") as s:
+        s.create_array("/a", shape=[4], chunk_shape=[4])
+    sess = repo.writable_session("main")
+    sess.set_chunk_bytes("/a", "0", b"y" * 32)
+    repo.set_status(
+        RepoStatus(availability=RepoAvailability.read_only,
+                   limited_availability_reason="maintenance")
+    )
+    with pytest.raises(RefError, match="maintenance"):
+        sess.commit("should fail")
+    repo.set_status(RepoStatus(availability=RepoAvailability.online))
+    sess.commit("now ok")
+    assert repo.readonly_session().get_chunk_bytes("/a", "0") == b"y" * 32
+
+
+def test_manifest_split_config_zero_cap_and_escaping(spark, tmp_path):
+    """max_refs_per_manifest=0 is a configured (smallest) cap, not
+    'unset'; partition-dir pruning matches Spark's escaped dir names."""
+    from icechunk_spark.repo import ManifestConfig, Repository, RepositoryConfig
+    from icechunk_spark.repo.manifests import (
+        _escape_partition_value,
+        prune_manifest_paths,
+    )
+
+    repo = Repository.create(spark, str(tmp_path / "repo"))
+    repo.save_config(
+        RepositoryConfig(
+            manifest=ManifestConfig(splitting={"max_refs_per_manifest": 0})
+        )
+    )
+    with repo.transaction(message="init") as s:
+        s.create_array("/a", shape=[4], chunk_shape=[1])
+        for i in range(4):
+            s.set_chunk_bytes("/a", str(i), bytes([i]) * 4096)
+    tip = repo.lookup_snapshot(repo.lookup_branch("main"))
+    # cap 0 clamps to 1 ref per split file -> 4 split manifests
+    assert len([m for m in tip.manifests if "/__node=" in m]) == 4
+    sess = repo.readonly_session()
+    assert sess.get_chunk_bytes("/a", "2") == b"\x02" * 4096
+
+    # escaping: a node id with a ':' must match its escaped dir name
+    nid = "weird:id"
+    esc = _escape_partition_value(nid)
+    assert esc == "weird%3Aid"
+    paths = [f"manifests/m.parquet/__node={esc}/__split=0", "manifests/plain.parquet"]
+    assert prune_manifest_paths(paths, nid) == paths
