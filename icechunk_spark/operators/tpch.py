@@ -67,14 +67,17 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-way join (broadcast customer filter) + agg + deterministic top-10."""
+    """3-way join + agg + deterministic top-10.  No forced broadcast:
+    customer scales with SF (~20 GB at sf100) and a hint overrides the
+    size threshold — AQE broadcasts it at small SF and shuffles at
+    large SF, which is the right call both times."""
     t = load_tables(spark, sf_dir)
     cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     orders = t["orders"].filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz"))
     li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp_ntz"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -136,7 +139,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(
             broadcast(t["supplier"]),
             (F.col("l_suppkey") == F.col("s_suppkey"))
@@ -204,7 +207,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
@@ -251,7 +254,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     green = t["part"].filter(F.col("p_name").contains("e")).select("p_partkey", "p_retailprice")
     df = (
         t["lineitem"]
-        .join(broadcast(green), F.col("l_partkey") == F.col("p_partkey"))
+        .join(green, F.col("l_partkey") == F.col("p_partkey"))
         .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
@@ -295,7 +298,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"].filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
@@ -364,7 +367,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
         )
-        .join(broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
     )
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
     return df.agg(
@@ -400,7 +403,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
@@ -421,7 +424,7 @@ LIMIT 100
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Disjunctive multi-predicate join (brand × size × quantity bands)."""
     t = load_tables(spark, sf_dir)
-    df = t["lineitem"].join(broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+    df = t["lineitem"].join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
     cond = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15)) & (F.col("l_quantity").between(1, 21)))
         | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 25)) & (F.col("l_quantity").between(5, 35)))

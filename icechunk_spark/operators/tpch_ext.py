@@ -48,7 +48,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("s_acctbal"), F.asc("s_suppkey")
     )
     return (
-        pairs.join(broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        pairs.join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .join(broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -104,9 +104,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     df = (
         t["lineitem"]
-        .join(broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
         .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
         .withColumn("volume", rev)
@@ -277,7 +277,7 @@ def q16_part_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     pairs = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
     return (
-        pairs.join(broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        pairs.join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size"))
@@ -311,7 +311,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .join(brand, F.col("l_partkey") == F.col("p_partkey"))
         .join(avg_qty.withColumnRenamed("l_partkey", "t_partkey"),
               F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
@@ -344,7 +344,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
         )
-        .join(broadcast(widgets), F.col("l_partkey") == F.col("p_partkey"))
+        .join(widgets, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 50)
