@@ -39,6 +39,7 @@ BENCH_QUERIES = [
 ]
 
 REPLICATE = 10  # x10 lineitem for the floor-amortization probe
+N_RUNS = 3  # per-query repetitions; min reported (see timed())
 
 
 def _replicated_lineitem_dir(spark, sf_dir: str) -> str:
@@ -107,11 +108,23 @@ def main() -> None:
     warm.groupBy("g").applyInPandas(lambda p: p, "id long, g int").count()
     warm.mapInPandas(lambda it: it, "id long, g int").count()
 
+    def timed(fn) -> float:
+        """min of N_RUNS timings: a single-shot record is hostage to
+        container contention (the bogus 60.1s BENCH_r03 vs a 30.1s
+        re-run on idle hardware — VERDICT r3).  Min-of-3 measures the
+        plan, not the neighbors.  Cached frames a query persisted are
+        dropped between runs so no run reads another's cache."""
+        best = float("inf")
+        for _ in range(N_RUNS):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = timed(lambda name=name: queries[name](spark, sf_dir).count())
 
     # floor-amortization probe: same plan, 10x the rows (built outside
     # the timed region)
@@ -120,9 +133,9 @@ def main() -> None:
         # types were normalized by load_tables before the replica was
         # written, so a plain read round-trips them
         big_df = spark.read.parquet(big)
-        t0 = time.perf_counter()
-        _q1_over(spark, big_df).count()
-        timings[f"q1_pricing_summary_x{REPLICATE}"] = round(time.perf_counter() - t0, 3)
+        timings[f"q1_pricing_summary_x{REPLICATE}"] = timed(
+            lambda: _q1_over(spark, big_df).count()
+        )
     except Exception as ex:  # pragma: no cover - never fail the bench line
         print(f"replicated probe skipped: {ex}", file=sys.stderr)
 
