@@ -28,14 +28,16 @@ def _modules():
 
 
 # Explicit iteration-order priority: the driver correctness gate checks
-# the FIRST 50 entries of ``all_queries()``.  Round 1-2 checked the 50
-# TPC-H/analytics/dedup queries (49 green twice); round 3 rotates the 43
-# never-checked operators (similarity, text, multimodal, streaming, repo)
-# into the window, keeping 7 well-established anchors for continuity —
-# including ``sessionize``, whose timestamp_ntz fix needs driver
-# re-verification.  Queries not listed here follow in module order.
+# the FIRST 50 entries of ``all_queries()``.  History: r1/r2 checked the
+# TPC-H/analytics/dedup block, r3 rotated in the similarity/text/
+# multimodal/repo/streaming block.  Round 4 window = 7 anchors + the 10
+# queries that were never driver-green (all root-caused and fixed this
+# round: streaming ts decode, HUGEINT oracle casts, new knn_lsh/knn_ivf
+# oracles) + the 33 stalest r1/r2-only greens (2 rounds unchecked).
+# Queries not listed here follow in module order (all driver-green in
+# r3, so at most 1 round stale).
 PRIORITY: list[str] = [
-    # anchors (driver-green in r01+r02; sessionize fixed this round)
+    # anchors (continuity across every round)
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "sessionize",
@@ -43,54 +45,64 @@ PRIORITY: list[str] = [
     "dedup_cluster",
     "dedup_exact",
     "simhash",
-    # §2c/§2d similarity + near-dup — never driver-checked before r3
-    "embedding_neardup",
-    "cross_doc_spans",
-    "knn_brute_force",
-    "pairwise_topk",
-    "knn_lsh",
-    "knn_ivf",
-    "label_centroids",
-    "vector_norm_stats",
-    "kmeans_clusters",
-    # §2e text analysis / LLM pipeline
-    "lang_id",
-    "token_count",
-    "quality_score",
-    "fingerprint",
-    "ngram_freq",
-    "pipeline_clean_corpus",
-    "dup_span_fraction",
-    "gopher_quality_filters",
-    "tfidf_top_terms",
-    "split_train_val",
+    # never driver-green before this round — fixed in r4, verify first
     "pack_sequences",
     "mixture_sample",
-    "decontaminate",
-    "stratified_sample",
-    "bigram_logprob_score",
-    "source_vocab_overlap",
-    "length_percentile_filter",
     "word_entropy",
-    "vector_quantize_error",
-    "shard_assign",
-    # §2f multimodal
-    "multimodal_features",
-    "media_dedup",
-    "frame_sample",
-    "media_resize",
-    # §2a repo / version-control queries
-    "array_store_roundtrip",
-    "repo_time_travel",
-    "repo_manifest_stats",
-    "repo_changed_cells",
-    # §2g streaming
+    "knn_lsh",
+    "knn_ivf",
     "stream_windowed_agg",
     "stream_dedup",
-    "stream_sessionize",
-    "stream_running_totals",
     "stream_interval_join",
-    "stream_static_enrich",
+    "stream_sessionize",
+    "repo_manifest_stats",
+    # TPC-H block: green in r1/r2, unchecked for 2 rounds
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_class",
+    "q13_order_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_part_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q22_global_sales",
+    # windows/analytics + dedup variants: green in r2, 2 rounds stale
+    "topk_per_group",
+    "running_agg",
+    "distinct_count_exact",
+    "distinct_count_approx",
+    "percentiles",
+    "rollup_cube",
+    "asof_join",
+    "range_join",
+    "pivot_events",
+    "json_extract_agg",
+    "window_lead_lag",
+    "ngram_jaccard",
+    "dedup_cluster_star",
+    # ---- window boundary (50) ----
+    # next-stalest r2 greens lead the overflow so r5's rotation is easy
+    "rank_distribution",
+    "first_last_in_group",
+    "stats_agg",
+    "string_agg_ordered",
+    "histogram_value",
+    "time_resample",
+    "customer_retention_setops",
+    "sketch_event_counts",
+    "hypertable_rollup",
+    "dedup_exact_keep_first",
 ]
 
 
