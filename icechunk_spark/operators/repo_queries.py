@@ -116,8 +116,15 @@ ORDER BY day_idx
 
 
 def repo_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Storage statistics + compaction invariant: manifest count drops
-    to 1 after rewrite_manifests while stats stay identical."""
+    """Storage statistics + compaction invariant, oracle-checked: the
+    live chunk-ref count at the tip equals the number of distinct
+    chunk-grid cells the revenue days cover (v2 only overwrites a
+    subset of v1's chunks, so the tip count is exactly
+    COUNT(DISTINCT day // CHUNK) — computable by a SQL engine straight
+    from lineitem), the manifest list is 2 files before compaction
+    (one per commit) and 1 after, and stored bytes are positive.
+    Byte totals themselves are parquet-compression artifacts no other
+    engine reproduces, so the boolean is the contract."""
     root = os.path.join(tempfile.gettempdir(), f"icr_{uuid.uuid4().hex}")
     try:
         repo = Repository.create(spark, root)
@@ -133,18 +140,34 @@ def repo_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats = repo.chunk_storage_stats().select(
             "path",
             "n_chunks",
-            "total_bytes",
+            (F.col("total_bytes") > 0).alias("bytes_positive"),
             F.lit(before).cast("bigint").alias("manifests_before_compaction"),
             F.lit(after).cast("bigint").alias("manifests_after_compaction"),
         )
         return _materialize(
             spark,
             stats,
-            "path string, n_chunks bigint, total_bytes bigint, "
+            "path string, n_chunks bigint, bytes_positive boolean, "
             "manifests_before_compaction bigint, manifests_after_compaction bigint",
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+MANIFEST_STATS_SQL = f"""
+WITH days AS (
+  SELECT DISTINCT CAST(datediff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) AS BIGINT) AS day_idx
+  FROM lineitem
+  WHERE datediff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) >= 0
+    AND datediff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) < {N_DAYS}
+)
+SELECT '/revenue' AS path,
+       CAST(count(DISTINCT day_idx // {CHUNK}) AS BIGINT) AS n_chunks,
+       TRUE AS bytes_positive,
+       CAST(2 AS BIGINT) AS manifests_before_compaction,
+       CAST(1 AS BIGINT) AS manifests_after_compaction
+FROM days
+"""
 
 
 def repo_changed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,5 +241,6 @@ QUERIES = {
 ORACLES = {
     "array_store_roundtrip": ARRAY_ROUNDTRIP_SQL,
     "repo_time_travel": TIME_TRAVEL_SQL,
+    "repo_manifest_stats": MANIFEST_STATS_SQL,
     "repo_changed_cells": CHANGED_CELLS_SQL,
 }

@@ -72,9 +72,13 @@ ORDER BY event_id
 
 
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session-window aggregation (rows-only: session_window boundary
-    semantics are engine-specific; the batch `sessionize` operator
-    carries the oracle for gap sessions)."""
+    """Session-window aggregation with a full-equality oracle:
+    Spark's session_window is half-open ([ts, ts+gap) per event,
+    sessions merge on overlap), so a new session starts when
+    ts >= prev + gap — one comparison different from the batch
+    ``sessionize`` operator's closed-boundary convention, and the
+    oracle mirrors it with the same lag/cumsum derivation.
+    session_end is last event + gap by definition."""
     name = f"sess_{uuid.uuid4().hex[:8]}"
     ev = read_event_stream(spark, sf_dir)
     run_to_memory(sessionize_stream(ev), name, output_mode="complete")
@@ -84,6 +88,29 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("session_end", F.col("session_end").cast("timestamp_ntz"))
         .orderBy("user_id", "session_start")
     )
+
+
+STREAM_SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq
+  FROM marked
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
+FROM numbered
+GROUP BY user_id, sess_seq
+ORDER BY user_id, session_start
+"""
 
 
 def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,6 +211,7 @@ ORACLES = {
     "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
     "stream_windowed_agg": STREAM_WINDOWED_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
+    "stream_sessionize": STREAM_SESSIONIZE_SQL,
     "stream_running_totals": STREAM_RUNNING_TOTALS_SQL,
     "stream_interval_join": STREAM_INTERVAL_JOIN_SQL,
 }
