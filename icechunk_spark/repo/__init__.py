@@ -42,9 +42,15 @@ from icechunk_spark.repo.admin import (
     RepoStatus,
     Update,
 )
+from icechunk_spark.repo.migrations import (
+    migrate_repository,
+    spec_version_of,
+)
 from icechunk_spark.repo.storage import (
     InMemoryObjectStorage,
+    LatencyStorage,
     LocalFilesystemStorage,
+    LoggingStorage,
     Storage,
     StorageConflict,
     resolve_storage,
@@ -74,4 +80,8 @@ __all__ = [
     "FeatureFlag",
     "FeatureFlagDisabled",
     "Update",
+    "LoggingStorage",
+    "LatencyStorage",
+    "migrate_repository",
+    "spec_version_of",
 ]

@@ -208,6 +208,33 @@ class Repository:
         # url_prefix -> credential (opaque; local/None for file paths),
         # mirroring Repository.open(..., authorize_virtual_chunk_access)
         self._virtual_auth = dict(authorize_virtual_chunk_access or {})
+        # runtime RepositoryConfig override (reopen(config=...)): takes
+        # effect for this handle and its sessions WITHOUT persisting —
+        # reference parity: Repository.reopen (repository.py:626)
+        self._config_override: RepositoryConfig | None = None
+
+    def reopen(
+        self,
+        *,
+        config: "RepositoryConfig | None" = None,
+        authorize_virtual_chunk_access: dict[str, Any] | None = None,
+    ) -> "Repository":
+        """A new handle over the same storage with a different runtime
+        config and/or virtual-chunk credentials (reference parity:
+        Repository.reopen).  The config override applies to sessions
+        opened from the new handle but is NOT persisted — save_config
+        remains the explicit persistence path."""
+        out = Repository(
+            self.spark,
+            self.root,
+            authorize_virtual_chunk_access=(
+                authorize_virtual_chunk_access
+                if authorize_virtual_chunk_access is not None
+                else dict(self._virtual_auth)
+            ),
+        )
+        out._config_override = config if config is not None else self._config_override
+        return out
 
     # --- virtual chunk containers (icechunk/src/virtual_chunks.rs) --------
 
@@ -352,6 +379,21 @@ class Repository:
     ) -> "Repository":
         if not cls.exists(root):
             raise RefError(f"no repository at {root}")
+        # spec gate (migrations.py): refuse layouts this engine cannot
+        # read correctly rather than misreading them
+        v = int(fmt.read_repo_info(root).get("format_version", 0))
+        if v > SPEC_VERSION:
+            raise RefError(
+                f"repository spec version {v} is newer than this engine's "
+                f"{SPEC_VERSION}; upgrade the engine"
+            )
+        if v < SPEC_VERSION:
+            raise RefError(
+                f"repository spec version {v} predates this engine's "
+                f"{SPEC_VERSION}; run icechunk_spark.repo.migrations."
+                "migrate_repository (or `python -m icechunk_spark.cli "
+                "migrate`) to upgrade it in place"
+            )
         return cls(spark, root, authorize_virtual_chunk_access=authorize_virtual_chunk_access)
 
     @classmethod
@@ -388,6 +430,8 @@ class Repository:
     # --- config -----------------------------------------------------------
 
     def config(self) -> RepositoryConfig:
+        if self._config_override is not None:
+            return self._config_override
         return self.fetch_config(self.root) or RepositoryConfig()
 
     @staticmethod
@@ -656,6 +700,8 @@ class Repository:
         if containers:
             s._virtual_containers = sorted(containers.values())
             s._virtual_authorized = self.authorized_virtual_container_prefixes
+        if self._config_override is not None:
+            s._config_override = self._config_override.to_dict()
         return s
 
     def rearrange_session(self, branch: str = MAIN) -> Session:

@@ -150,6 +150,14 @@ class Session:
         # None = no containers configured (legacy/local mode: unscoped).
         self._virtual_containers: list[str] | None = None
         self._virtual_authorized: set[str] = set()
+        # runtime config override (Repository.reopen(config=...)):
+        # shadows the persisted config.json for this session only
+        self._config_override: dict | None = None
+
+    def _config_doc(self) -> dict | None:
+        if self._config_override is not None:
+            return self._config_override
+        return fmt.read_config_doc(self.root)
 
     # --- spark handle (lazy: executor-side sessions have none) -------------
     # An unpickled read-only session inside a Spark task has no JVM
@@ -715,7 +723,7 @@ class Session:
         """Inline-chunk threshold from the repo's config.json (default
         512, matching the reference's inline_chunk_threshold_bytes)."""
         try:
-            doc = fmt.read_config_doc(self.root)
+            doc = self._config_doc()
             if doc is not None:
                 return int(doc.get("inline_chunk_threshold_bytes", 512))
         except (ValueError, OSError):
@@ -842,7 +850,7 @@ class Session:
         trading a wider cache for skipping the resolve shuffle on
         every subsequent read in this session (CachingConfig
         num_chunk_refs, reference parity)."""
-        doc = fmt.read_config_doc(self.root)
+        doc = self._config_doc()
         caching = (doc or {}).get("caching") or {}
         if int(caching.get("num_chunk_refs", 0) or 0) <= 0:
             return mf.resolve_manifests(self.spark, self.root, self._base, node_id, chunk_filter)
@@ -913,7 +921,7 @@ class Session:
         if self._branch is None:
             raise RefError("no branch to commit to")
         self._flush_chunk_buffer()
-        doc = fmt.read_config_doc(self.root)
+        doc = self._config_doc()
         max_attempts = int((doc or {}).get("repo_update_retries", 10) or 10)
         attempts = 0
         while True:
@@ -992,7 +1000,7 @@ class Session:
         manifests = list(tip.manifests)
         if staged is not None:
             seq_base = (tip.seq + 1) * 100_000
-            doc = fmt.read_config_doc(self.root)
+            doc = self._config_doc()
             manifests.extend(
                 mf.write_manifests(
                     staged.withColumn("seq", F.col("seq") + seq_base),
@@ -1219,6 +1227,7 @@ class Session:
         self._chunk_buffer = []
         self._virtual_containers = state.get("virtual_containers")
         self._virtual_authorized = set(state.get("virtual_authorized") or [])
+        self._config_override = None
 
 
 class ForkSession(Session):
@@ -1253,6 +1262,7 @@ class ForkSession(Session):
         self._chunk_buffer = []
         self._virtual_containers = None
         self._virtual_authorized = set()
+        self._config_override = None
 
 
 def _norm(path: str) -> str:

@@ -226,6 +226,98 @@ class InMemoryObjectStorage(Storage):
         return d
 
 
+class _DelegatingStorage(Storage):
+    """Base for observability wrappers: forwards every Storage call to
+    ``inner`` through ``_observe`` (reference parity: the reference
+    wraps its Storage in latency/logging decorators —
+    icechunk/src/storage/latency.rs, logging.rs)."""
+
+    def __init__(self, inner: Storage):
+        self.inner = inner
+        self.root = inner.root
+
+    def _observe(self, op: str, key: str, fn):
+        return fn()
+
+    def get(self, key: str) -> bytes:
+        return self._observe("get", key, lambda: self.inner.get(key))
+
+    def put(self, key: str, data: bytes, *, if_none_match: bool = False) -> None:
+        return self._observe(
+            "put", key, lambda: self.inner.put(key, data, if_none_match=if_none_match)
+        )
+
+    def exists(self, key: str) -> bool:
+        return self._observe("exists", key, lambda: self.inner.exists(key))
+
+    def list_dir(self, prefix: str) -> list[str]:
+        return self._observe("list_dir", prefix, lambda: self.inner.list_dir(prefix))
+
+    def delete(self, key: str) -> None:
+        return self._observe("delete", key, lambda: self.inner.delete(key))
+
+    def delete_prefix(self, prefix: str) -> None:
+        return self._observe(
+            "delete_prefix", prefix, lambda: self.inner.delete_prefix(prefix)
+        )
+
+    def mtime(self, key: str) -> float:
+        return self._observe("mtime", key, lambda: self.inner.mtime(key))
+
+    def getsize(self, key: str) -> int:
+        return self._observe("getsize", key, lambda: self.inner.getsize(key))
+
+    @property
+    def data_root(self) -> str:
+        return self.inner.data_root
+
+
+class LoggingStorage(_DelegatingStorage):
+    """Log every metadata-plane operation (op, key, elapsed ms) through
+    ``log_fn`` (default: print to stderr)."""
+
+    def __init__(self, inner: Storage, log_fn=None):
+        super().__init__(inner)
+        if log_fn is None:
+            import sys
+
+            def log_fn(line: str) -> None:  # pragma: no cover - default sink
+                print(line, file=sys.stderr)
+
+        self._log = log_fn
+
+    def _observe(self, op: str, key: str, fn):
+        t0 = time.perf_counter()
+        try:
+            return fn()
+        finally:
+            ms = (time.perf_counter() - t0) * 1000.0
+            self._log(f"storage {op} {key} {ms:.2f}ms")
+
+
+class LatencyStorage(_DelegatingStorage):
+    """Accumulate per-op latency statistics; ``stats()`` returns
+    {op: {count, total_s, max_s}} for dashboards/tests."""
+
+    def __init__(self, inner: Storage):
+        super().__init__(inner)
+        self._stats: dict[str, dict[str, float]] = {}
+
+    def _observe(self, op: str, key: str, fn):
+        t0 = time.perf_counter()
+        try:
+            return fn()
+        finally:
+            dt = time.perf_counter() - t0
+            s = self._stats.setdefault(op, {"count": 0, "total_s": 0.0, "max_s": 0.0})
+            s["count"] += 1
+            s["total_s"] += dt
+            s["max_s"] = max(s["max_s"], dt)
+
+    def stats(self) -> dict[str, dict[str, float]]:
+        return {op: dict(s) for op, s in self._stats.items()}
+
+
 def resolve_storage(root: "str | Storage") -> Storage:
     if isinstance(root, Storage):
         return root

@@ -1,0 +1,163 @@
+"""Repository.reopen, storage observability wrappers, spec-version
+migrations, and the CLI (reference parity: Repository.reopen,
+storage/latency.rs + logging.rs, migrations/mod.rs, cli/interface.rs).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from icechunk_spark.repo import (
+    LatencyStorage,
+    LoggingStorage,
+    RefError,
+    Repository,
+    RepositoryConfig,
+    migrate_repository,
+    resolve_storage,
+    spec_version_of,
+)
+from icechunk_spark.repo import format as fmt
+
+
+@pytest.fixture()
+def repo(spark, tmp_path):
+    return Repository.create(spark, str(tmp_path / "repo"))
+
+
+def test_reopen_overrides_config_without_persisting(spark, repo):
+    override = RepositoryConfig(inline_chunk_threshold_bytes=0)
+    r2 = repo.reopen(config=override)
+    assert r2.config().inline_chunk_threshold_bytes == 0
+    # not persisted: the original handle still sees the stored default
+    assert repo.config().inline_chunk_threshold_bytes != 0 or fmt.read_config_doc(
+        repo.root
+    ) is None
+    # the override reaches sessions: a tiny chunk that would inline by
+    # default is stored as a native chunk under threshold 0
+    with r2.transaction(message="init") as s:
+        s.create_array("/a", shape=[4], chunk_shape=[4])
+        s.set_chunk_bytes("/a", "0", b"tiny")
+    sess = r2.readonly_session()
+    assert sess.get_chunk_bytes("/a", "0") == b"tiny"
+    assert sess.chunk_type("/a", (0,)).name == "native"
+    # same write through the non-overridden handle inlines (default 512)
+    with repo.transaction(message="b") as s:
+        s.create_array("/b", shape=[4], chunk_shape=[4])
+        s.set_chunk_bytes("/b", "0", b"tiny")
+    assert repo.readonly_session().chunk_type("/b", (0,)).name == "inline"
+
+
+def test_reopen_swaps_virtual_authorization(spark, repo):
+    r2 = repo.reopen(authorize_virtual_chunk_access={"file:///data/": None})
+    assert r2._virtual_auth == {"file:///data/": None}
+    assert repo._virtual_auth == {}
+
+
+def test_latency_and_logging_storage(repo):
+    inner = resolve_storage(str(repo.root))
+    lat = LatencyStorage(inner)
+    lat.get_json("repo.json")
+    lat.exists("repo.json")
+    stats = lat.stats()
+    assert stats["get"]["count"] == 1 and stats["exists"]["count"] == 1
+    assert stats["get"]["total_s"] >= 0.0
+
+    lines: list[str] = []
+    log = LoggingStorage(inner, log_fn=lines.append)
+    log.get_json("repo.json")
+    assert len(lines) == 1 and lines[0].startswith("storage get repo.json")
+    # wrappers are full Storage implementations: ref reads work through them
+    assert fmt.branch_tip(lat, "main")
+
+
+def test_migrations_upgrade_v0_layout(spark, tmp_path):
+    root = str(tmp_path / "repo")
+    Repository.create(spark, root)
+    # regress the layout to v0 (pre-spec: no format_version key)
+    info = fmt.read_repo_info(root)
+    del info["format_version"]
+    fmt.write_repo_info(root, info)
+    assert spec_version_of(root) == 0
+    with pytest.raises(RefError, match="migrate"):
+        Repository.open(spark, root)
+    assert migrate_repository(root, dry_run=True) == [0]
+    assert spec_version_of(root) == 0  # dry run touches nothing
+    assert migrate_repository(root) == [0]
+    assert spec_version_of(root) == 1
+    assert migrate_repository(root) == []  # idempotent
+    Repository.open(spark, root)  # gate passes now
+
+    # a FUTURE layout is refused, not migrated
+    info = fmt.read_repo_info(root)
+    info["format_version"] = 99
+    fmt.write_repo_info(root, info)
+    with pytest.raises(RefError, match="newer"):
+        Repository.open(spark, root)
+    with pytest.raises(RefError, match="newer"):
+        migrate_repository(root)
+
+
+def test_cli_metadata_commands(spark, tmp_path, capsys):
+    from icechunk_spark.cli import main
+
+    root = str(tmp_path / "repo")
+    repo = Repository.create(spark, root)
+    with repo.transaction(message="first data") as s:
+        s.create_array("/a", shape=[4], chunk_shape=[4])
+    repo.create_tag("v1", repo.lookup_branch("main"))
+
+    assert main(["branches", root]) == 0
+    assert json.loads(capsys.readouterr().out)["main"] == repo.lookup_branch("main")
+
+    assert main(["tags", root]) == 0
+    assert json.loads(capsys.readouterr().out)["v1"] == repo.lookup_branch("main")
+
+    assert main(["ancestry", root, "-n", "1"]) == 0
+    hist = json.loads(capsys.readouterr().out)
+    assert hist[0]["message"] == "first data"
+
+    assert main(["status", root]) == 0
+    assert json.loads(capsys.readouterr().out)["availability"] == "online"
+
+    assert main(["set-status", root, "read_only", "--reason", "maint"]) == 0
+    assert json.loads(capsys.readouterr().out)["availability"] == "read_only"
+    assert main(["set-status", root, "online"]) == 0
+    capsys.readouterr()
+
+    assert main(["info", root]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert "main" in info["branches"] and info["spec_version"] == 1
+
+    assert main(["migrate", root]) == 0
+    assert json.loads(capsys.readouterr().out)["applied_from_versions"] == []
+
+    assert main(["expire", root, "--older-than", "999999"]) == 0
+    assert json.loads(capsys.readouterr().out)["expired_snapshots"] == []
+
+    # errors exit 1 with a message, not a traceback
+    assert main(["info", str(tmp_path / "nope")]) == 1
+    assert "error:" in capsys.readouterr().err
+
+
+def test_cli_gc_and_compact(spark, tmp_path, capsys):
+    from icechunk_spark.cli import main
+
+    root = str(tmp_path / "repo")
+    repo = Repository.create(spark, root)
+    for i in range(2):
+        with repo.transaction(message=f"c{i}") as s:
+            if i == 0:
+                s.create_array("/a", shape=[8], chunk_shape=[4])
+            s.set_chunk_bytes("/a", "0", bytes([i]) * 4096)
+
+    assert main(["compact", root]) == 0
+    json.loads(capsys.readouterr().out)
+    tip = repo.lookup_snapshot(repo.lookup_branch("main"))
+    assert len(tip.manifests) == 1
+
+    assert main(["gc", root, "--older-than", "-1", "--dry-run"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["dry_run"] is True and out["chunk_files_deleted"] >= 0
