@@ -70,6 +70,15 @@ def mtime(path: str) -> float | None:
     return None
 
 
+def read_range(path: str, offset: int, length: int) -> bytes:
+    """Ranged read of a single file (virtual chunk refs): works on any
+    pyarrow filesystem, driver- or executor-side."""
+    fs, p = _fs_path(path)
+    with fs.open_input_file(p) as f:
+        f.seek(int(offset))
+        return f.read(int(length))
+
+
 def dir_size(path: str) -> int:
     """Total bytes of all files under ``path`` (one recursive LIST)."""
     from pyarrow import fs as pafs

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from icechunk_spark.engine import local_df
 
 from icechunk_spark.repo import format as fmt
+from icechunk_spark.repo import fsio
 from icechunk_spark.repo import manifests as mf
 from icechunk_spark.repo.arrays import (
     decode_chunks_to_rows,
@@ -250,8 +251,7 @@ class Session:
 
     def discard_changes(self) -> None:
         stage = self._staging_dir()
-        if os.path.isdir(stage):
-            shutil.rmtree(stage)
+        fsio.delete_dir(stage)
         self._staged.clear()
         self._node_ops.clear()
         self._chunk_buffer.clear()
@@ -554,9 +554,7 @@ class Session:
                     return None
                 if c["is_virtual"]:
                     self._check_virtual_read(c["vpath"])
-                    with open(c["vpath"], "rb") as f:
-                        f.seek(int(c["voffset"]))
-                        return f.read(int(c["vlength"]))
+                    return fsio.read_range(c["vpath"], c["voffset"], c["vlength"])
                 return c["payload"]
         row = self._point_manifest_rows(meta.node_id, chunk_key)
         if not row:
@@ -564,9 +562,7 @@ class Session:
         r = row[0]
         if r["is_virtual"]:
             self._check_virtual_read(r["vpath"])
-            with open(r["vpath"], "rb") as f:
-                f.seek(r["voffset"])
-                return f.read(r["vlength"])
+            return fsio.read_range(r["vpath"], r["voffset"], r["vlength"])
         if r["inline"] is not None:
             return bytes(r["inline"])
         if not self._has_spark:  # executor-side: pyarrow point read
@@ -972,9 +968,7 @@ class Session:
                 continue
             if staged is not None:
                 staged.unpersist()
-            stage = self._staging_dir()
-            if os.path.isdir(stage):
-                shutil.rmtree(stage)
+            fsio.delete_dir(self._staging_dir())
             self._staged.clear()
             self._node_ops.clear()
             self._base = snap
@@ -1049,7 +1043,7 @@ class Session:
         carry = (
             _dp(self.root, "txlogs", f"{carry_from}.parquet") if carry_from else None
         )
-        if carry is not None and not os.path.exists(carry):
+        if carry is not None and not fsio.exists(carry):
             carry = None
         if staged is None and not node_rows and carry is None:
             return
@@ -1080,7 +1074,7 @@ class Session:
         their_logs = [
             _dp(self.root, "txlogs", f"{sid}.parquet")
             for sid in theirs_ids
-            if os.path.exists(_dp(self.root, "txlogs", f"{sid}.parquet"))
+            if fsio.exists(_dp(self.root, "txlogs", f"{sid}.parquet"))
         ]
         staged = self._staged_manifest_df()
         ours_chunks = (
@@ -1166,8 +1160,7 @@ class Session:
         materialized = df.collect()  # conflict remainders are small
         schema = df.schema
         stage = self._staging_dir()
-        if os.path.isdir(stage):
-            shutil.rmtree(stage)
+        fsio.delete_dir(stage)
         self._staged.clear()
         if materialized:
             self._stage_manifest(local_df(self.spark, materialized, schema))

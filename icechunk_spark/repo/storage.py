@@ -226,6 +226,96 @@ class InMemoryObjectStorage(Storage):
         return d
 
 
+class ArrowFsStorage(Storage):
+    """Metadata plane over any pyarrow filesystem URI — ``s3://``,
+    ``gs://``, ``hdfs://``, ``file://`` (``s3a://`` is normalized to
+    ``s3://``).  Bulk parquet IO under the same root goes through
+    Spark/Hadoop via ``data_root`` as usual, so one URI covers both
+    planes — this is the backend that makes a cloud bucket a config
+    change.
+
+    CAS caveat: pyarrow.fs exposes no conditional-put primitive, so
+    ``if_none_match`` here is exists-then-write — atomic on stores
+    with exclusive create (local), best-effort on S3 (a true
+    If-None-Match implementation needs the bucket SDK; the reference
+    uses exactly that S3 feature — icechunk/src/storage/s3.rs).  Two
+    same-generation racers on S3 may both "win" the branch CAS within
+    the race window; single-writer deployments are unaffected."""
+
+    def __init__(self, root: str):
+        from pyarrow import fs as pafs
+
+        self.root = root
+        uri = root
+        if uri.startswith("s3a://"):
+            uri = "s3://" + uri[len("s3a://") :]
+        self._fs, self._base = pafs.FileSystem.from_uri(uri)
+
+    def _p(self, key: str) -> str:
+        return f"{self._base.rstrip('/')}/{key}" if key else self._base
+
+    def get(self, key: str) -> bytes:
+        with self._fs.open_input_file(self._p(key)) as f:
+            return f.read()
+
+    def put(self, key: str, data: bytes, *, if_none_match: bool = False) -> None:
+        if if_none_match and self.exists(key):
+            raise StorageConflict(key)
+        path = self._p(key)
+        parent = path.rsplit("/", 1)[0]
+        self._fs.create_dir(parent, recursive=True)
+        with self._fs.open_output_stream(path) as f:
+            f.write(data)
+
+    def exists(self, key: str) -> bool:
+        from pyarrow import fs as pafs
+
+        return self._fs.get_file_info(self._p(key)).type != pafs.FileType.NotFound
+
+    def list_dir(self, prefix: str) -> list[str]:
+        from pyarrow import fs as pafs
+
+        try:
+            infos = self._fs.get_file_info(
+                pafs.FileSelector(self._p(prefix), recursive=False)
+            )
+        except (FileNotFoundError, OSError):
+            return []
+        return sorted(i.base_name for i in infos)
+
+    def delete(self, key: str) -> None:
+        try:
+            self._fs.delete_file(self._p(key))
+        except (FileNotFoundError, OSError):
+            pass
+
+    def delete_prefix(self, prefix: str) -> None:
+        try:
+            self._fs.delete_dir(self._p(prefix))
+        except (FileNotFoundError, OSError):
+            pass
+
+    def mtime(self, key: str) -> float:
+        from pyarrow import fs as pafs
+
+        info = self._fs.get_file_info(self._p(key))
+        if info.type == pafs.FileType.NotFound or info.mtime is None:
+            raise FileNotFoundError(key)
+        return info.mtime.timestamp()
+
+    def getsize(self, key: str) -> int:
+        info = self._fs.get_file_info(self._p(key))
+        if info.size is None:
+            raise FileNotFoundError(key)
+        return info.size
+
+    @property
+    def data_root(self) -> str:
+        # Spark reads/writes through Hadoop with the ORIGINAL scheme
+        # (s3a:// for S3 on Hadoop), so hand back the root untouched.
+        return self.root
+
+
 class _DelegatingStorage(Storage):
     """Base for observability wrappers: forwards every Storage call to
     ``inner`` through ``_observe`` (reference parity: the reference
@@ -325,4 +415,6 @@ def resolve_storage(root: "str | Storage") -> Storage:
         rest = root[len("memory://") :]
         bucket, _, prefix = rest.partition("/")
         return InMemoryObjectStorage(bucket, prefix)
+    if "://" in root:  # any pyarrow filesystem URI (s3/s3a/gs/hdfs/file)
+        return ArrowFsStorage(root)
     return LocalFilesystemStorage(root)
