@@ -406,7 +406,56 @@ ORDER BY src_a, src_b
 """
 
 
+# --- BPE pair statistics ---------------------------------------------------
+
+BPE_TOP_K = 50
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies — the inner
+    aggregation of BPE tokenizer training (the most frequent pair is
+    the next merge).  One tokenize + one generated-column explode +
+    one count: at 100 TB this is a scan plus a shuffle keyed on the
+    pair string (bounded key space, uniform — no skew), exactly the
+    shape a distributed tokenizer trainer repeats per merge round.
+    Deterministic top-k cut: count desc, then pair."""
+    t = load_tables(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .select(F.explode(tokenize(F.col("text"))).alias("tok"))
+        .filter(F.length("tok") >= 2)  # sequence(1, 0) would descend
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_TOP_K)
+    )
+
+
+BPE_PAIR_SQL = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
+  FROM documents
+), pairs AS (
+  SELECT unnest([substring(tok, i, 2) FOR i IN range(1, length(tok))]) AS pair
+  FROM toks WHERE length(tok) >= 2
+)
+SELECT pair, count(*) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {BPE_TOP_K}
+"""
+
+
 QUERIES = {
+    "bpe_pair_counts": bpe_pair_counts,
     "stratified_sample": stratified_sample,
     "bigram_logprob_score": bigram_logprob_score,
     "source_vocab_overlap": source_vocab_overlap,
@@ -417,6 +466,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bpe_pair_counts": BPE_PAIR_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "bigram_logprob_score": BIGRAM_LOGPROB_SQL,
     "source_vocab_overlap": SOURCE_VOCAB_OVERLAP_SQL,
