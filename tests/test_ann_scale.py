@@ -88,3 +88,31 @@ def test_dedup_cluster_star_equals_propagation(spark):
         (r["doc_id"], r["cluster_id"]) for r in dedup_cluster_star(spark, SF_DIR).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_partial_topk_invariant_under_partitioning(spark):
+    """_partial_topk must return EXACTLY the global top-k for any
+    input partitioning (1 partition, many, or skewed): the local-rank
+    prefilter may never drop a global winner."""
+    from icechunk_spark.operators.similarity import _partial_topk
+
+    rows = [(i % 7, (i * 37) % 101, i) for i in range(500)]
+    df = spark.createDataFrame(rows, "key int, score int, id int")
+    order = [F.desc("score"), F.asc("id")]
+
+    def run(d):
+        return sorted(
+            (r["key"], r["rnk"], r["id"], r["score"])
+            for r in _partial_topk(d, ["key"], order, 5).collect()
+        )
+
+    w = Window.partitionBy("key").orderBy(*order)
+    expected = sorted(
+        (r["key"], r["rnk"], r["id"], r["score"])
+        for r in df.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .collect()
+    )
+    assert run(df.repartition(1)) == expected
+    assert run(df.repartition(64)) == expected
+    assert run(df.repartition("key")) == expected
