@@ -50,6 +50,38 @@ def write_orc(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").orc(path)
 
 
+def read_text_corpus(
+    spark: SparkSession, path: str, whole_file: bool = False
+) -> DataFrame:
+    """Raw-text ingestion for training corpora: ``wholetext=False``
+    yields one row per line (columns: value), ``True`` one row per
+    file — the usual first step before cleaning/dedup.  Adds the
+    source file path so downstream provenance (shard_assign,
+    mixture_sample) has a grouping key.  Splittable line mode scales
+    to any file count; whole-file mode keeps each document intact for
+    document-level operators."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.text(path, wholetext=whole_file)
+    return df.select(
+        F.input_file_name().alias("path"), F.col("value").alias("text")
+    )
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Multimodal payload ingestion via Spark's ``binaryFile`` source:
+    (path, modificationTime, length, content) — content is the opaque
+    binary column operators/multimodal.py decodes with mapInPandas.
+    ``pathGlobFilter`` prunes by extension at the LISTING, before any
+    bytes are read."""
+    r = spark.read.format("binaryFile")
+    if glob is not None:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
+
+
 class FormatUnavailable(RuntimeError):
     """The Spark deployment lacks the external module for a format."""
 

@@ -102,3 +102,38 @@ def test_avro_gate(spark, tmp_path):
             write_avro(df, str(tmp_path / "a"))
         with pytest.raises(FormatUnavailable, match="spark-avro"):
             read_avro(spark, str(tmp_path / "a"))
+
+
+def test_read_text_corpus_lines_and_whole(spark, tmp_path):
+    from icechunk_spark.sources import read_text_corpus
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("hello world\nsecond line\n")
+    (d / "b.txt").write_text("solo doc\n")
+
+    lines = read_text_corpus(spark, str(d))
+    got = sorted(r["text"] for r in lines.collect())
+    assert got == ["hello world", "second line", "solo doc"]
+    assert all(r["path"].endswith(".txt") for r in lines.collect())
+
+    docs = read_text_corpus(spark, str(d), whole_file=True)
+    by_file = {r["path"].rsplit("/", 1)[-1]: r["text"] for r in docs.collect()}
+    assert by_file["a.txt"] == "hello world\nsecond line\n"
+    assert by_file["b.txt"] == "solo doc\n"
+
+
+def test_read_binary_files_with_glob(spark, tmp_path):
+    from icechunk_spark.sources import read_binary_files
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "x.img").write_bytes(b"\x00\x01\x02payload")
+    (d / "y.img").write_bytes(b"\xff" * 16)
+    (d / "skip.txt").write_bytes(b"not media")
+
+    df = read_binary_files(spark, str(d), glob="*.img")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"x.img", "y.img"}
+    assert bytes(rows["x.img"]["content"]) == b"\x00\x01\x02payload"
+    assert rows["y.img"]["length"] == 16
