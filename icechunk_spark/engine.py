@@ -14,7 +14,7 @@ import os
 from pyspark.sql import SparkSession
 
 
-def local_df(spark: SparkSession, rows, schema: str):
+def local_df(spark: SparkSession, rows, schema):
     """Small driver-local DataFrame WITHOUT launching a Spark job.
 
     ``createDataFrame`` over a Python list takes the RDD path: it
@@ -22,15 +22,18 @@ def local_df(spark: SparkSession, rows, schema: str):
     worker per slice — ~30 tasks for a 1-row frame.  Building through
     pandas + Arrow yields a LocalRelation instead (no job at all),
     which matters because repo metadata commits do several of these.
-    ``schema`` must be a DDL string; column values are taken by name
-    from dict/Row items and laid out in schema order.
+    ``schema`` is a DDL string or a StructType; column values are
+    taken by name from dict/Row items and laid out in schema order.
     """
     import pandas as pd
 
     rows = list(rows)
     if not rows:
         return spark.createDataFrame([], schema)
-    names = [c.strip().split(" ")[0] for c in schema.split(",")]
+    if isinstance(schema, str):
+        names = [c.strip().split(" ")[0] for c in schema.split(",")]
+    else:
+        names = list(schema.fieldNames())
     data = [
         r.asDict()
         if hasattr(r, "asDict")

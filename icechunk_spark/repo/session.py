@@ -1110,11 +1110,33 @@ class Session:
         ours_chunk_nodes = {r["node_id"] for r in ours_chunks.select("node_id").distinct().collect()}
         deleted_write = sorted((ours_chunk_nodes - ours_nodes) & their_deleted)
         conflicts += [{"kind": "deleted_node_write", "node_id": n} for n in deleted_write]
+        # reference's NewNodeConflictsWithExisting: both sides created
+        # (or delete+recreated) the SAME PATH with different node ids —
+        # node-id matching can't see it, and without this check the
+        # rebase silently let the last writer's node shadow the
+        # committed one (conflicts/detector.rs)
+        ours_by_path: dict[str, list[dict]] = {}
+        for op in self._node_ops:
+            if op["op"] != "delete":
+                ours_by_path.setdefault(op["path"], []).append(op)
+        their_touched_paths = {
+            p for p, n in tip.nodes.items() if n["node_id"] in their_nodes
+        }
+        their_deleted_paths = {
+            p for p, n in self._base.nodes.items() if n["node_id"] in their_deleted
+        }
+        path_conflicts = sorted(
+            p
+            for p, ops in ours_by_path.items()
+            if (p in their_touched_paths or p in their_deleted_paths)
+            and all(op.get("node_id") not in node_conflicts for op in ops)
+        )
+        conflicts += [{"kind": "path", "path": p} for p in path_conflicts]
         if conflicts:
             if solver is None:
                 raise ConflictError(conflicts)
             mode = solver.on_chunk_conflict
-            node_kinds = ("node", "deleted_node_write")
+            node_kinds = ("node", "deleted_node_write", "path")
             if any(c["kind"] in node_kinds for c in conflicts) and solver.on_node_conflict == "fail":
                 raise ConflictError([c for c in conflicts if c["kind"] in node_kinds])
             if mode == "fail" and any(c["kind"] == "chunk" for c in conflicts):
@@ -1139,6 +1161,32 @@ class Session:
                                 {"op": "create", "path": path, "node_id": nid}
                             )
                             break
+            if path_conflicts and solver.on_node_conflict == "use_theirs":
+                # their node wins at the contested paths: drop our node
+                # ops there (the merge below then keeps tip's entry)
+                # and our staged chunks into the now-dead node ids
+                doomed_ids = [
+                    op["node_id"]
+                    for p in path_conflicts
+                    for op in ours_by_path[p]
+                    if op.get("node_id")
+                ]
+                contested = set(path_conflicts)
+                self._node_ops = [
+                    op for op in self._node_ops if op["path"] not in contested
+                ]
+                for p in contested:
+                    self._nodes.pop(p, None)
+                if doomed_ids and self._staged:
+                    doomed = local_df(
+                        self.spark, [(n,) for n in doomed_ids], "node_id string"
+                    )
+                    remaining = self._staged_manifest_df().join(
+                        doomed, "node_id", "left_anti"
+                    )
+                    self._replace_staging(remaining)
+            # path_conflicts + use_ours: nothing to do — the merge loop
+            # below replays our op over tip's node at that path
         # merge their node table with our ops replayed on top
         merged = dict(tip.nodes)
         for op in self._node_ops:

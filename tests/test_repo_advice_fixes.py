@@ -269,3 +269,44 @@ def test_manifest_split_config_zero_cap_and_escaping(spark, tmp_path):
     assert esc == "weird%3Aid"
     paths = [f"manifests/m.parquet/__node={esc}/__split=0", "manifests/plain.parquet"]
     assert prune_manifest_paths(paths, nid) == paths
+
+
+def test_create_create_same_path_conflicts(spark, repo):
+    """Two sessions creating the SAME path get different node ids, so
+    node-id matching alone cannot see the collision (the reference's
+    NewNodeConflictsWithExisting): without a solver the rebase must
+    raise, and each resolution must pick exactly one node."""
+    from icechunk_spark.repo import ConflictSolver, RefError  # noqa: F401
+    from icechunk_spark.repo.session import ConflictError
+
+    with repo.transaction(message="base") as s:
+        s.create_group("/g")
+
+    s1 = repo.writable_session("main")
+    s2 = repo.writable_session("main")
+    s3 = repo.writable_session("main")
+    s1.create_array("/x", shape=[4], chunk_shape=[4])
+    s1.set_chunk_bytes("/x", "0", b"ONE " * 1024)
+    s1.commit("s1 creates /x")
+
+    s2.create_array("/x", shape=[8], chunk_shape=[4])
+    s2.set_chunk_bytes("/x", "0", b"TWO " * 1024)
+    with pytest.raises(ConflictError) as ei:
+        s2.commit("s2 also creates /x")
+    assert any(c.get("kind") == "path" for c in ei.value.conflicts)
+
+    # use_theirs: s1's node and data survive, s2's creation is dropped
+    s2.commit("retry", rebase_with=ConflictSolver(
+        on_chunk_conflict="use_theirs", on_node_conflict="use_theirs"))
+    sess = repo.readonly_session()
+    assert sess.get_chunk_bytes("/x", "0") == b"ONE " * 1024
+    assert sess.array_meta("/x").shape == [4]
+
+    # use_ours: the retrying session's node replaces the committed one
+    s3.create_array("/x", shape=[8], chunk_shape=[4])
+    s3.set_chunk_bytes("/x", "0", b"TRI " * 1024)
+    s3.commit("s3 replaces /x", rebase_with=ConflictSolver(
+        on_chunk_conflict="use_ours", on_node_conflict="use_ours"))
+    sess = repo.readonly_session()
+    assert sess.array_meta("/x").shape == [8]
+    assert sess.get_chunk_bytes("/x", "0") == b"TRI " * 1024
