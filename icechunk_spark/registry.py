@@ -30,12 +30,14 @@ def _modules():
 # Explicit iteration-order priority: the driver correctness gate checks
 # the FIRST 50 entries of ``all_queries()``.  History: r1/r2 checked the
 # TPC-H/analytics/dedup block, r3 rotated in the similarity/text/
-# multimodal/repo/streaming block.  Round 4 window = 7 anchors + the 10
-# queries that were never driver-green (all root-caused and fixed this
-# round: streaming ts decode, HUGEINT oracle casts, new knn_lsh/knn_ivf
-# oracles) + the 33 stalest r1/r2-only greens (2 rounds unchecked).
-# Queries not listed here follow in module order (all driver-green in
-# r3, so at most 1 round stale).
+# multimodal/repo/streaming block, r4 re-verified the 10 never-green
+# fixes + the 33 stalest r1/r2 greens (50/50 green).  Round 5 window =
+# 6 anchors + all 44 queries NOT in the r4 window: bpe_pair_counts
+# first (the only query with no driver row ever), then the r2-overflow
+# block (2 rounds stale) and the full r3 block (1 round stale).  This
+# makes every one of the 94 registered queries driver-green within the
+# last 2 rounds.  Queries not listed follow in module order (all green
+# in r4, so at most 1 round stale next time).
 PRIORITY: list[str] = [
     # anchors (continuity across every round)
     "q1_pricing_summary",
@@ -44,55 +46,9 @@ PRIORITY: list[str] = [
     "minhash_lsh",
     "dedup_cluster",
     "dedup_exact",
-    "simhash",
-    # never driver-green before this round — fixed in r4, verify first
-    "pack_sequences",
-    "mixture_sample",
-    "word_entropy",
-    "knn_lsh",
-    "knn_ivf",
-    "stream_windowed_agg",
-    "stream_dedup",
-    "stream_interval_join",
-    "stream_sessionize",
-    "repo_manifest_stats",
-    # TPC-H block: green in r1/r2, unchecked for 2 rounds
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_class",
-    "q13_order_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_part_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "q22_global_sales",
-    # windows/analytics + dedup variants: green in r2, 2 rounds stale
-    "topk_per_group",
-    "running_agg",
-    "distinct_count_exact",
-    "distinct_count_approx",
-    "percentiles",
-    "rollup_cube",
-    "asof_join",
-    "range_join",
-    "pivot_events",
-    "json_extract_agg",
-    "window_lead_lag",
-    "ngram_jaccard",
-    "dedup_cluster_star",
-    # ---- window boundary (50) ----
-    # next-stalest r2 greens lead the overflow so r5's rotation is easy
+    # never driver-checked (new in r4, landed outside the window)
+    "bpe_pair_counts",
+    # r2 greens, 2 rounds stale
     "rank_distribution",
     "first_last_in_group",
     "stats_agg",
@@ -103,6 +59,56 @@ PRIORITY: list[str] = [
     "sketch_event_counts",
     "hypertable_rollup",
     "dedup_exact_keep_first",
+    # r3 greens, 1 round stale: dedup/similarity block
+    "embedding_neardup",
+    "cross_doc_spans",
+    "knn_brute_force",
+    "pairwise_topk",
+    "label_centroids",
+    "vector_norm_stats",
+    "kmeans_clusters",
+    # r3 greens: text analysis / LLM pipeline block
+    "lang_id",
+    "token_count",
+    "quality_score",
+    "fingerprint",
+    "ngram_freq",
+    "pipeline_clean_corpus",
+    "dup_span_fraction",
+    "gopher_quality_filters",
+    "tfidf_top_terms",
+    "split_train_val",
+    "decontaminate",
+    "stratified_sample",
+    "bigram_logprob_score",
+    "source_vocab_overlap",
+    "length_percentile_filter",
+    "vector_quantize_error",
+    "shard_assign",
+    # r3 greens: multimodal block
+    "multimodal_features",
+    "media_dedup",
+    "frame_sample",
+    "media_resize",
+    # r3 greens: repo + streaming block
+    "array_store_roundtrip",
+    "repo_time_travel",
+    "repo_changed_cells",
+    "stream_running_totals",
+    "stream_static_enrich",
+    # ---- window boundary (50) ----
+    # r4 greens lead the overflow so r6's rotation is easy
+    "simhash",
+    "pack_sequences",
+    "mixture_sample",
+    "word_entropy",
+    "knn_lsh",
+    "knn_ivf",
+    "stream_windowed_agg",
+    "stream_dedup",
+    "stream_interval_join",
+    "stream_sessionize",
+    "repo_manifest_stats",
 ]
 
 

@@ -52,6 +52,16 @@ def new_id() -> str:
     return uuid.uuid4().hex
 
 
+def chunk_rel(chunk_id: str) -> str:
+    """Chunk-file path sharded by the id's first two hex chars:
+    ``chunks/<hh>/<id>.parquet`` (spec v2).  256-way fan-out keeps any
+    single LIST bounded (GC lists shards on executors, never the full
+    set on the driver) and spreads object-store request load across
+    key prefixes — the same reason the reference shards object keys
+    (icechunk/src/storage/mod.rs key layout)."""
+    return f"chunks/{chunk_id[:2]}/{chunk_id}.parquet"
+
+
 @dataclass
 class ArrayMeta:
     node_id: str
@@ -63,6 +73,11 @@ class ArrayMeta:
     # per-dimension names, None entries allowed (reference parity:
     # ArrayMetadata.dimension_names, icechunk/src/store.rs:1167)
     dimension_names: list[str | None] | None = None
+    # client-supplied zarr v3 doc fields preserved verbatim so the store
+    # facade round-trips real zarr client documents byte-for-byte
+    # (icechunk/src/store.rs:1495 set/get roundtrip test): optional keys
+    # "codecs", "storage_transformers", "chunk_key_encoding".
+    zarr_extra: dict[str, Any] | None = None
     kind: str = "array"
 
     def __post_init__(self) -> None:
@@ -103,6 +118,13 @@ class SnapshotInfo:
     seq: int
     manifests: list[str]
     nodes: dict[str, dict[str, Any]]  # path -> node dict
+    # Tx-log ids of ancestor commits removed by expiration, oldest
+    # first (design-docs/016-expired-transaction-logs.md): carried on
+    # the re-parented boundary snapshot so diff/rebase across the
+    # pruned gap stay exact, and GC keeps these txlogs alive even
+    # after the snapshots themselves are reclaimed.  Additive field:
+    # old snapshot docs parse fine (default []).
+    pruned_ancestor_tx_logs: list[str] = field(default_factory=list)
 
     @property
     def written_at_iso(self) -> str:

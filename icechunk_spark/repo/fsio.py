@@ -91,11 +91,24 @@ def dir_size(path: str) -> int:
     return sum(i.size or 0 for i in infos if i.is_file)
 
 
-def delete_dir(path: str) -> None:
-    """Recursively delete a directory (prefix); missing paths are a
-    no-op, matching ``shutil.rmtree(ignore_errors=True)``."""
+def delete_dir(path: str) -> bool:
+    """Recursively delete a directory (prefix).  Returns True when the
+    path is gone afterwards (including already-missing), False when the
+    delete FAILED and the path is still present — so GC accounting
+    counts real outcomes, not attempts (ADVICE r4: a permissions or
+    network failure must not be reported as bytes reclaimed)."""
+    from pyarrow import fs as pafs
+
     fs, p = _fs_path(path)
     try:
         fs.delete_dir(p)
-    except (FileNotFoundError, OSError):
-        pass
+        return True
+    except FileNotFoundError:
+        return True
+    except OSError:
+        # pyarrow raises plain OSError for both not-found and genuine
+        # failures on some backends: re-check before deciding.
+        try:
+            return fs.get_file_info(p).type == pafs.FileType.NotFound
+        except OSError:
+            return False

@@ -10,7 +10,16 @@ Versions here:
 - v0: pre-spec repos — ``repo.json`` exists but carries no
   ``format_version`` (and possibly no metadata / default-commit-
   metadata keys).
-- v1 (current): ``format_version: 1`` with the metadata keys present.
+- v1: ``format_version: 1`` with the metadata keys present; chunk
+  files live FLAT under ``chunks/<id>.parquet``.
+- v2 (current): chunk files are sharded as
+  ``chunks/<2-hex>/<id>.parquet`` (format.chunk_rel) so GC can
+  enumerate candidates shard-by-shard on executors instead of one
+  driver-side LIST of every chunk file.  Existing flat files stay
+  valid — manifests record explicit paths and v2 GC understands both
+  layouts — but a v1 ENGINE must not open a v2 repo: its GC would
+  treat shard dirs as unreferenced chunk files and delete live data,
+  which is exactly what the version gate exists to prevent.
 """
 
 from __future__ import annotations
@@ -34,7 +43,17 @@ def _v0_to_v1(root) -> None:
     fmt.write_repo_info(root, info)
 
 
-_MIGRATIONS = {0: _v0_to_v1}
+def _v1_to_v2(root) -> None:
+    """Adopt the sharded chunk layout.  Purely a version stamp: new
+    writes land sharded (format.chunk_rel), flat v1 files remain
+    readable through their manifest-recorded paths, and v2 GC handles
+    both — but v1 engines are locked out (see module docstring)."""
+    info = fmt.read_repo_info(root)
+    info["format_version"] = 2
+    fmt.write_repo_info(root, info)
+
+
+_MIGRATIONS = {0: _v0_to_v1, 1: _v1_to_v2}
 
 CURRENT_SPEC_VERSION = max(_MIGRATIONS) + 1
 

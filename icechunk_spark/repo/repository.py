@@ -42,7 +42,10 @@ def _dp(root: str, *parts: str) -> str:
 
 MAIN = "main"
 
-SPEC_VERSION = 1
+# single source of truth for the spec version (ADVICE r4: a v1->v2
+# migration must bump the open gate automatically, not leave a stale
+# hardcoded constant here refusing freshly-migrated repos)
+from icechunk_spark.repo.migrations import CURRENT_SPEC_VERSION as SPEC_VERSION  # noqa: E402
 
 
 @dataclass
@@ -213,6 +216,33 @@ class Repository:
         # reference parity: Repository.reopen (repository.py:626)
         self._config_override: RepositoryConfig | None = None
 
+    # notebook ergonomics (reference parity: display.rs dataclass
+    # repr + _repr_html_, icechunk-python repository.py:92-99)
+    def __repr__(self) -> str:
+        try:
+            branches = sorted(self.list_branches())
+            tags = sorted(self.list_tags())
+            return (
+                f"Repository(root={self.root!r}, spec_version="
+                f"{self.spec_version()}, branches={branches}, tags={tags})"
+            )
+        except Exception:
+            return f"Repository(root={self.root!r})"
+
+    def _repr_html_(self) -> str:
+        import html as _html
+
+        rows = "".join(
+            f"<tr><td><b>{k}</b></td><td>{_html.escape(str(v))}</td></tr>"
+            for k, v in (
+                ("root", self.root),
+                ("spec_version", self.spec_version()),
+                ("branches", ", ".join(sorted(self.list_branches()))),
+                ("tags", ", ".join(sorted(self.list_tags())) or "—"),
+            )
+        )
+        return f"<table><caption>icechunk_spark.Repository</caption>{rows}</table>"
+
     def reopen(
         self,
         *,
@@ -366,7 +396,7 @@ class Repository:
         fmt.create_branch(root, MAIN, root_snap.id)
         fmt.write_repo_info(
             root,
-            {"format_version": 1, "metadata": metadata or {}, "default_commit_metadata": {}},
+            {"format_version": SPEC_VERSION, "metadata": metadata or {}, "default_commit_metadata": {}},
         )
         return cls(spark, root)
 
@@ -511,10 +541,23 @@ class Repository:
 
     def inspect_transaction_log(self, snapshot_id: str) -> dict[str, Any]:
         """What one commit changed: chunk writes/deletes per node and
-        node-level ops (reference parity: inspect_transaction_log)."""
+        node-level ops (reference parity: inspect_transaction_log).
+        For an expiration boundary, ``pruned_ancestor_tx_logs`` lists
+        the carried logs of commits squashed out of history
+        (design-doc 016 inspect consumer)."""
+        pruned: list[str] = []
+        try:
+            pruned = fmt.read_snapshot(self.root, snapshot_id).pruned_ancestor_tx_logs
+        except RefError:
+            pass
         p = _dp(self.root, "txlogs", f"{snapshot_id}.parquet")
         if not fsio.exists(p):
-            return {"id": snapshot_id, "chunks_updated": {}, "node_ops": []}
+            return {
+                "id": snapshot_id,
+                "chunks_updated": {},
+                "node_ops": [],
+                "pruned_ancestor_tx_logs": pruned,
+            }
         tx = self.spark.read.schema(fmt.TXLOG_SCHEMA).parquet(p)
         chunk_rows = (
             tx.filter(F.col("chunk_key") != "")
@@ -530,6 +573,7 @@ class Repository:
             "id": snapshot_id,
             "chunks_updated": chunks,
             "node_ops": [{"node_id": r["node_id"], "op": r["op"]} for r in node_rows],
+            "pruned_ancestor_tx_logs": pruned,
         }
 
     # --- refs -------------------------------------------------------------
@@ -864,6 +908,18 @@ class Repository:
                         and oldest_kept.parent_id != root_snap.id
                         and oldest_kept.id not in expired
                     ):
+                        # design-doc 016: carry the txlog ids of every
+                        # ancestor dropped from this path (oldest
+                        # first, each preceded by its own carried
+                        # list), so diff/rebase across the pruned gap
+                        # stay exact and GC keeps those logs.
+                        carried = list(oldest_kept.pruned_ancestor_tx_logs)
+                        for x in reversed(chain[keep_up_to + 1 : -1]):
+                            carried.extend(x.pruned_ancestor_tx_logs)
+                            carried.append(x.id)
+                        oldest_kept.pruned_ancestor_tx_logs = list(
+                            dict.fromkeys(carried)
+                        )
                         oldest_kept.parent_id = root_snap.id
                         fmt.write_snapshot(self.root, oldest_kept)
         if delete_expired_branches:
@@ -910,24 +966,50 @@ class Repository:
         live_snaps = self._reachable_snapshots()
         summary = GCSummary()
         live_manifests: set[str] = set()
+        # design-doc 016 retention rule: txlogs named in any live
+        # snapshot's pruned_ancestor_tx_logs stay, even though their
+        # snapshots are gone/going — diff/rebase across the expired
+        # gap still read them.
+        pruned_keep: set[str] = set()
         for sid in live_snaps:
-            live_manifests.update(fmt.read_snapshot(self.root, sid).manifests)
+            snap = fmt.read_snapshot(self.root, sid)
+            live_manifests.update(snap.manifests)
+            pruned_keep.update(snap.pruned_ancestor_tx_logs)
         def _old_snap(sid: str) -> bool:
             try:
                 return fmt.snapshot_mtime(self.root, sid) < cutoff
             except (OSError, FileNotFoundError):
                 return False
 
-        # drop unreachable snapshots + their txlogs
+        # drop unreachable snapshots + their txlogs (counting actual
+        # outcomes — a failed delete is not a reclaimed object)
         for sid in fmt.list_snapshot_ids(self.root):
             if sid not in live_snaps and _old_snap(sid):
-                if not dry_run:
-                    fmt.delete_snapshot(self.root, sid)
-                summary.snapshots_deleted += 1
+                if dry_run:
+                    summary.snapshots_deleted += 1
+                else:
+                    try:
+                        fmt.delete_snapshot(self.root, sid)
+                        summary.snapshots_deleted += 1
+                    except OSError:
+                        continue
+                if sid in pruned_keep:
+                    continue  # txlog carried by a live boundary snapshot
                 tx = _dp(self.root, "txlogs", f"{sid}.parquet")
                 if fsio.exists(tx):
-                    if not dry_run:
-                        fsio.delete_dir(tx)
+                    if dry_run or fsio.delete_dir(tx):
+                        summary.txlogs_deleted += 1
+        # orphan txlogs: their snapshot file is already gone (expired +
+        # reclaimed in an earlier GC) so the loop above never sees them;
+        # enumerate txlogs/ directly and apply the same keep rules
+        all_snap_ids = set(fmt.list_snapshot_ids(self.root))
+        for name in fsio.list_child_names(_dp(self.root, "txlogs")):
+            sid = name.removesuffix(".parquet")
+            if sid in live_snaps or sid in pruned_keep or sid in all_snap_ids:
+                continue
+            tx = _dp(self.root, "txlogs", name)
+            if _old(tx):
+                if dry_run or fsio.delete_dir(tx):
                     summary.txlogs_deleted += 1
         # drop unreferenced manifest files
         mdir = _dp(self.root, "manifests")
@@ -941,24 +1023,43 @@ class Repository:
                 m.startswith(rel + "/") for m in live_manifests
             )
             if not live and _old(full):
-                if not dry_run:
-                    fsio.delete_dir(full)
-                summary.manifests_deleted += 1
-        # chunk files referenced by no live manifest: the candidate set
-        # comes from ONE shallow LIST of chunks/ (names only — the same
-        # primitive object-store GC is built on, and the only listing
-        # that also sees zero-row or corrupt chunk dirs a parquet scan
-        # would skip, which previously leaked forever).  The liveness
-        # check is a Spark anti-join and age-check + delete run per
-        # partition on executors through pyarrow.fs, so bulk work never
-        # touches the driver and the path may be an object-store URI.
-        chunk_names = fsio.list_child_names(_dp(self.root, "chunks"))
-        if chunk_names:
-            all_files = local_df(
-                self.spark,
-                [{"file": f"chunks/{n}"} for n in chunk_names],
-                "file string",
-            ).repartition(max(1, min(32, len(chunk_names) // 1000 + 1)))
+                if dry_run or fsio.delete_dir(full):
+                    summary.manifests_deleted += 1
+        # Chunk files referenced by no live manifest.  The candidate set
+        # is born DISTRIBUTED: one shallow LIST of chunks/ yields only
+        # the 2-hex shard dirs (<=256 names, spec-v2 layout —
+        # format.chunk_rel) plus any legacy pre-shard flat dirs; each
+        # shard is then listed inside an executor task, so no collection
+        # proportional to chunk-file count ever sits on the driver (at
+        # ~10^8 refs / 100 TB the full name list is gigabytes).  A LIST
+        # is still the source of truth — it sees zero-row or corrupt
+        # chunk dirs a parquet scan would skip, which previously leaked
+        # forever.  Liveness is a Spark anti-join; age-check + delete
+        # run per partition through pyarrow.fs (no JVM in tasks).
+        top_names = fsio.list_child_names(_dp(self.root, "chunks"))
+        shard_names = [n for n in top_names if len(n) == 2]
+        legacy_names = [n for n in top_names if len(n) != 2]
+        data_root = fmt.data_path(self.root)
+        if shard_names or legacy_names:
+            sc = self.spark.sparkContext
+
+            def list_shard(shard: str):
+                from icechunk_spark.repo import fsio as _fsio
+
+                base = f"{data_root.rstrip('/')}/chunks/{shard}"
+                for name in _fsio.list_child_names(base):
+                    yield (f"chunks/{shard}/{name}",)
+
+            parts = max(1, min(32, len(shard_names)))
+            sharded = sc.parallelize(shard_names, parts).flatMap(list_shard)
+            all_files = self.spark.createDataFrame(sharded, "file string") if shard_names else None
+            if legacy_names:
+                legacy_df = local_df(
+                    self.spark,
+                    [{"file": f"chunks/{n}"} for n in legacy_names],
+                    "file string",
+                )
+                all_files = legacy_df if all_files is None else all_files.union(legacy_df)
             if live_manifests:
                 referenced = (
                     mf.read_manifest_files(self.spark, self.root, sorted(live_manifests))
@@ -969,10 +1070,10 @@ class Repository:
                 doomed = all_files.join(referenced, "file", "left_anti")
             else:
                 doomed = all_files
-            data_root = fmt.data_path(self.root)
 
             def delete_batch(rows):
-                # runs inside executors: pyarrow fsio only, no JVM
+                # runs inside executors: pyarrow fsio only, no JVM;
+                # count actual outcomes, not attempts
                 from icechunk_spark.repo import fsio as _fsio
 
                 n = 0
@@ -981,9 +1082,8 @@ class Repository:
                     ts = _fsio.mtime(full)
                     if ts is None or ts >= cutoff:
                         continue
-                    if not dry_run:
-                        _fsio.delete_dir(full)
-                    n += 1
+                    if dry_run or _fsio.delete_dir(full):
+                        n += 1
                 yield n
 
             summary.chunk_files_deleted += int(

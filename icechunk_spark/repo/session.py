@@ -214,6 +214,28 @@ class Session:
 
     # --- introspection ----------------------------------------------------
 
+    # notebook ergonomics (reference parity: display.rs,
+    # icechunk-python session.py:25-32)
+    def __repr__(self) -> str:
+        mode = "read-only" if self._read_only else "writable"
+        dirty = ", uncommitted" if self.has_uncommitted_changes() else ""
+        at = f"branch={self._branch!r}" if self._branch else f"snapshot={self._base.id!r}"
+        return f"Session({mode}, {at}{dirty})"
+
+    def _repr_html_(self) -> str:
+        import html as _html
+
+        rows = "".join(
+            f"<tr><td><b>{k}</b></td><td>{_html.escape(str(v))}</td></tr>"
+            for k, v in (
+                ("mode", "read-only" if self._read_only else "writable"),
+                ("branch", self._branch or "—"),
+                ("snapshot_id", self._base.id),
+                ("uncommitted_changes", self.has_uncommitted_changes()),
+            )
+        )
+        return f"<table><caption>icechunk_spark.Session</caption>{rows}</table>"
+
     @property
     def read_only(self) -> bool:
         return self._read_only
@@ -270,8 +292,12 @@ class Session:
         repository status gating, repository.py:798+)."""
         try:
             doc = fmt.read_repo_info(self.root).get("status")
-        except Exception:
-            return  # pre-status-era repo layout
+        except (FileNotFoundError, KeyError, RefError):
+            # pre-status-era repo layout (no repo.json / no status key).
+            # Genuine IO errors (e.g. an S3 timeout) must propagate —
+            # swallowing them would silently bypass the admin gate
+            # (ADVICE r4).
+            return
         if doc and doc.get("availability") not in (None, "online"):
             reason = doc.get("limited_availability_reason") or "repository is read-only"
             raise RefError(f"cannot commit: {reason}")
@@ -302,6 +328,7 @@ class Session:
         fill_value: float = 0.0,
         attrs: dict | None = None,
         dimension_names: list | None = None,
+        zarr_extra: dict | None = None,
     ) -> ArrayMeta:
         self._require_data_writable()
         path = _norm(path)
@@ -315,6 +342,7 @@ class Session:
             fill_value=fill_value,
             attrs=attrs or {},
             dimension_names=list(dimension_names) if dimension_names else None,
+            zarr_extra=zarr_extra or None,
         )
         self._nodes[path] = _asdict(meta)
         self._node_ops.append({"op": "create", "path": path, "node_id": meta.node_id})
@@ -387,7 +415,7 @@ class Session:
         """Distributed write: pack (i0..ik, value) rows into chunks."""
         self._require_data_writable()
         meta = self.array_meta(path)
-        rel = os.path.join("chunks", f"{new_id()}.parquet")
+        rel = fmt.chunk_rel(new_id())
         encode_array_chunks(df, meta, _dp(self.root, rel))
         staged = staged_manifest_from_chunk_dir(
             self.spark, _dp(self.root, rel), rel, meta.node_id
@@ -740,7 +768,7 @@ class Session:
     def _flush_chunk_buffer(self) -> None:
         if not self._chunk_buffer:
             return
-        rel = os.path.join("chunks", f"{new_id()}.parquet")
+        rel = fmt.chunk_rel(new_id())
         rows = []
         refs = []
         # overlay semantics WITHIN the buffer: the last op per chunk key
@@ -1071,11 +1099,29 @@ class Session:
 
     def _rebase_onto(self, tip_id: str, solver: ConflictSolver | None) -> None:
         theirs_ids = self._txlogs_between(self._base.id, tip_id)
-        their_logs = [
-            _dp(self.root, "txlogs", f"{sid}.parquet")
-            for sid in theirs_ids
-            if fsio.exists(_dp(self.root, "txlogs", f"{sid}.parquet"))
-        ]
+        # design-doc 016: a commit on the path may be a re-parented
+        # expiration boundary; its pruned_ancestor_tx_logs carry the
+        # changes of commits squashed out of history, and skipping a
+        # missing one would silently hide conflicts — so rebase ERRORS
+        # on a missing carried log (the reference's rule), while a
+        # commit's own log may legitimately be absent (node-only
+        # pre-txlog commits).
+        expanded: list[tuple[str, bool]] = []  # (snapshot_id, carried)
+        for sid in theirs_ids:
+            for carried in fmt.read_snapshot(self.root, sid).pruned_ancestor_tx_logs:
+                expanded.append((carried, True))
+            expanded.append((sid, False))
+        their_logs = []
+        for sid, carried in expanded:
+            p = _dp(self.root, "txlogs", f"{sid}.parquet")
+            if fsio.exists(p):
+                their_logs.append(p)
+            elif carried:
+                raise RefError(
+                    f"rebase needs the txlog of expired commit {sid} "
+                    "(carried by an expiration boundary) but it is "
+                    "missing — conflicts against it cannot be checked"
+                )
         staged = self._staged_manifest_df()
         ours_chunks = (
             staged.select("node_id", "chunk_key").distinct()

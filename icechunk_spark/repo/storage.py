@@ -39,6 +39,14 @@ class StorageConflict(Exception):
     """Conditional put failed: the object already exists."""
 
 
+class CASUnsupported(Exception):
+    """The backend cannot provide an atomic conditional put for this
+    scheme and the caller did not opt into ``single_writer=True``.
+    Raised loudly at the first CAS attempt rather than silently
+    degrading to exists-then-write (ADVICE r4: two concurrent
+    committers could otherwise both win a branch CAS)."""
+
+
 class Storage:
     """Metadata-object API.  Keys are ``/``-separated relative paths
     (e.g. ``snapshots/<id>.json``); listings return child names."""
@@ -234,21 +242,31 @@ class ArrowFsStorage(Storage):
     planes — this is the backend that makes a cloud bucket a config
     change.
 
-    CAS caveat: pyarrow.fs exposes no conditional-put primitive, so
-    ``if_none_match`` here is exists-then-write — atomic on stores
-    with exclusive create (local), best-effort on S3 (a true
-    If-None-Match implementation needs the bucket SDK; the reference
-    uses exactly that S3 feature — icechunk/src/storage/s3.rs).  Two
-    same-generation racers on S3 may both "win" the branch CAS within
-    the race window; single-writer deployments are unaffected."""
+    Conditional-put (the CAS behind branch updates) is implemented
+    per scheme, mirroring the reference (icechunk/src/storage/s3.rs;
+    design-doc 017-conditional-put-lost-response.md):
 
-    def __init__(self, root: str):
+    - ``file://`` — atomic ``O_CREAT|O_EXCL`` exclusive create.
+    - ``s3://``/``s3a://`` — boto3 ``put_object(IfNoneMatch='*')``
+      (public AWS conditional-write API, GA since 2024-11); MinIO/R2
+      honor the same header.
+    - ``gs://`` — google-cloud-storage ``if_generation_match=0``
+      precondition.
+    - anything else (or the SDK missing) — there is NO atomic
+      primitive, so the CAS raises :class:`CASUnsupported` unless the
+      deployment explicitly opts into ``single_writer=True``, in which
+      case a documented best-effort exists-then-write runs instead.
+    """
+
+    def __init__(self, root: str, *, single_writer: bool = False):
         from pyarrow import fs as pafs
 
         self.root = root
+        self.single_writer = single_writer
         uri = root
         if uri.startswith("s3a://"):
             uri = "s3://" + uri[len("s3a://") :]
+        self._scheme = uri.split("://", 1)[0] if "://" in uri else "file"
         self._fs, self._base = pafs.FileSystem.from_uri(uri)
 
     def _p(self, key: str) -> str:
@@ -258,9 +276,77 @@ class ArrowFsStorage(Storage):
         with self._fs.open_input_file(self._p(key)) as f:
             return f.read()
 
+    # -- conditional put, per scheme --------------------------------------
+
+    def _bucket_and_key(self, key: str) -> tuple[str, str]:
+        """Split the pyarrow base path ``bucket/prefix`` + key into
+        (bucket, object_key) for the native SDKs."""
+        full = self._p(key).lstrip("/")
+        bucket, _, obj = full.partition("/")
+        return bucket, obj
+
+    def _s3_conditional_put(self, key: str, data: bytes) -> bool:
+        """True If-None-Match put via boto3; returns False when boto3
+        is unavailable so the caller can decide the fallback."""
+        try:
+            import boto3
+            import botocore.exceptions
+        except ImportError:
+            return False
+        bucket, obj = self._bucket_and_key(key)
+        client = boto3.client("s3")
+        try:
+            client.put_object(Bucket=bucket, Key=obj, Body=data, IfNoneMatch="*")
+        except botocore.exceptions.ClientError as e:
+            code = e.response.get("Error", {}).get("Code", "")
+            # 412 PreconditionFailed = lost the race; 409 is what some
+            # S3-compatible stores return for the same condition.
+            if code in ("PreconditionFailed", "412", "ConditionalRequestConflict", "409"):
+                raise StorageConflict(key) from e
+            raise
+        return True
+
+    def _gs_conditional_put(self, key: str, data: bytes) -> bool:
+        try:
+            from google.api_core import exceptions as gexc
+            from google.cloud import storage as gcs
+        except ImportError:
+            return False
+        bucket, obj = self._bucket_and_key(key)
+        blob = gcs.Client().bucket(bucket).blob(obj)
+        try:
+            blob.upload_from_string(data, if_generation_match=0)
+        except gexc.PreconditionFailed as e:
+            raise StorageConflict(key) from e
+        return True
+
+    def _local_exclusive_put(self, key: str, data: bytes) -> None:
+        path = self._p(key)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise StorageConflict(key) from e
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+
     def put(self, key: str, data: bytes, *, if_none_match: bool = False) -> None:
-        if if_none_match and self.exists(key):
-            raise StorageConflict(key)
+        if if_none_match:
+            if self._scheme == "file":
+                return self._local_exclusive_put(key, data)
+            if self._scheme == "s3" and self._s3_conditional_put(key, data):
+                return
+            elif self._scheme == "gs" and self._gs_conditional_put(key, data):
+                return
+            if not self.single_writer:
+                raise CASUnsupported(
+                    f"no atomic conditional put for scheme {self._scheme!r} "
+                    f"(SDK missing or unsupported); pass single_writer=True "
+                    f"(or root='...?single_writer=true') to accept "
+                    f"best-effort exists-then-write semantics"
+                )
+            if self.exists(key):
+                raise StorageConflict(key)
         path = self._p(key)
         parent = path.rsplit("/", 1)[0]
         self._fs.create_dir(parent, recursive=True)
@@ -416,5 +502,9 @@ def resolve_storage(root: "str | Storage") -> Storage:
         bucket, _, prefix = rest.partition("/")
         return InMemoryObjectStorage(bucket, prefix)
     if "://" in root:  # any pyarrow filesystem URI (s3/s3a/gs/hdfs/file)
-        return ArrowFsStorage(root)
+        single_writer = False
+        if "?" in root:
+            root, _, query = root.partition("?")
+            single_writer = "single_writer=true" in query.lower()
+        return ArrowFsStorage(root, single_writer=single_writer)
     return LocalFilesystemStorage(root)

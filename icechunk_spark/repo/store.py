@@ -19,6 +19,14 @@ class ChunkStore:
     def __init__(self, session: Session):
         self.session = session
 
+    # notebook ergonomics (reference parity: store.py:71-78)
+    def __repr__(self) -> str:
+        mode = "read-only" if self.session.read_only else "writable"
+        return f"ChunkStore({mode}, snapshot={self.session.snapshot_id!r})"
+
+    def _repr_html_(self) -> str:
+        return f"<code>{self!r}</code>"
+
     # --- capability flags (store.py parity) -------------------------------
 
     @property
@@ -61,35 +69,45 @@ class ChunkStore:
     }
 
     def _zarr_doc(self, node: dict) -> dict:
-        """Render a node as a real Zarr v3 metadata document (the shape
-        zarr clients parse — icechunk/src/store.rs ArrayMetadata):
-        zarr_format 3, node_type, regular chunk_grid, attributes."""
+        """Render a node as a real Zarr v3 metadata document in the
+        reference's canonical serde field order (icechunk/src/store.rs
+        roundtrip fixtures, e.g. :1495): zarr_format, node_type,
+        [attributes], shape, data_type, chunk_grid, chunk_key_encoding,
+        fill_value, codecs, [storage_transformers], [dimension_names].
+        Client-supplied codecs / storage_transformers /
+        chunk_key_encoding survive via the node's zarr_extra dict so a
+        zarr client reads back exactly what it wrote."""
         if node.get("kind") == "array":
-            doc: dict = {}
+            extra = node.get("zarr_extra") or {}
+            doc: dict = {"zarr_format": 3, "node_type": "array"}
+            if node.get("attrs"):
+                doc["attributes"] = node["attrs"]
+            doc["shape"] = list(node["shape"])
+            doc["data_type"] = self._ZARR_DTYPES.get(node.get("dtype", "float64"), "float64")
+            doc["chunk_grid"] = {
+                "name": "regular",
+                "configuration": {"chunk_shape": list(node["chunk_shape"])},
+            }
+            doc["chunk_key_encoding"] = extra.get("chunk_key_encoding") or {
+                "name": "default",
+                "configuration": {"separator": "/"},
+            }
+            doc["fill_value"] = node.get("fill_value", 0.0)
+            doc["codecs"] = extra.get("codecs") or [
+                {"name": "bytes", "configuration": {"endian": "little"}}
+            ]
+            if extra.get("storage_transformers"):
+                doc["storage_transformers"] = extra["storage_transformers"]
             if node.get("dimension_names") is not None:
                 doc["dimension_names"] = node["dimension_names"]
-            return doc | {
-                "zarr_format": 3,
-                "node_type": "array",
-                "shape": list(node["shape"]),
-                "data_type": self._ZARR_DTYPES.get(node.get("dtype", "float64"), "float64"),
-                "chunk_grid": {
-                    "name": "regular",
-                    "configuration": {"chunk_shape": list(node["chunk_shape"])},
-                },
-                "chunk_key_encoding": {
-                    "name": "default",
-                    "configuration": {"separator": "/"},
-                },
-                "fill_value": node.get("fill_value", 0.0),
-                "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
-                "attributes": node.get("attrs", {}),
-            }
-        return {
-            "zarr_format": 3,
-            "node_type": "group",
-            "attributes": node.get("attrs", {}),
-        }
+            return doc
+        doc = {"zarr_format": 3, "node_type": "group"}
+        if node.get("attrs"):
+            doc["attributes"] = node["attrs"]
+        return doc
+
+    def _doc_bytes(self, node: dict) -> bytes:
+        return json.dumps(self._zarr_doc(node), separators=(",", ":")).encode()
 
     def get(self, key: str) -> bytes | None:
         path, chunk = self._parse(key)
@@ -98,14 +116,24 @@ class ChunkStore:
                 node = self.session._node(path)
             except RefError:
                 return None
-            return json.dumps(self._zarr_doc(node)).encode()
+            # compact separators: byte-parity with the reference's serde
+            # output (icechunk/src/store.rs metadata roundtrip tests)
+            return self._doc_bytes(node)
         return self.session.get_chunk_bytes(path, chunk)
 
     def set(self, key: str, value: bytes) -> None:
         path, chunk = self._parse(key)
         if chunk is None:
             doc = json.loads(value)
-            if doc.get("kind") == "array" or doc.get("node_type") == "array":
+            node_type = doc.get("node_type") or ("array" if doc.get("kind") == "array" else None)
+            if doc.get("kind") == "group":
+                node_type = "group"
+            if node_type == "array":
+                extra = {
+                    k: doc[k]
+                    for k in ("codecs", "storage_transformers", "chunk_key_encoding")
+                    if doc.get(k)
+                }
                 self.session.create_array(
                     path,
                     shape=doc["shape"],
@@ -114,9 +142,14 @@ class ChunkStore:
                     fill_value=doc.get("fill_value", 0.0),
                     attrs=doc.get("attrs") or doc.get("attributes") or {},
                     dimension_names=doc.get("dimension_names"),
+                    zarr_extra=extra or None,
                 )
-            else:
+            elif node_type == "group":
                 self.session.create_group(path, attrs=doc.get("attrs") or doc.get("attributes") or {})
+            else:
+                # reference parity: store.rs rejects docs whose node_type
+                # is neither array nor group (store.rs:1684 "zarr")
+                raise RefError(f"invalid zarr.json node_type: {doc.get('node_type')!r}")
             return
         self.session.set_chunk_bytes(path, chunk, value)
 
@@ -193,7 +226,7 @@ class ChunkStore:
 
         path, chunk = self._parse(key)
         if chunk is None:
-            return len(json.dumps(self._zarr_doc(self.session._node(path))).encode())
+            return len(self._doc_bytes(self.session._node(path)))
         meta = self.session.array_meta(path)
         for c in reversed(self.session._chunk_buffer):
             if c["node_id"] == meta.node_id and c["chunk_key"] == chunk:
@@ -231,7 +264,7 @@ class ChunkStore:
         for p in self.session.list_nodes():
             k = (p.lstrip("/") + "/zarr.json").lstrip("/")
             if k.startswith(prefix):
-                total += len(json.dumps(self._zarr_doc(self.session._node(p))).encode())
+                total += len(self._doc_bytes(self.session._node(p)))
         nodes = self.session.list_nodes()
         paths = local_df(
             self.session.spark,

@@ -24,14 +24,32 @@ from icechunk_spark.functions import money_sum
 
 
 def _stream_dir(sf_dir: str) -> str:
-    """The file source requires a directory; stage a symlink to the
-    events parquet in a deterministic temp dir."""
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    """The file stream source requires a DIRECTORY.  A parquet
+    directory (the normal Spark write layout) streams in place — any
+    URI scheme, nothing staged.  A bare single-file source is staged
+    once into a deterministic local temp dir via a real pyarrow copy,
+    which works where ``os.symlink`` does not (object-store roots)."""
+    from pyarrow import fs as pafs
+
+    from icechunk_spark.repo.fsio import _fs_path
+
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    fs, p = _fs_path(src)
+    if fs.get_file_info(p).type == pafs.FileType.Directory:
+        return src
+    key = hashlib.md5(src.encode()).hexdigest()[:12]
     d = os.path.join(tempfile.gettempdir(), f"icstream_{key}")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    staged = os.path.join(d, "events.parquet")
+    if not os.path.exists(staged):
+        tmp = f"{staged}.tmp"
+        with fs.open_input_file(p) as rf, open(tmp, "wb") as wf:
+            while True:
+                buf = rf.read(8 << 20)
+                if not buf:
+                    break
+                wf.write(buf)
+        os.replace(tmp, staged)  # atomic: concurrent stagers converge
     return d
 
 

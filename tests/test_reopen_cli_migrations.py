@@ -83,12 +83,21 @@ def test_migrations_upgrade_v0_layout(spark, tmp_path):
     assert spec_version_of(root) == 0
     with pytest.raises(RefError, match="migrate"):
         Repository.open(spark, root)
-    assert migrate_repository(root, dry_run=True) == [0]
+    assert migrate_repository(root, dry_run=True) == [0, 1]
     assert spec_version_of(root) == 0  # dry run touches nothing
-    assert migrate_repository(root) == [0]
-    assert spec_version_of(root) == 1
+    assert migrate_repository(root) == [0, 1]
+    assert spec_version_of(root) == 2
     assert migrate_repository(root) == []  # idempotent
     Repository.open(spark, root)  # gate passes now
+
+    # a v1 layout (flat chunks/) migrates with the single v1->v2 step
+    info = fmt.read_repo_info(root)
+    info["format_version"] = 1
+    fmt.write_repo_info(root, info)
+    with pytest.raises(RefError, match="migrate"):
+        Repository.open(spark, root)
+    assert migrate_repository(root) == [1]
+    assert spec_version_of(root) == 2
 
     # a FUTURE layout is refused, not migrated
     info = fmt.read_repo_info(root)
@@ -129,7 +138,7 @@ def test_cli_metadata_commands(spark, tmp_path, capsys):
 
     assert main(["info", root]) == 0
     info = json.loads(capsys.readouterr().out)
-    assert "main" in info["branches"] and info["spec_version"] == 1
+    assert "main" in info["branches"] and info["spec_version"] == 2
 
     assert main(["migrate", root]) == 0
     assert json.loads(capsys.readouterr().out)["applied_from_versions"] == []

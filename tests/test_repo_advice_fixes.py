@@ -310,3 +310,34 @@ def test_create_create_same_path_conflicts(spark, repo):
     sess = repo.readonly_session()
     assert sess.array_meta("/x").shape == [8]
     assert sess.get_chunk_bytes("/x", "0") == b"TRI " * 1024
+
+
+def test_gc_sharded_chunk_layout_no_driver_listing(spark, repo):
+    """Spec-v2 chunk files live under 2-hex shard dirs (format.chunk_rel)
+    so the ONLY driver-side LIST of chunks/ returns shard names (<=256
+    entries), never one name per chunk file; per-shard listings run in
+    executor tasks.  GC must reclaim an orphan inside a shard and spare
+    live sharded chunks."""
+    import os
+
+    from icechunk_spark.repo import format as fmt
+    from icechunk_spark.repo import fsio
+
+    with repo.transaction(message="init") as s:
+        s.create_array("/a", shape=[8], chunk_shape=[4])
+        s.set_chunk_bytes("/a", "0", b"x" * 4096)
+        s.set_chunk_bytes("/a", "1", b"y" * 4096)
+    # new writes land sharded: chunks/<hh>/<id>.parquet
+    top = fsio.list_child_names(fmt.data_path(str(repo.root), "chunks"))
+    assert top and all(len(n) == 2 for n in top), top
+    # orphan chunk dir inside a shard
+    orphan = fmt.data_path(str(repo.root), "chunks/ab/ab1234feed.parquet")
+    os.makedirs(orphan)
+    open(os.path.join(orphan, "_SUCCESS"), "w").close()
+
+    summary = repo.garbage_collect(older_than_seconds=-1)
+    assert summary.chunk_files_deleted == 1
+    assert not os.path.exists(orphan)
+    sess = repo.readonly_session()
+    assert sess.get_chunk_bytes("/a", "0") == b"x" * 4096
+    assert sess.get_chunk_bytes("/a", "1") == b"y" * 4096

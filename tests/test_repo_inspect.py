@@ -26,7 +26,7 @@ def test_config_roundtrip(spark, tmp_path):
     repo.save_config(cfg)
     assert repo.config() == cfg
     assert Repository.fetch_config(repo.root) == cfg
-    assert repo.spec_version() == 1
+    assert repo.spec_version() == 2
 
 
 def test_inspect_repo_info(spark, tmp_path):
@@ -41,7 +41,7 @@ def test_inspect_repo_info(spark, tmp_path):
     repo.delete_tag("tmp")
 
     info = repo.inspect_repo_info()
-    assert info["spec_version"] == 1
+    assert info["spec_version"] == 2
     assert info["branches"]["main"] == tip and info["branches"]["dev"] == tip
     assert info["tags"] == {"rel": tip}
     assert info["deleted_tags"] == ["tmp"]
@@ -180,3 +180,26 @@ def test_diff_df_chunk_changes(spark, tmp_path):
 
     d = repo.diff(from_snapshot_id=v1, to_snapshot_id=v2)
     assert d.chunks_written == 2 and d.chunks_deleted == 1
+
+
+def test_repr_surface(spark, tmp_path):
+    """Notebook ergonomics: Repository/Session/ChunkStore repr and
+    _repr_html_ (reference display.rs, _repr_html_ wrappers)."""
+    from icechunk_spark.repo.store import ChunkStore
+
+    repo = Repository.create(spark, str(tmp_path / "rr"))
+    r = repr(repo)
+    assert "Repository(" in r and "main" in r and "spec_version=2" in r
+    assert "<table>" in repo._repr_html_()
+
+    s = repo.writable_session("main")
+    assert "writable" in repr(s) and "branch='main'" in repr(s)
+    s.create_group("/g")
+    assert "uncommitted" in repr(s)
+    assert "<table>" in s._repr_html_()
+
+    ro = repo.readonly_session()
+    assert "read-only" in repr(ro)
+    st = ChunkStore(ro)
+    assert "ChunkStore(read-only" in repr(st)
+    assert "ChunkStore" in st._repr_html_()

@@ -177,3 +177,78 @@ def test_concurrent_commit_stress(spark):
         for i in range(n_commits):
             assert sess.get_chunk_bytes(f"/w{w}", str(i)) == bytes([w * 16 + i]) * 16
     InMemoryObjectStorage.wipe_bucket(bucket)
+
+
+def test_racing_conditional_puts_one_winner(storage):
+    """Contract: N threads racing put(if_none_match=True) on one key
+    yield exactly one winner on EVERY backend (ADVICE r4: the CAS the
+    branch commit protocol rests on must be atomic, not
+    exists-then-write)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def attempt(i: int) -> bool:
+        try:
+            storage.put("refs/race.json", b"%d" % i, if_none_match=True)
+            return True
+        except StorageConflict:
+            return False
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        wins = list(pool.map(attempt, range(8)))
+    assert sum(wins) == 1
+    winner = wins.index(True)
+    assert storage.get("refs/race.json") == b"%d" % winner
+
+
+def test_arrowfs_cas_unsupported_scheme_fails_loudly(tmp_path):
+    """A scheme with no atomic primitive must refuse the CAS instead of
+    silently degrading (storage.py CASUnsupported)."""
+    from icechunk_spark.repo.storage import CASUnsupported
+
+    st = ArrowFsStorage(f"file://{tmp_path}/r")
+    st._scheme = "hdfs"  # simulate a scheme with no conditional-put SDK
+    with pytest.raises(CASUnsupported):
+        st.put("refs/x.json", b"1", if_none_match=True)
+    # explicit opt-in restores the documented best-effort behavior
+    st.single_writer = True
+    st.put("refs/x.json", b"1", if_none_match=True)
+    with pytest.raises(StorageConflict):
+        st.put("refs/x.json", b"2", if_none_match=True)
+    assert st.get("refs/x.json") == b"1"
+
+
+def test_arrowfs_s3_conditional_put_via_boto3(tmp_path, monkeypatch):
+    """The s3 path issues a true IfNoneMatch='*' put through boto3 and
+    maps PreconditionFailed to StorageConflict (reference parity:
+    icechunk/src/storage/s3.rs conditional write; AWS conditional-put
+    GA 2024-11)."""
+    import boto3
+    import botocore.exceptions
+
+    calls = []
+
+    class FakeS3:
+        def put_object(self, *, Bucket, Key, Body, IfNoneMatch):
+            calls.append((Bucket, Key, bytes(Body), IfNoneMatch))
+            if len(calls) > 1:
+                raise botocore.exceptions.ClientError(
+                    {"Error": {"Code": "PreconditionFailed"}}, "PutObject"
+                )
+
+    monkeypatch.setattr(boto3, "client", lambda svc: FakeS3())
+    st = ArrowFsStorage(f"file://{tmp_path}/bucket/repo")
+    st._scheme = "s3"
+    st.put("refs/y.json", b"1", if_none_match=True)
+    with pytest.raises(StorageConflict):
+        st.put("refs/y.json", b"2", if_none_match=True)
+    assert [c[3] for c in calls] == ["*", "*"]
+    # bucket/key split: first path component is the bucket
+    assert calls[0][1].endswith("repo/refs/y.json")
+
+
+def test_resolve_storage_single_writer_query(tmp_path):
+    st = resolve_storage(f"file://{tmp_path}/q?single_writer=true")
+    assert isinstance(st, ArrowFsStorage) and st.single_writer
+    assert st.root == f"file://{tmp_path}/q"
+    st2 = resolve_storage(f"file://{tmp_path}/q2")
+    assert not st2.single_writer
