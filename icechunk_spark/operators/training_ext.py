@@ -1,0 +1,337 @@
+"""Training-data diagnostics operators (SURVEY.md §2e extension):
+lexical-diversity stats, Zipf-law fit, event funnel conversion, and
+neighbor-pair embedding similarity.
+
+Scale design: everything is a pure columnar plan.  Per-source token
+stats are one explode + two grouped aggregations (map-side combine
+does the heavy lifting); the Zipf fit ranks only the top-N terms per
+source (a bounded per-group sort) and computes the regression slope
+from exact DECIMAL sums so the answer is bit-stable under any
+partitioning; the funnel is three progressively-filtered min-ts
+aggregations joined on user_id (no window over a global ordering);
+embedding pairs come from an equi-join on vec_id+1 instead of a
+single-partition global window, so pairing parallelizes with the
+data.  No UDFs, no driver loops, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icechunk_spark.catalog import load_tables
+from icechunk_spark.functions import tokenize
+
+# --- lexical diversity: type-token ratio + hapax fraction -----------------
+
+
+def ttr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity: type-token ratio (distinct words /
+    words) and hapax fraction (words occurring once / distinct words) —
+    the standard first-look diversity screen for a training corpus
+    (low TTR = templated/duplicated text)."""
+    t = load_tables(spark, sf_dir)
+    counts = (
+        t["documents"]
+        .select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+            F.round(F.col("n_hapax") / F.col("n_types"), 6).alias("hapax_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+TTR_STATS_SQL = """
+WITH counts AS (
+  SELECT source, tok, count(*) AS c
+  FROM (SELECT source,
+               unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
+        FROM documents)
+  GROUP BY source, tok
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       count(*) AS n_types,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(count(*) / CAST(sum(c) AS BIGINT), 6) AS ttr,
+       round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) / count(*), 6)
+         AS hapax_frac
+FROM counts
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- Zipf-law fit ---------------------------------------------------------
+
+ZIPF_TOP_N = 100
+
+
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf fit: OLS slope of log2(freq) against log2(rank)
+    over the top-N terms (natural text sits near -1; templated or
+    synthetic text drifts).  The slope is computed from exact DECIMAL
+    sums of the per-term doubles — decimal addition is associative, so
+    the result is identical under any partitioning, and the oracle
+    folds the same doubles (round 4 both sides)."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    counts = (
+        t["documents"]
+        .select("source", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("tok"))
+    ranked = (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= ZIPF_TOP_N)
+        .select(
+            "source",
+            F.log2("r").alias("x"),
+            F.log2("c").alias("y"),
+        )
+    )
+    dec = "decimal(28,15)"
+    sums = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        sums.select("source", F.col("n").alias("n_terms"), F.round(slope, 4).alias("zipf_slope"))
+        .orderBy("source")
+    )
+
+
+ZIPF_SLOPE_SQL = f"""
+WITH counts AS (
+  SELECT source, tok, count(*) AS c
+  FROM (SELECT source,
+               unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
+        FROM documents)
+  GROUP BY source, tok
+), ranked AS (
+  SELECT source,
+         log2(row_number() OVER (PARTITION BY source ORDER BY c DESC, tok ASC)) AS x,
+         log2(c) AS y,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, tok ASC) AS r
+  FROM counts
+), sums AS (
+  SELECT source,
+         count(*) AS n,
+         CAST(sum(CAST(x AS DECIMAL(28,15))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(28,15))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x * x AS DECIMAL(28,15))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(x * y AS DECIMAL(28,15))) AS DOUBLE) AS sxy
+  FROM ranked WHERE r <= {ZIPF_TOP_N}
+  GROUP BY source
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope
+FROM sums
+ORDER BY source
+"""
+
+
+# --- event funnel ---------------------------------------------------------
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the events stream: view -> click (at or
+    after the user's first view) -> purchase (at or after that first
+    qualifying click), with stage conversion rates.  Three
+    progressively-filtered min-ts aggregations joined on user_id —
+    each stage shuffles only (user_id, ts), never a global window."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    totals = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    s1 = views.agg(F.count(F.lit(1)).alias("n_viewers"))
+    s2 = clicks.agg(F.count(F.lit(1)).alias("n_click_after_view"))
+    s3 = purchases.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
+    return (
+        totals.crossJoin(s1)
+        .crossJoin(s2)
+        .crossJoin(s3)
+        .select(
+            "n_users",
+            "n_viewers",
+            "n_click_after_view",
+            "n_purchase_after_click",
+            F.round(F.col("n_click_after_view") / F.col("n_viewers"), 6).alias(
+                "view_to_click_rate"
+            ),
+            F.round(
+                F.col("n_purchase_after_click") / F.col("n_click_after_view"), 6
+            ).alias("click_to_purchase_rate"),
+        )
+    )
+
+
+FUNNEL_SQL = """
+WITH views AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), clicks AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN views v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t1
+  GROUP BY e.user_id
+), purchases AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN clicks c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+       (SELECT count(*) FROM views) AS n_viewers,
+       (SELECT count(*) FROM clicks) AS n_click_after_view,
+       (SELECT count(*) FROM purchases) AS n_purchase_after_click,
+       round((SELECT count(*) FROM clicks) / (SELECT count(*) FROM views), 6)
+         AS view_to_click_rate,
+       round((SELECT count(*) FROM purchases) / (SELECT count(*) FROM clicks), 6)
+         AS click_to_purchase_rate
+"""
+
+
+# --- neighbor-pair embedding similarity -----------------------------------
+
+
+def label_pair_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity of (vec_id, vec_id+1) embedding pairs, split
+    by whether the two share a label — a cheap embedding-space sanity
+    check (same-label pairs should score higher).  Pairs come from an
+    equi-join on vec_id+1 (parallel, no global window); the cosine is
+    an in-order JVM fold and the group average uses exact DECIMAL sums
+    so the result is partitioning-independent."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    a = emb.select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("ea"),
+        F.col("label").alias("la"),
+    )
+    b = emb.select(
+        (F.col("vec_id") - 1).alias("ida"),
+        F.col("embedding").alias("eb"),
+        F.col("label").alias("lb"),
+    )
+
+    def fold_sq(col):
+        return F.aggregate(
+            col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pairs = a.join(b, "ida").select(
+        (F.col("la") == F.col("lb")).alias("same_label"),
+        (dot / (F.sqrt(fold_sq(F.col("ea"))) * F.sqrt(fold_sq(F.col("eb"))))).alias("cos"),
+    )
+    return (
+        pairs.groupBy("same_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(
+                F.sum(F.col("cos").cast("decimal(18,15)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_cosine"),
+        )
+        .orderBy("same_label")
+    )
+
+
+_D_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    " list_transform(list_zip(ea, eb),"
+    "   s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))),"
+    " (a, b) -> a + b)"
+)
+_D_SQ_A = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    " list_transform(ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),"
+    " (a, b) -> a + b)"
+)
+_D_SQ_B = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    " list_transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),"
+    " (a, b) -> a + b)"
+)
+
+LABEL_PAIR_SIM_SQL = f"""
+WITH pairs AS (
+  SELECT a.label = b.label AS same_label,
+         a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+), scored AS (
+  SELECT same_label,
+         {_D_DOT} / (sqrt({_D_SQ_A}) * sqrt({_D_SQ_B})) AS cos
+  FROM pairs
+)
+SELECT same_label,
+       count(*) AS n_pairs,
+       round(CAST(sum(CAST(cos AS DECIMAL(18,15))) AS DOUBLE) / count(*), 6)
+         AS avg_cosine
+FROM scored
+GROUP BY same_label
+ORDER BY same_label
+"""
+
+
+QUERIES = {
+    "ttr_stats": ttr_stats,
+    "zipf_slope": zipf_slope,
+    "funnel_conversion": funnel_conversion,
+    "label_pair_similarity": label_pair_similarity,
+}
+
+ORACLES = {
+    "ttr_stats": TTR_STATS_SQL,
+    "zipf_slope": ZIPF_SLOPE_SQL,
+    "funnel_conversion": FUNNEL_SQL,
+    "label_pair_similarity": LABEL_PAIR_SIM_SQL,
+}

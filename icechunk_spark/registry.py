@@ -19,7 +19,7 @@ def _modules():
     from icechunk_spark.operators import tpch
 
     mods = [tpch]
-    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "textstats", "textquality", "pipeline_ext", "corpus_ext", "multimodal", "repo_queries", "streaming_queries"):
+    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "multimodal", "repo_queries", "streaming_queries"):
         try:
             mods.append(__import__(f"icechunk_spark.operators.{name}", fromlist=[name]))
         except ImportError:
@@ -32,20 +32,17 @@ def _modules():
 # TPC-H/analytics/dedup block, r3 rotated in the similarity/text/
 # multimodal/repo/streaming block, r4 re-verified the 10 never-green
 # fixes + the 33 stalest r1/r2 greens (50/50 green).  Round 5 window =
-# 6 anchors + all 44 queries NOT in the r4 window: bpe_pair_counts
-# first (the only query with no driver row ever), then the r2-overflow
-# block (2 rounds stale) and the full r3 block (1 round stale).  This
-# makes every one of the 94 registered queries driver-green within the
-# last 2 rounds.  Queries not listed follow in module order (all green
-# in r4, so at most 1 round stale next time).
+# 2 anchors + all 44 queries NOT in the r4 window (bpe_pair_counts
+# first — the only pre-r5 query with no driver row ever, then the
+# r2-overflow block at 2 rounds stale and the full r3 block at 1
+# round stale) + the 4 operators NEW this round, so nothing repeats
+# the bpe situation of landing unchecked outside the window.  Result:
+# every one of the 98 registered queries is driver-green within the
+# last 2 rounds (the 44 r4 greens sit first in the overflow for r6).
 PRIORITY: list[str] = [
     # anchors (continuity across every round)
     "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "sessionize",
     "minhash_lsh",
-    "dedup_cluster",
-    "dedup_exact",
     # never driver-checked (new in r4, landed outside the window)
     "bpe_pair_counts",
     # r2 greens, 2 rounds stale
@@ -96,8 +93,18 @@ PRIORITY: list[str] = [
     "repo_changed_cells",
     "stream_running_totals",
     "stream_static_enrich",
+    # NEW in r5 (training_ext): inside the window so they get their
+    # first driver row immediately
+    "ttr_stats",
+    "zipf_slope",
+    "funnel_conversion",
+    "label_pair_similarity",
     # ---- window boundary (50) ----
     # r4 greens lead the overflow so r6's rotation is easy
+    "q6_forecast_revenue",
+    "sessionize",
+    "dedup_cluster",
+    "dedup_exact",
     "simhash",
     "pack_sequences",
     "mixture_sample",

@@ -130,8 +130,11 @@ def decode_chunks_to_rows(
     manifest: DataFrame,
     meta: ArrayMeta,
     slices: list[tuple[int, int]] | None = None,
+    vcc_map: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Unpack chunk payloads back into (i0..ik, value) rows."""
+    """Unpack chunk payloads back into (i0..ik, value) rows.
+    ``vcc_map`` (name -> url_prefix) resolves ``vcc://`` relative
+    virtual refs inside executor tasks (design-doc 014)."""
     ndim = len(meta.shape)
     files = [
         r["file"]
@@ -155,13 +158,15 @@ def decode_chunks_to_rows(
     bounds = slices
 
     def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from icechunk_spark.repo import fsio
+        from icechunk_spark.repo.session import resolve_vcc
+
         for pdf in batches:
             for _, row in pdf.iterrows():
                 ck = [int(x) for x in row["chunk_key"].split(".")]
                 if row["is_virtual"]:
-                    with open(row["vpath"], "rb") as f:
-                        f.seek(int(row["voffset"]))
-                        raw = f.read(int(row["vlength"]))
+                    vp = resolve_vcc(row["vpath"], vcc_map)
+                    raw = fsio.read_range(vp, int(row["voffset"]), int(row["vlength"]))
                 elif row["inline"] is not None:
                     raw = row["inline"]
                 else:

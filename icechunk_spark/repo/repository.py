@@ -744,6 +744,7 @@ class Repository:
         if containers:
             s._virtual_containers = sorted(containers.values())
             s._virtual_authorized = self.authorized_virtual_container_prefixes
+            s._virtual_container_names = dict(containers)
         if self._config_override is not None:
             s._config_override = self._config_override.to_dict()
         return s

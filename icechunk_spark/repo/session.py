@@ -71,6 +71,25 @@ class ConflictError(Exception):
         super().__init__(f"{len(conflicts)} conflicting change(s); sample: {conflicts[:5]}")
 
 
+def resolve_vcc(vpath: str, names: dict[str, str] | None) -> str:
+    """Resolve a ``vcc://<name>/<relative>`` virtual-chunk location to
+    its absolute URL via the named container's url_prefix (design-docs/
+    014-virtual-chunk-ref-efficiency.md).  Module-level so executor
+    tasks (mapInPandas decode, unpickled read-only sessions) can
+    resolve without a Session or JVM.  Absolute locations pass
+    through unchanged."""
+    if not vpath or not vpath.startswith("vcc://"):
+        return vpath
+    name, _, rel = vpath[len("vcc://") :].partition("/")
+    prefix = (names or {}).get(name)
+    if prefix is None:
+        raise RefError(
+            f"virtual chunk ref {vpath!r} names an unknown container "
+            f"{name!r} (configured: {sorted(names or {})})"
+        )
+    return prefix + rel  # url_prefix always ends with "/"
+
+
 @dataclass
 class ConflictSolver:
     """Resolution policy, mirroring icechunk's BasicConflictSolver:
@@ -151,6 +170,10 @@ class Session:
         # None = no containers configured (legacy/local mode: unscoped).
         self._virtual_containers: list[str] | None = None
         self._virtual_authorized: set[str] = set()
+        # name -> url_prefix for vcc:// relative refs (design-doc 014):
+        # manifests may store `vcc://<name>/<relative>` instead of a
+        # full absolute URL — smaller manifests, relocatable chunks
+        self._virtual_container_names: dict[str, str] | None = None
         # runtime config override (Repository.reopen(config=...)):
         # shadows the persisted config.json for this session only
         self._config_override: dict | None = None
@@ -193,7 +216,32 @@ class Session:
 
     # --- virtual chunk authorization --------------------------------------
 
+    def _resolve_vcc(self, vpath: str) -> str:
+        """Resolve a ``vcc://<name>/<relative>`` ref to its absolute
+        location via the named container's url_prefix (design-doc 014);
+        absolute locations pass through unchanged."""
+        return resolve_vcc(vpath, self._virtual_container_names)
+
+    def _virtual_write_ok(self, location: str) -> bool:
+        """Would this location pass container validation?  vcc:// refs
+        validate by NAME (the named container must exist); absolute
+        refs validate by prefix, as before."""
+        if location.startswith("vcc://"):
+            name = location[len("vcc://") :].partition("/")[0]
+            return bool(self._virtual_container_names) and name in self._virtual_container_names
+        if self._virtual_containers is None:
+            return True
+        return any(location.startswith(p) for p in self._virtual_containers)
+
     def _check_virtual_write(self, location: str) -> None:
+        if location.startswith("vcc://"):
+            if not self._virtual_write_ok(location):
+                raise RefError(
+                    f"virtual chunk ref {location!r} names an unknown "
+                    f"container (configured: "
+                    f"{sorted(self._virtual_container_names or {})})"
+                )
+            return
         if self._virtual_containers is None:
             return
         if not any(location.startswith(p) for p in self._virtual_containers):
@@ -431,14 +479,23 @@ class Session:
         if self._virtual_containers is not None:
             # container scoping is active: refuse the read if any chunk
             # in range points outside an authorized prefix (one cheap
-            # metadata-only probe; no payloads are touched)
+            # metadata-only probe; no payloads are touched).  vcc://
+            # refs authorize through their named container's prefix
+            # (design-doc 014: auth stays prefix-based, names are only
+            # a manifest-compression device).
             ok = F.lit(False)
             for p in sorted(self._virtual_authorized):
                 ok = ok | F.col("vpath").startswith(p)
+            for name, prefix in sorted((self._virtual_container_names or {}).items()):
+                if prefix in self._virtual_authorized:
+                    ok = ok | F.col("vpath").startswith(f"vcc://{name}/")
             bad = manifest.filter(F.col("is_virtual") & ~ok).select("vpath").limit(1).collect()
             if bad:
-                self._check_virtual_read(bad[0]["vpath"])  # raises
-        return decode_chunks_to_rows(self.spark, self.root, manifest, meta, slices)
+                self._check_virtual_read(self._resolve_vcc(bad[0]["vpath"]))  # raises
+        return decode_chunks_to_rows(
+            self.spark, self.root, manifest, meta, slices,
+            vcc_map=self._virtual_container_names,
+        )
 
     def chunk_manifest_df(self, path: str | None = None) -> DataFrame:
         """The live chunk-ref manifest (optionally for one node) as a
@@ -581,16 +638,18 @@ class Session:
                 if c["op"] != "set":
                     return None
                 if c["is_virtual"]:
-                    self._check_virtual_read(c["vpath"])
-                    return fsio.read_range(c["vpath"], c["voffset"], c["vlength"])
+                    vp = self._resolve_vcc(c["vpath"])
+                    self._check_virtual_read(vp)
+                    return fsio.read_range(vp, c["voffset"], c["vlength"])
                 return c["payload"]
         row = self._point_manifest_rows(meta.node_id, chunk_key)
         if not row:
             return None
         r = row[0]
         if r["is_virtual"]:
-            self._check_virtual_read(r["vpath"])
-            return fsio.read_range(r["vpath"], r["voffset"], r["vlength"])
+            vp = self._resolve_vcc(r["vpath"])
+            self._check_virtual_read(vp)
+            return fsio.read_range(vp, r["voffset"], r["vlength"])
         if r["inline"] is not None:
             return bytes(r["inline"])
         if not self._has_spark:  # executor-side: pyarrow point read
@@ -1296,6 +1355,7 @@ class Session:
             "session_id": self.session_id,
             "virtual_containers": self._virtual_containers,
             "virtual_authorized": sorted(self._virtual_authorized),
+            "virtual_container_names": self._virtual_container_names,
         }
 
     def __setstate__(self, state):
@@ -1314,6 +1374,7 @@ class Session:
         self._chunk_buffer = []
         self._virtual_containers = state.get("virtual_containers")
         self._virtual_authorized = set(state.get("virtual_authorized") or [])
+        self._virtual_container_names = state.get("virtual_container_names")
         self._config_override = None
 
 
@@ -1349,6 +1410,7 @@ class ForkSession(Session):
         self._chunk_buffer = []
         self._virtual_containers = None
         self._virtual_authorized = set()
+        self._virtual_container_names = None
         self._config_override = None
 
 

@@ -385,8 +385,10 @@ class ChunkStore:
             if not loc:
                 continue
             coord = tuple(p + b for p, b in zip(pos, base))
-            if validate_containers and sess._virtual_containers is not None:
-                if not any(loc.startswith(p) for p in sess._virtual_containers):
+            if validate_containers and (
+                sess._virtual_containers is not None or loc.startswith("vcc://")
+            ):
+                if not sess._virtual_write_ok(loc):
                     failed.append(coord)
                     continue
             key = ".".join(str(x) for x in coord)

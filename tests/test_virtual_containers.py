@@ -86,3 +86,72 @@ def test_authorization_ignores_unconfigured_prefixes(spark, tmp_path, ext_file):
         spark, repo.root, authorize_virtual_chunk_access={"s3://elsewhere/": None}
     )
     assert other.authorized_virtual_container_prefixes == set()
+
+
+# --- vcc:// relative refs (design-docs/014-virtual-chunk-ref-efficiency.md)
+
+
+def test_vcc_relative_ref_roundtrip(spark, tmp_path, ext_file):
+    """A `vcc://<name>/<relative>` ref stores the compact relative form
+    in the manifest and resolves through the named container's
+    url_prefix on BOTH read paths (point read + distributed decode)."""
+    prefix = "file://" + ext_file[: ext_file.rindex("/") + 1]
+    repo = _mkrepo(spark, tmp_path, prefix)
+    rel = "vcc://data/" + ext_file[ext_file.rindex("/") + 1 :]
+    with repo.transaction(message="virt") as s:
+        s.create_array("/v", shape=[4], chunk_shape=[4])
+        s.set_virtual_ref("/v", "0", rel, offset=4, length=32)
+
+    auth = Repository.open(spark, repo.root, authorize_virtual_chunk_access={prefix: None})
+    sess = auth.readonly_session()
+    # the manifest keeps the relative form (relocatable, compact)
+    assert sess.all_virtual_chunk_locations() == [rel]
+    assert sess.get_chunk_bytes("/v", "0") == np.arange(4, dtype="float64").tobytes()
+    rows = sess.read_array_df("/v").collect()
+    assert sorted(r["value"] for r in rows) == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_vcc_unknown_name_rejected_at_write(spark, tmp_path):
+    repo = _mkrepo(spark, tmp_path, "file:///data/")
+    with pytest.raises(RefError, match="unknown"):
+        with repo.transaction(message="virt") as s:
+            s.create_array("/v", shape=[4], chunk_shape=[4])
+            s.set_virtual_ref("/v", "0", "vcc://nope/x.bin", offset=0, length=8)
+
+
+def test_vcc_relocation_repoints_without_manifest_rewrite(spark, tmp_path, ext_file):
+    """The point of relative refs: moving the external data means
+    updating ONE url_prefix — committed manifests stay valid."""
+    import shutil
+
+    prefix = "file://" + ext_file[: ext_file.rindex("/") + 1]
+    repo = _mkrepo(spark, tmp_path, prefix)
+    name = ext_file[ext_file.rindex("/") + 1 :]
+    with repo.transaction(message="virt") as s:
+        s.create_array("/v", shape=[4], chunk_shape=[4])
+        s.set_virtual_ref("/v", "0", f"vcc://data/{name}", offset=4, length=32)
+
+    # relocate the external file and re-point the container
+    newdir = tmp_path / "moved"
+    newdir.mkdir()
+    shutil.copy(ext_file, newdir / name)
+    newprefix = f"file://{newdir}/"
+    repo.set_virtual_chunk_container("data", newprefix)
+
+    auth = Repository.open(spark, repo.root, authorize_virtual_chunk_access={newprefix: None})
+    got = auth.readonly_session().get_chunk_bytes("/v", "0")
+    assert got == np.arange(4, dtype="float64").tobytes()
+
+
+def test_vcc_read_requires_named_containers_authorization(spark, tmp_path, ext_file):
+    prefix = "file://" + ext_file[: ext_file.rindex("/") + 1]
+    repo = _mkrepo(spark, tmp_path, prefix)
+    rel = "vcc://data/" + ext_file[ext_file.rindex("/") + 1 :]
+    with repo.transaction(message="virt") as s:
+        s.create_array("/v", shape=[4], chunk_shape=[4])
+        s.set_virtual_ref("/v", "0", rel, offset=4, length=32)
+    unauth = Repository.open(spark, repo.root)
+    with pytest.raises(RefError, match="not under an authorized"):
+        unauth.readonly_session().get_chunk_bytes("/v", "0")
+    with pytest.raises(RefError, match="not under an authorized"):
+        unauth.readonly_session().read_array_df("/v").collect()
