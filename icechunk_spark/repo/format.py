@@ -66,7 +66,9 @@ def chunk_rel(chunk_id: str) -> str:
 class ArrayMeta:
     node_id: str
     shape: list[int]
-    chunk_shape: list[int]
+    # None = non-regular (rectilinear) grid, described by
+    # zarr_extra["chunk_grid"] instead
+    chunk_shape: list[int] | None
     dtype: str = "float64"
     fill_value: float = 0.0
     attrs: dict[str, Any] = field(default_factory=dict)
@@ -76,22 +78,50 @@ class ArrayMeta:
     # client-supplied zarr v3 doc fields preserved verbatim so the store
     # facade round-trips real zarr client documents byte-for-byte
     # (icechunk/src/store.rs:1495 set/get roundtrip test): optional keys
-    # "codecs", "storage_transformers", "chunk_key_encoding".
+    # "codecs", "storage_transformers", "chunk_key_encoding",
+    # "chunk_grid" (non-regular grids, e.g. rectilinear).
     zarr_extra: dict[str, Any] | None = None
     kind: str = "array"
 
     def __post_init__(self) -> None:
         if self.dtype not in DTYPES:
             raise ValueError(f"unsupported dtype {self.dtype}; one of {sorted(DTYPES)}")
-        if len(self.shape) != len(self.chunk_shape):
+        if self.chunk_shape is None:
+            # rectilinear chunk grid (icechunk/src/store.rs:1206): chunk
+            # sizes vary along a dimension, recorded verbatim in
+            # zarr_extra["chunk_grid"].  Key-addressed chunk IO works;
+            # regular-grid array ops (write_array_df / shift / reindex)
+            # are gated at the session layer (design-docs/018).
+            if not (self.zarr_extra or {}).get("chunk_grid"):
+                raise ValueError("chunk_shape=None requires a zarr_extra chunk_grid")
+        elif len(self.shape) != len(self.chunk_shape):
             raise ValueError("shape and chunk_shape rank mismatch")
         if len(self.shape) > 4:
             raise ValueError("at most 4 dimensions supported")
         if self.dimension_names is not None and len(self.dimension_names) != len(self.shape):
             raise ValueError("dimension_names rank mismatch")
 
+    @property
+    def is_regular_grid(self) -> bool:
+        return self.chunk_shape is not None
+
     def grid_shape(self) -> list[int]:
-        return [(s + c - 1) // c for s, c in zip(self.shape, self.chunk_shape)]
+        """Per-dimension chunk counts (reference parity: the num_chunks
+        computation in store.rs:1181-1238, including run-length-encoded
+        rectilinear chunk_shapes like ``[[2, 3]]`` = size-2 x3)."""
+        if self.chunk_shape is not None:
+            return [(s + c - 1) // c if c else 0 for s, c in zip(self.shape, self.chunk_shape)]
+        shapes = (self.zarr_extra or {})["chunk_grid"]["configuration"]["chunk_shapes"]
+        out: list[int] = []
+        for dim in shapes:
+            n = 0
+            for entry in dim:
+                if isinstance(entry, (int, float)):
+                    n += 1  # fully listed chunk size
+                else:
+                    n += int(entry[1])  # RLE pair [size, count]
+            out.append(n)
+        return out
 
 
 @dataclass

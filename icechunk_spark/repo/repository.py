@@ -376,9 +376,26 @@ class Repository:
     # --- lifecycle --------------------------------------------------------
 
     @classmethod
-    def create(cls, spark: SparkSession, root: str, metadata: dict | None = None) -> "Repository":
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        metadata: dict | None = None,
+        spec_version: int | None = None,
+    ) -> "Repository":
+        """Create a repository.  ``spec_version`` pins the on-disk
+        layout version (reference parity: Repository.create's
+        spec_version arg) so repos can stay writable/readable by older
+        engines; default = the engine's current spec.  Sessions honor
+        the pinned version (a v1 repo keeps the flat chunk layout until
+        migrated)."""
         if cls.exists(root):
             raise RefError(f"repository already exists at {root}")
+        v = SPEC_VERSION if spec_version is None else int(spec_version)
+        if not (1 <= v <= SPEC_VERSION):
+            raise ValueError(
+                f"spec_version must be between 1 and {SPEC_VERSION} (got {v})"
+            )
         dp = fmt.data_path(root)
         if "://" not in dp:  # object stores have no dirs to pre-create
             os.makedirs(dp, exist_ok=True)
@@ -396,7 +413,7 @@ class Repository:
         fmt.create_branch(root, MAIN, root_snap.id)
         fmt.write_repo_info(
             root,
-            {"format_version": SPEC_VERSION, "metadata": metadata or {}, "default_commit_metadata": {}},
+            {"format_version": v, "metadata": metadata or {}, "default_commit_metadata": {}},
         )
         return cls(spark, root)
 
@@ -410,17 +427,20 @@ class Repository:
         if not cls.exists(root):
             raise RefError(f"no repository at {root}")
         # spec gate (migrations.py): refuse layouts this engine cannot
-        # read correctly rather than misreading them
+        # read correctly rather than misreading them.  Any version in
+        # [1, SPEC_VERSION] opens fine — sessions honor the repo's
+        # pinned layout (e.g. flat chunk files on v1) and migration is
+        # an explicit opt-in for newer-layout features.
         v = int(fmt.read_repo_info(root).get("format_version", 0))
         if v > SPEC_VERSION:
             raise RefError(
                 f"repository spec version {v} is newer than this engine's "
                 f"{SPEC_VERSION}; upgrade the engine"
             )
-        if v < SPEC_VERSION:
+        if v < 1:
             raise RefError(
-                f"repository spec version {v} predates this engine's "
-                f"{SPEC_VERSION}; run icechunk_spark.repo.migrations."
+                f"repository spec version {v} predates the v1 layout "
+                "contract; run icechunk_spark.repo.migrations."
                 "migrate_repository (or `python -m icechunk_spark.cli "
                 "migrate`) to upgrade it in place"
             )

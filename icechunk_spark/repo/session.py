@@ -183,6 +183,23 @@ class Session:
             return self._config_override
         return fmt.read_config_doc(self.root)
 
+    @property
+    def _spec(self) -> int:
+        """The repo's pinned spec version (lazy, cached): decides the
+        chunk-file layout this session writes (v1 = flat
+        chunks/<id>.parquet, v2+ = sharded format.chunk_rel)."""
+        if self.__dict__.get("_spec_version") is None:
+            self._spec_version = int(
+                fmt.read_repo_info(self.root).get("format_version", 1)
+            )
+        return self._spec_version
+
+    def _new_chunk_rel(self) -> str:
+        cid = new_id()
+        if self._spec >= 2:
+            return fmt.chunk_rel(cid)
+        return f"chunks/{cid}.parquet"
+
     # --- spark handle (lazy: executor-side sessions have none) -------------
     # An unpickled read-only session inside a Spark task has no JVM
     # gateway: ``getActiveSession()`` is None there, so ``spark`` must
@@ -385,7 +402,7 @@ class Session:
         meta = ArrayMeta(
             node_id=new_id(),
             shape=list(shape),
-            chunk_shape=list(chunk_shape),
+            chunk_shape=list(chunk_shape) if chunk_shape is not None else None,
             dtype=dtype,
             fill_value=fill_value,
             attrs=attrs or {},
@@ -459,11 +476,24 @@ class Session:
 
     # --- chunk data plane -------------------------------------------------
 
+    @staticmethod
+    def _require_regular_grid(meta: ArrayMeta, op: str) -> None:
+        """Regular-grid array ops are undefined on rectilinear arrays
+        (reference parity: session.rs rejects shift_array etc. on
+        rectilinear grids — design-docs/018); key-addressed chunk IO
+        (set/get_chunk_bytes, virtual refs) remains available."""
+        if not meta.is_regular_grid:
+            raise RefError(
+                f"{op} requires a regular chunk grid; this array uses a "
+                "rectilinear grid (use key-addressed chunk IO instead)"
+            )
+
     def write_array_df(self, path: str, df: DataFrame) -> None:
         """Distributed write: pack (i0..ik, value) rows into chunks."""
         self._require_data_writable()
         meta = self.array_meta(path)
-        rel = fmt.chunk_rel(new_id())
+        self._require_regular_grid(meta, "write_array_df")
+        rel = self._new_chunk_rel()
         encode_array_chunks(df, meta, _dp(self.root, rel))
         staged = staged_manifest_from_chunk_dir(
             self.spark, _dp(self.root, rel), rel, meta.node_id
@@ -475,6 +505,7 @@ class Session:
     ) -> DataFrame:
         """Distributed read of an array region as coordinate rows."""
         meta = self.array_meta(path)
+        self._require_regular_grid(meta, "read_array_df")
         manifest = self._resolved_manifest(meta.node_id, slice_chunk_filter(meta, slices))
         if self._virtual_containers is not None:
             # container scoping is active: refuse the read if any chunk
@@ -676,6 +707,7 @@ class Session:
         (session.py:shift_array, design-docs/018)."""
         self._require_data_writable()
         meta = self.array_meta(array_path)
+        self._require_regular_grid(meta, "shift_array")
         ndim = len(meta.shape)
         if len(chunk_offset) != ndim:
             raise ValueError("chunk_offset rank mismatch")
@@ -721,6 +753,7 @@ class Session:
         import pandas as pd
 
         meta = self.array_meta(array_path)
+        self._require_regular_grid(meta, "reindex_array")
         ndim = len(meta.shape)
         grid = meta.grid_shape()
         live = self._resolved_manifest(meta.node_id, None)
@@ -827,7 +860,7 @@ class Session:
     def _flush_chunk_buffer(self) -> None:
         if not self._chunk_buffer:
             return
-        rel = fmt.chunk_rel(new_id())
+        rel = self._new_chunk_rel()
         rows = []
         refs = []
         # overlay semantics WITHIN the buffer: the last op per chunk key

@@ -84,7 +84,7 @@ class ChunkStore:
                 doc["attributes"] = node["attrs"]
             doc["shape"] = list(node["shape"])
             doc["data_type"] = self._ZARR_DTYPES.get(node.get("dtype", "float64"), "float64")
-            doc["chunk_grid"] = {
+            doc["chunk_grid"] = extra.get("chunk_grid") or {
                 "name": "regular",
                 "configuration": {"chunk_shape": list(node["chunk_shape"])},
             }
@@ -134,10 +134,26 @@ class ChunkStore:
                     for k in ("codecs", "storage_transformers", "chunk_key_encoding")
                     if doc.get(k)
                 }
+                grid = doc.get("chunk_grid") or {}
+                if doc.get("chunk_shape") is not None or grid.get("name", "regular") == "regular":
+                    chunk_shape = (
+                        doc.get("chunk_shape") or grid["configuration"]["chunk_shape"]
+                    )
+                elif grid.get("name") == "rectilinear":
+                    # non-regular grid (store.rs:1206): keep the grid
+                    # verbatim; chunk IO stays key-addressed, regular-
+                    # grid array ops are gated at the session layer
+                    extra["chunk_grid"] = grid
+                    chunk_shape = None
+                else:
+                    raise RefError(
+                        f"Unsupported chunk grid {grid.get('name')!r}. Only "
+                        "'regular' and 'rectilinear' chunk grids are supported."
+                    )
                 self.session.create_array(
                     path,
                     shape=doc["shape"],
-                    chunk_shape=doc.get("chunk_shape") or doc["chunk_grid"]["configuration"]["chunk_shape"],
+                    chunk_shape=chunk_shape,
                     dtype=doc.get("dtype") or doc.get("data_type", "float64"),
                     fill_value=doc.get("fill_value", 0.0),
                     attrs=doc.get("attrs") or doc.get("attributes") or {},

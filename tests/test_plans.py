@@ -93,3 +93,27 @@ def test_neardup_bands_stay_jvm_side(spark):
     plan = plan_of(embedding_neardup(spark, SF_DIR))
     assert "BatchEvalPython" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_training_ext_plans(spark):
+    """The r5 training-data diagnostics stay JVM-side end to end:
+    no Python row eval, partial aggregation, and (for the funnel)
+    pushed-down event_type filters at the scan."""
+    from icechunk_spark.operators.training_ext import (
+        funnel_conversion,
+        label_pair_similarity,
+        ttr_stats,
+        zipf_slope,
+    )
+
+    for fn in (ttr_stats, zipf_slope, funnel_conversion, label_pair_similarity):
+        df = fn(spark, SF_DIR)
+        df.collect()  # AQE finalizes the plan on execution
+        plan = plan_of(df)
+        assert "BatchEvalPython" not in plan, f"{fn.__name__} fell back to Python rows"
+        assert "PythonUDF" not in plan, fn.__name__
+
+    plan = plan_of(funnel_conversion(spark, SF_DIR))
+    assert "PushedFilters" in plan and "event_type" in plan
+    plan = plan_of(ttr_stats(spark, SF_DIR))
+    assert "partial" in plan.lower()  # map-side combine on (source, tok)

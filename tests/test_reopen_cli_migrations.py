@@ -90,12 +90,12 @@ def test_migrations_upgrade_v0_layout(spark, tmp_path):
     assert migrate_repository(root) == []  # idempotent
     Repository.open(spark, root)  # gate passes now
 
-    # a v1 layout (flat chunks/) migrates with the single v1->v2 step
+    # a v1 layout (flat chunks/) OPENS fine (sessions honor the pinned
+    # layout) and migrates with the single v1->v2 step when asked
     info = fmt.read_repo_info(root)
     info["format_version"] = 1
     fmt.write_repo_info(root, info)
-    with pytest.raises(RefError, match="migrate"):
-        Repository.open(spark, root)
+    Repository.open(spark, root)  # v1 is a supported read/write layout
     assert migrate_repository(root) == [1]
     assert spec_version_of(root) == 2
 
@@ -170,3 +170,35 @@ def test_cli_gc_and_compact(spark, tmp_path, capsys):
     assert main(["gc", root, "--older-than", "-1", "--dry-run"]) == 0
     out = json.loads(capsys.readouterr().out)
     assert out["dry_run"] is True and out["chunk_files_deleted"] >= 0
+
+
+def test_create_with_pinned_spec_version(spark, tmp_path):
+    """Repository.create(spec_version=1) writes the v1 FLAT chunk
+    layout (readable by v1 engines); after migrating to v2, NEW writes
+    land sharded while the old flat chunks stay readable — mixed
+    layout, zero manifest rewrites."""
+    from icechunk_spark.repo import fsio
+
+    root = str(tmp_path / "pinned")
+    repo = Repository.create(spark, root, spec_version=1)
+    assert spec_version_of(root) == 1
+    with repo.transaction(message="v1 write") as s:
+        s.create_array("/a", shape=[8], chunk_shape=[4])
+        s.set_chunk_bytes("/a", "0", b"x" * 4096)
+    top = fsio.list_child_names(fmt.data_path(root, "chunks"))
+    assert top and all(n.endswith(".parquet") for n in top), top  # flat
+
+    assert migrate_repository(root) == [1]
+    repo2 = Repository.open(spark, root)
+    with repo2.transaction(message="v2 write") as s:
+        s.set_chunk_bytes("/a", "1", b"y" * 4096)
+    top = sorted(fsio.list_child_names(fmt.data_path(root, "chunks")))
+    assert any(len(n) == 2 for n in top), top  # sharded write landed
+    assert any(n.endswith(".parquet") for n in top), top  # flat survives
+    sess = repo2.readonly_session()
+    assert sess.get_chunk_bytes("/a", "0") == b"x" * 4096
+    assert sess.get_chunk_bytes("/a", "1") == b"y" * 4096
+
+    # out-of-range pins are refused
+    with pytest.raises(ValueError, match="spec_version"):
+        Repository.create(spark, str(tmp_path / "bad"), spec_version=99)

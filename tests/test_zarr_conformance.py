@@ -182,3 +182,69 @@ def test_docs_parse_as_spec_zarr_v3(repo):
                 assert member in doc, member
             assert doc["chunk_grid"]["name"] == "regular"
             assert isinstance(doc["chunk_grid"]["configuration"]["chunk_shape"], list)
+
+
+# ---------------------------------------------------------------------------
+# rectilinear chunk grids (store.rs:1206, design-docs/018)
+# ---------------------------------------------------------------------------
+
+RECTI_DOC = (
+    '{"zarr_format":3,"node_type":"array","shape":[3],"data_type":"int32",'
+    '"chunk_grid":{"name":"rectilinear","configuration":{"chunk_shapes":[[1,2]]}},'
+    '"chunk_key_encoding":{"name":"default","configuration":{"separator":"/"}},'
+    '"fill_value":0,"codecs":[{"name":"bytes","configuration":{"endian":"little"}}]}'
+)
+
+
+def test_rectilinear_doc_roundtrips(repo):
+    """The reference's rectilinear fixture (session.rs:6026) must
+    round-trip byte-for-byte; key-addressed chunk IO works."""
+    s = _w(repo)
+    store = ChunkStore(s)
+    store.set("r/zarr.json", RECTI_DOC.encode())
+    assert store.get("r/zarr.json") == RECTI_DOC.encode()
+    store.set("r/c/0", b"\x01\x00\x00\x00")
+    assert store.get("r/c/0") == b"\x01\x00\x00\x00"
+
+
+def test_rectilinear_grid_shape_rle(repo):
+    """grid_shape counts chunks for both listed and run-length-encoded
+    chunk_shapes (store.rs num_chunks parity)."""
+    s = _w(repo)
+    store = ChunkStore(s)
+    doc = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": [6, 5],
+        "data_type": "float64",
+        "chunk_grid": {
+            "name": "rectilinear",
+            # dim0: sizes [2, [2,2]] -> 3 chunks; dim1: [1,1,3] -> 3
+            "configuration": {"chunk_shapes": [[2, [2, 2]], [1, 1, 3]]},
+        },
+        "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        "fill_value": 0.0,
+        "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+    }
+    store.set("g/zarr.json", json.dumps(doc, separators=(",", ":")).encode())
+    assert s.array_meta("/g").grid_shape() == [3, 3]
+
+
+def test_rectilinear_rejects_regular_grid_ops(repo):
+    """Regular-grid array ops are undefined on rectilinear arrays and
+    must be refused (session.rs:6059 shift_array rejection)."""
+    s = _w(repo)
+    ChunkStore(s).set("r/zarr.json", RECTI_DOC.encode())
+    with pytest.raises(RefError, match="rectilinear"):
+        s.shift_array("/r", [1])
+    with pytest.raises(RefError, match="rectilinear"):
+        s.read_array_df("/r")
+    with pytest.raises(RefError, match="rectilinear"):
+        s.reindex_array("/r", lambda c: c)
+
+
+def test_unsupported_chunk_grid_rejected(repo):
+    store = ChunkStore(_w(repo))
+    bad = RECTI_DOC.replace("rectilinear", "hilbert")
+    with pytest.raises(RefError, match="Only 'regular' and 'rectilinear'"):
+        store.set("x/zarr.json", bad.encode())
