@@ -454,10 +454,33 @@ class Repository:
     def exists(root: str) -> bool:
         return fmt.repo_exists(root)
 
+    @staticmethod
+    def fetch_spec_version(root: str) -> int:
+        """The spec version recorded at ``root`` WITHOUT opening (and
+        without the open gate) — reference parity:
+        Repository.fetch_spec_version (repository.py:475)."""
+        from icechunk_spark.repo.migrations import spec_version_of
+
+        return spec_version_of(root)
+
+    @property
+    def storage(self):
+        """The resolved metadata-plane Storage backend (reference
+        parity: Repository.storage, repository.py:603)."""
+        from icechunk_spark.repo.storage import resolve_storage
+
+        return resolve_storage(self.root)
+
     # --- repo metadata ----------------------------------------------------
 
     def metadata(self) -> dict[str, Any]:
         return fmt.read_repo_info(self.root)["metadata"]
+
+    def get_metadata(self) -> dict[str, Any]:
+        """Alias of :meth:`metadata` (reference parity: both
+        get_metadata and the metadata property exist,
+        repository.py:712-724)."""
+        return self.metadata()
 
     def set_metadata(self, metadata: dict[str, Any]) -> None:
         info = fmt.read_repo_info(self.root)

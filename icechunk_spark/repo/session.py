@@ -56,6 +56,15 @@ def _dp(root: str, *parts: str) -> str:
     return fmt.data_path(root, os.path.join(*parts))
 
 
+class SessionMode(IntEnum):
+    """Session access mode (reference parity: SessionMode — READONLY,
+    WRITABLE, or REARRANGE)."""
+
+    readonly = 0
+    writable = 1
+    rearrange = 2
+
+
 class ChunkType(IntEnum):
     """Zarr chunk storage kinds (reference parity: icechunk.ChunkType)."""
 
@@ -304,6 +313,32 @@ class Session:
     @property
     def read_only(self) -> bool:
         return self._read_only
+
+    @property
+    def mode(self) -> SessionMode:
+        """Reference parity: Session.mode (session.py:74)."""
+        if self._read_only:
+            return SessionMode.readonly
+        if getattr(self, "_rearrange_only", False):
+            return SessionMode.rearrange
+        return SessionMode.writable
+
+    @property
+    def store(self):
+        """The zarr-style key/value facade over this session
+        (reference parity: Session.store, session.py:139)."""
+        from icechunk_spark.repo.store import ChunkStore
+
+        return ChunkStore(self)
+
+    def config(self):
+        """The RepositoryConfig in effect for this session, including
+        any Repository.reopen override (reference parity:
+        Session.config, session.py:151)."""
+        from icechunk_spark.repo.repository import RepositoryConfig
+
+        doc = self._config_doc()
+        return RepositoryConfig() if doc is None else RepositoryConfig.from_dict(doc)
 
     @property
     def branch(self) -> str | None:
@@ -1094,6 +1129,55 @@ class Session:
             self._base = snap
             self._drop_manifest_cache()
             return snap_id
+
+    def flush(self, message: str, *, metadata: dict | None = None) -> str:
+        """Save staged changes to a new snapshot WITHOUT modifying any
+        branch; on success the session becomes read-only, based on the
+        new snapshot, and its id is returned (reference parity:
+        Session.flush, session.py:589 — the building block for
+        coordinator-driven distributed commits: workers flush, the
+        coordinator later publishes a ref to the flushed snapshot).
+        No branch CAS is involved, so a flush can never lose a race."""
+        self._require_writable()
+        self._require_repo_online()
+        self._flush_chunk_buffer()
+        doc = self._config_doc()
+        parent = self._base
+        snap_id = new_id()
+        staged = self._staged_manifest_df()
+        manifests = list(parent.manifests)
+        if staged is not None:
+            staged = staged.persist()
+            seq_base = (parent.seq + 1) * 100_000
+            manifests.extend(
+                mf.write_manifests(
+                    staged.withColumn("seq", F.col("seq") + seq_base),
+                    self.root,
+                    splitting=((doc or {}).get("manifest") or {}).get("splitting"),
+                )
+            )
+        self._write_txlog(snap_id, staged)
+        snap = SnapshotInfo(
+            id=snap_id,
+            parent_id=parent.id,
+            message=message,
+            metadata=metadata or {},
+            written_at=time.time(),
+            seq=parent.seq + 1,
+            manifests=manifests,
+            nodes=self._nodes,
+        )
+        fmt.write_snapshot(self.root, snap)
+        if staged is not None:
+            staged.unpersist()
+        fsio.delete_dir(self._staging_dir())
+        self._staged.clear()
+        self._node_ops.clear()
+        self._base = snap
+        self._branch = None
+        self._read_only = True
+        self._drop_manifest_cache()
+        return snap_id
 
     def amend(self, message: str | None = None, metadata: dict | None = None) -> str:
         """Replace the tip commit with tip+staged (same parent) —

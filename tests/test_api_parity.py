@@ -1,0 +1,61 @@
+"""Small reference-parity API surface: Session.mode/store/config/
+flush, Repository.fetch_spec_version/storage/get_metadata (reference:
+icechunk-python session.py:74-151, :589; repository.py:475, :603,
+:712)."""
+
+from __future__ import annotations
+
+import pytest
+
+from icechunk_spark.repo import Repository
+from icechunk_spark.repo.session import SessionMode
+from icechunk_spark.repo.storage import Storage
+
+
+@pytest.fixture()
+def repo(spark, tmp_path):
+    return Repository.create(spark, str(tmp_path / "repo"), metadata={"team": "ml"})
+
+
+def test_repository_small_surface(spark, repo):
+    assert Repository.fetch_spec_version(repo.root) == 2
+    assert isinstance(repo.storage, Storage)
+    assert repo.storage.exists("repo.json")
+    assert repo.get_metadata() == {"team": "ml"} == repo.metadata()
+
+
+def test_session_mode_store_config(spark, repo):
+    ro = repo.readonly_session()
+    assert ro.mode is SessionMode.readonly
+    w = repo.writable_session("main")
+    assert w.mode is SessionMode.writable
+    ra = repo.rearrange_session("main")
+    assert ra.mode is SessionMode.rearrange
+    # store facade reachable from the session itself
+    assert w.store.get("zarr.json") == b'{"zarr_format":3,"node_type":"group"}'
+    # config reflects the reopen override
+    from icechunk_spark.repo.repository import RepositoryConfig
+
+    r2 = repo.reopen(config=RepositoryConfig(inline_chunk_threshold_bytes=7))
+    assert r2.writable_session("main").config().inline_chunk_threshold_bytes == 7
+
+
+def test_flush_writes_snapshot_without_moving_branch(spark, repo):
+    with repo.transaction(message="init") as s:
+        s.create_array("/a", shape=[8], chunk_shape=[4])
+    tip_before = repo.lookup_branch("main")
+
+    s = repo.writable_session("main")
+    s.set_chunk_bytes("/a", "0", b"f" * 4096)
+    sid = s.flush("flushed work")
+    # branch untouched; session now read-only at the flushed snapshot
+    assert repo.lookup_branch("main") == tip_before
+    assert s.read_only and s.snapshot_id == sid
+    assert s.get_chunk_bytes("/a", "0") == b"f" * 4096
+    with pytest.raises(Exception):
+        s.set_chunk_bytes("/a", "1", b"x")
+
+    # a coordinator can later publish the flushed snapshot
+    repo.reset_branch("main", sid)
+    assert repo.lookup_branch("main") == sid
+    assert repo.readonly_session().get_chunk_bytes("/a", "0") == b"f" * 4096
