@@ -16,34 +16,88 @@ from icechunk_spark.repo.session import Session
 
 
 class ChunkStore:
-    def __init__(self, session: Session):
+    def __init__(self, session: Session, read_only: bool | None = None):
         self.session = session
+        # store-level read-only flag (reference parity: with_read_only
+        # flips the STORE's flag over the same session, store.py:102)
+        self.read_only = session.read_only if read_only is None else bool(read_only)
 
     # notebook ergonomics (reference parity: store.py:71-78)
     def __repr__(self) -> str:
-        mode = "read-only" if self.session.read_only else "writable"
+        mode = "read-only" if self.read_only else "writable"
         return f"ChunkStore({mode}, snapshot={self.session.snapshot_id!r})"
 
     def _repr_html_(self) -> str:
         return f"<code>{self!r}</code>"
 
+    def _require_store_writable(self) -> None:
+        if self.read_only:
+            raise RefError("store is read-only (see with_read_only)")
+
     # --- capability flags (store.py parity) -------------------------------
 
     @property
     def supports_writes(self) -> bool:
-        return not self.session.read_only
+        return not self.read_only and not self.session.read_only
 
     @property
     def supports_deletes(self) -> bool:
-        return not self.session.read_only
+        return not self.read_only and not self.session.read_only
 
     @property
     def supports_partial_writes(self) -> bool:
         return False
 
     @property
+    def supports_consolidated_metadata(self) -> bool:
+        # reference parity: icechunk manages its own consolidated view
+        # of metadata, so the zarr-level feature is declined
+        # (store.py:610)
+        return False
+
+    @property
     def supports_listing(self) -> bool:
         return True
+
+    def with_read_only(self, read_only: bool = False) -> "ChunkStore":
+        """A view over the SAME session with the store-level read_only
+        flag toggled (reference parity: store.py:102) — a read-only
+        view still sees the session's uncommitted changes.  Escalating
+        to writable is only possible when the underlying session is
+        itself writable."""
+        if read_only == self.read_only:
+            return self
+        if not read_only and self.session.read_only:
+            raise RefError(
+                "cannot make a store over a read-only session writable; "
+                "open a writable session on the repository instead"
+            )
+        return ChunkStore(self.session, read_only=read_only)
+
+    # --- virtual ref passthroughs (store.py:246, :363) --------------------
+
+    def set_virtual_ref(
+        self,
+        key: str,
+        location: str,
+        *,
+        offset: int,
+        length: int,
+        validate_container: bool = True,
+    ) -> None:
+        self._require_store_writable()
+        path, chunk = self._parse(key)
+        if chunk is None:
+            raise RefError(f"{key} is a metadata key, not a chunk key")
+        self.session.set_virtual_ref(
+            path, chunk, location, offset, length, validate_container=validate_container
+        )
+
+    def set_virtual_refs(
+        self, array_path: str, refs: list[tuple[str, str, int, int]]
+    ) -> None:
+        self._require_store_writable()
+        self.session.set_virtual_refs(array_path, refs)
 
     # --- key codec --------------------------------------------------------
 
@@ -122,6 +176,7 @@ class ChunkStore:
         return self.session.get_chunk_bytes(path, chunk)
 
     def set(self, key: str, value: bytes) -> None:
+        self._require_store_writable()
         path, chunk = self._parse(key)
         if chunk is None:
             doc = json.loads(value)
@@ -208,6 +263,7 @@ class ChunkStore:
         return next(iter(self.list_prefix(prefix)), None) is None
 
     def delete(self, key: str) -> None:
+        self._require_store_writable()
         path, chunk = self._parse(key)
         if chunk is None:
             self.session.delete_node(path)
@@ -215,6 +271,7 @@ class ChunkStore:
             self.session.delete_chunk(path, chunk)
 
     def delete_dir(self, prefix: str) -> None:
+        self._require_store_writable()
         """Delete every key under a prefix (store.py:delete_dir)."""
         for key in list(self.list_prefix(prefix.rstrip("/") + "/")):
             try:
@@ -223,6 +280,7 @@ class ChunkStore:
                 pass
 
     def sync_clear(self) -> None:
+        self._require_store_writable()
         for p in [p for p in self.session.list_nodes() if p != "/"]:
             try:
                 self.session.delete_node(p)

@@ -59,3 +59,41 @@ def test_flush_writes_snapshot_without_moving_branch(spark, repo):
     repo.reset_branch("main", sid)
     assert repo.lookup_branch("main") == sid
     assert repo.readonly_session().get_chunk_bytes("/a", "0") == b"f" * 4096
+
+
+def test_store_with_read_only_and_virtual_passthrough(spark, repo, tmp_path):
+    """Store-level parity: with_read_only view, virtual-ref
+    passthroughs, supports_consolidated_metadata=False
+    (reference store.py:102, :246, :610)."""
+    import numpy as np
+
+    from icechunk_spark.repo import RefError
+    from icechunk_spark.repo.store import ChunkStore
+
+    ext = tmp_path / "ext.bin"
+    ext.write_bytes(np.arange(4, dtype="float64").tobytes())
+
+    s = repo.writable_session("main")
+    s.create_array("/v", shape=[4], chunk_shape=[4])
+    store = ChunkStore(s)
+    assert store.supports_consolidated_metadata is False
+    store.set_virtual_ref("v/c/0", str(ext), offset=0, length=32)
+    assert store.get("v/c/0") == ext.read_bytes()
+    with pytest.raises(RefError, match="metadata key"):
+        store.set_virtual_ref("v/zarr.json", str(ext), offset=0, length=32)
+
+    ro = store.with_read_only(read_only=True)
+    # same session underneath: the read-only VIEW still sees the
+    # uncommitted array, but refuses writes
+    assert ro.session is store.session
+    assert ro.get("v/zarr.json") is not None
+    assert not ro.supports_writes and store.supports_writes
+    with pytest.raises(RefError, match="read-only"):
+        ro.set("v/c/1", b"x" * 32)
+    with pytest.raises(RefError, match="read-only"):
+        ro.set_virtual_ref("v/c/1", str(ext), offset=0, length=32)
+    # a store over a READ-ONLY SESSION cannot be escalated
+    committed = ChunkStore(repo.readonly_session())
+    with pytest.raises(RefError, match="read-only session"):
+        committed.with_read_only(read_only=False)
+    assert store.with_read_only(read_only=False) is store
