@@ -43,9 +43,47 @@ from icechunk_spark.repo.admin import (
     Update,
 )
 from icechunk_spark.repo.migrations import (
+    CURRENT_SPEC_VERSION,
     migrate_repository,
     spec_version_of,
 )
+
+
+def supported_spec_versions() -> list[int]:
+    """Spec versions this engine reads and writes, newest first
+    (reference parity: icechunk.supported_spec_versions)."""
+    return list(range(CURRENT_SPEC_VERSION, 0, -1))
+
+
+class _InvalidatedRepository:
+    """Sentinel replacing a Repository's internals after an in-place
+    upgrade, preventing stale usage (reference parity:
+    icechunk.__init__._InvalidatedRepository)."""
+
+    def __getattr__(self, name: str) -> object:
+        raise RuntimeError(
+            "This repository has been invalidated by "
+            "upgrade_icechunk_repository(). Use the new Repository "
+            "object returned by that function instead."
+        )
+
+
+def upgrade_icechunk_repository(repo, *, dry_run: bool):
+    """Migrate a repository to this engine's latest spec version and
+    return a FRESH Repository handle; the old handle is invalidated
+    (reference parity: icechunk.upgrade_icechunk_repository).  An
+    administrative operation — run it in isolation from concurrent
+    writers."""
+    from icechunk_spark.repo.repository import Repository
+
+    applied = migrate_repository(repo.root, dry_run=dry_run)
+    if dry_run:
+        return repo
+    new_repo = Repository.open(repo.spark, repo.root)
+    if applied:
+        repo.__dict__.clear()
+        repo.__class__ = _InvalidatedRepository  # type: ignore[assignment]
+    return new_repo
 from icechunk_spark.repo.storage import (
     InMemoryObjectStorage,
     LatencyStorage,
@@ -84,4 +122,6 @@ __all__ = [
     "LatencyStorage",
     "migrate_repository",
     "spec_version_of",
+    "supported_spec_versions",
+    "upgrade_icechunk_repository",
 ]

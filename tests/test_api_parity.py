@@ -97,3 +97,30 @@ def test_store_with_read_only_and_virtual_passthrough(spark, repo, tmp_path):
     with pytest.raises(RefError, match="read-only session"):
         committed.with_read_only(read_only=False)
     assert store.with_read_only(read_only=False) is store
+
+
+def test_upgrade_repository_invalidates_old_handle(spark, tmp_path, capsys):
+    """icechunk.upgrade_icechunk_repository parity: migrates in place,
+    returns a fresh handle, and the old handle raises on any use."""
+    from icechunk_spark import print_debug_info
+    from icechunk_spark.repo import (
+        supported_spec_versions,
+        upgrade_icechunk_repository,
+    )
+
+    assert supported_spec_versions() == [2, 1]
+
+    root = str(tmp_path / "up")
+    old = Repository.create(spark, root, spec_version=1)
+    # dry run: nothing changes, same handle back
+    assert upgrade_icechunk_repository(old, dry_run=True) is old
+    assert Repository.fetch_spec_version(root) == 1
+    new = upgrade_icechunk_repository(old, dry_run=False)
+    assert Repository.fetch_spec_version(root) == 2
+    assert new.spec_version() == 2
+    with pytest.raises(RuntimeError, match="invalidated"):
+        old.list_branches()
+
+    print_debug_info()
+    out = capsys.readouterr().out
+    assert "icechunk_spark:" in out and "pyspark:" in out
