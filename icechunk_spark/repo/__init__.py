@@ -91,7 +91,13 @@ from icechunk_spark.repo.storage import (
     LoggingStorage,
     Storage,
     StorageConflict,
+    gcs_storage,
+    in_memory_storage,
+    local_filesystem_storage,
+    r2_storage,
     resolve_storage,
+    s3_storage,
+    tigris_storage,
 )
 
 __all__ = [
@@ -124,4 +130,10 @@ __all__ = [
     "spec_version_of",
     "supported_spec_versions",
     "upgrade_icechunk_repository",
+    "in_memory_storage",
+    "local_filesystem_storage",
+    "s3_storage",
+    "tigris_storage",
+    "r2_storage",
+    "gcs_storage",
 ]

@@ -258,7 +258,7 @@ class ArrowFsStorage(Storage):
       case a documented best-effort exists-then-write runs instead.
     """
 
-    def __init__(self, root: str, *, single_writer: bool = False):
+    def __init__(self, root: str, *, single_writer: bool = False, fs=None, base: str | None = None):
         from pyarrow import fs as pafs
 
         self.root = root
@@ -267,7 +267,12 @@ class ArrowFsStorage(Storage):
         if uri.startswith("s3a://"):
             uri = "s3://" + uri[len("s3a://") :]
         self._scheme = uri.split("://", 1)[0] if "://" in uri else "file"
-        self._fs, self._base = pafs.FileSystem.from_uri(uri)
+        if fs is not None:
+            # pre-built filesystem (factory helpers: custom region /
+            # endpoint / anonymous S3)
+            self._fs, self._base = fs, base if base is not None else uri.split("://", 1)[1]
+        else:
+            self._fs, self._base = pafs.FileSystem.from_uri(uri)
 
     def _p(self, key: str) -> str:
         return f"{self._base.rstrip('/')}/{key}" if key else self._base
@@ -492,6 +497,67 @@ class LatencyStorage(_DelegatingStorage):
 
     def stats(self) -> dict[str, dict[str, float]]:
         return {op: dict(s) for op, s in self._stats.items()}
+
+
+# --- factory helpers (reference parity: icechunk/storage.py ---------------
+# in_memory_storage / local_filesystem_storage / s3_storage /
+# tigris_storage / r2_storage / gcs_storage)
+
+
+def in_memory_storage() -> Storage:
+    """A fresh private in-memory bucket (reference parity:
+    icechunk.in_memory_storage — each call is an independent store)."""
+    return InMemoryObjectStorage(f"mem-{uuid.uuid4().hex[:12]}")
+
+
+def local_filesystem_storage(path: str) -> Storage:
+    return LocalFilesystemStorage(path)
+
+
+def s3_storage(
+    bucket: str,
+    prefix: str = "",
+    *,
+    region: str | None = None,
+    endpoint_url: str | None = None,
+    anonymous: bool = False,
+    single_writer: bool = False,
+) -> Storage:
+    """S3 (or any S3-compatible endpoint) metadata-plane storage.
+    Credentials come from the environment/instance profile, matching
+    the reference's from_env default (icechunk/storage.py:182)."""
+    root = f"s3://{bucket}" + (f"/{prefix.strip('/')}" if prefix else "")
+    if region is None and endpoint_url is None and not anonymous:
+        return ArrowFsStorage(root, single_writer=single_writer)
+    from pyarrow import fs as pafs
+
+    fs = pafs.S3FileSystem(
+        region=region,
+        endpoint_override=endpoint_url,
+        anonymous=anonymous,
+    )
+    return ArrowFsStorage(root, single_writer=single_writer, fs=fs)
+
+
+def tigris_storage(bucket: str, prefix: str = "", **kw) -> Storage:
+    """Tigris is S3-compatible (reference design-docs/009): same path
+    with the public Tigris endpoint as the default."""
+    kw.setdefault("endpoint_url", "https://t3.storage.dev")
+    return s3_storage(bucket, prefix, **kw)
+
+
+def r2_storage(
+    bucket: str, prefix: str = "", *, account_id: str | None = None, **kw
+) -> Storage:
+    """Cloudflare R2 via its S3-compatible endpoint."""
+    if account_id and "endpoint_url" not in kw:
+        kw["endpoint_url"] = f"https://{account_id}.r2.cloudflarestorage.com"
+    return s3_storage(bucket, prefix, **kw)
+
+
+def gcs_storage(bucket: str, prefix: str = "", *, single_writer: bool = False) -> Storage:
+    root = f"gs://{bucket}" + (f"/{prefix.strip('/')}" if prefix else "")
+    return ArrowFsStorage(root, single_writer=single_writer)
 
 
 def resolve_storage(root: "str | Storage") -> Storage:

@@ -252,3 +252,42 @@ def test_resolve_storage_single_writer_query(tmp_path):
     assert st.root == f"file://{tmp_path}/q"
     st2 = resolve_storage(f"file://{tmp_path}/q2")
     assert not st2.single_writer
+
+
+def test_storage_factory_helpers(tmp_path, spark):
+    """Reference-parity factories (icechunk/storage.py):
+    in_memory_storage / local_filesystem_storage / s3_storage /
+    tigris_storage / r2_storage / gcs_storage — and a Repository
+    works directly over a Storage INSTANCE, like the reference's
+    Repository.create(storage)."""
+    from icechunk_spark.repo import (
+        in_memory_storage,
+        local_filesystem_storage,
+        r2_storage,
+        s3_storage,
+        tigris_storage,
+    )
+
+    # each in-memory factory call is an independent store
+    m1, m2 = in_memory_storage(), in_memory_storage()
+    m1.put("a.json", b"1")
+    assert not m2.exists("a.json")
+
+    lf = local_filesystem_storage(str(tmp_path / "lf"))
+    lf.put("a.json", b"2")
+    assert lf.get("a.json") == b"2"
+
+    s3 = s3_storage("bkt", "pre/fix", region="us-east-1", anonymous=True)
+    assert s3.root == "s3://bkt/pre/fix" and s3._scheme == "s3"
+    tg = tigris_storage("bkt", anonymous=True)
+    assert tg._scheme == "s3"
+    r2 = r2_storage("bkt", account_id="acct", anonymous=True)
+    assert r2._scheme == "s3"
+
+    # Repository over a Storage instance (not a root string)
+    repo = Repository.create(spark, in_memory_storage())
+    with repo.transaction(message="w") as s:
+        s.create_array("/a", shape=[4], chunk_shape=[4])
+        s.set_chunk_bytes("/a", "0", b"z" * 4096)
+    assert repo.readonly_session().get_chunk_bytes("/a", "0") == b"z" * 4096
+    assert repo.list_branches() == {"main"} or "main" in repo.list_branches()
