@@ -1354,11 +1354,46 @@ class Session:
             and all(op.get("node_id") not in node_conflicts for op in ops)
         )
         conflicts += [{"kind": "path", "path": p} for p in path_conflicts]
+        # reference's DeleteOfUpdatedArray/Group seen from OUR side: we
+        # delete a node THEY wrote chunks into — without this check our
+        # delete silently discards their committed writes
+        # (conflicts/detector.rs DeleteOfUpdatedArray)
+        their_chunk_nodes = {
+            r["node_id"]
+            for r in theirs.filter(F.col("chunk_key") != "")
+            .select("node_id")
+            .distinct()
+            .collect()
+        }
+        ours_deleted_ids = {
+            op["node_id"] for op in self._node_ops if op["op"] == "delete"
+        }
+        delete_of_written = sorted(
+            (ours_deleted_ids & their_chunk_nodes) - node_conflicts
+        )
+        conflicts += [
+            {"kind": "delete_of_written", "node_id": n} for n in delete_of_written
+        ]
+        # reference's NewNodeInInvalidGroup: we created a node under a
+        # group THEY deleted — the new node would dangle under a path
+        # that no longer exists (conflicts/detector.rs)
+        def _strict_ancestors(p: str):
+            parts = p.strip("/").split("/")
+            for i in range(1, len(parts)):
+                yield "/" + "/".join(parts[:i])
+
+        invalid_group = sorted(
+            p
+            for p in ours_by_path
+            if p not in path_conflicts
+            and any(a in their_deleted_paths for a in _strict_ancestors(p))
+        )
+        conflicts += [{"kind": "invalid_group", "path": p} for p in invalid_group]
         if conflicts:
             if solver is None:
                 raise ConflictError(conflicts)
             mode = solver.on_chunk_conflict
-            node_kinds = ("node", "deleted_node_write", "path")
+            node_kinds = ("node", "deleted_node_write", "path", "delete_of_written", "invalid_group")
             if any(c["kind"] in node_kinds for c in conflicts) and solver.on_node_conflict == "fail":
                 raise ConflictError([c for c in conflicts if c["kind"] in node_kinds])
             if mode == "fail" and any(c["kind"] == "chunk" for c in conflicts):
@@ -1409,6 +1444,52 @@ class Session:
                     self._replace_staging(remaining)
             # path_conflicts + use_ours: nothing to do — the merge loop
             # below replays our op over tip's node at that path
+            if delete_of_written and solver.on_node_conflict == "use_theirs":
+                # their writes win: cancel our delete ops so the merge
+                # keeps tip's node (their chunks stay reachable)
+                doomed_del = set(delete_of_written)
+                self._node_ops = [
+                    op
+                    for op in self._node_ops
+                    if not (op["op"] == "delete" and op["node_id"] in doomed_del)
+                ]
+            # delete_of_written + use_ours: nothing to do — our delete
+            # replays over tip and their chunk refs become unreachable
+            # (reclaimed by GC), exactly like a post-commit delete
+            if invalid_group and solver.on_node_conflict == "use_theirs":
+                # the group delete wins: drop our creates underneath it
+                contested = set(invalid_group)
+                doomed_ids = [
+                    op["node_id"]
+                    for p in contested
+                    for op in ours_by_path[p]
+                    if op.get("node_id")
+                ]
+                self._node_ops = [
+                    op for op in self._node_ops if op["path"] not in contested
+                ]
+                for p in contested:
+                    self._nodes.pop(p, None)
+                if doomed_ids and self._staged:
+                    doomed = local_df(
+                        self.spark, [(n,) for n in doomed_ids], "node_id string"
+                    )
+                    self._replace_staging(
+                        self._staged_manifest_df().join(doomed, "node_id", "left_anti")
+                    )
+            elif invalid_group and solver.on_node_conflict == "use_ours":
+                # our creates win: resurrect the deleted ancestor groups
+                # from our view so the hierarchy stays consistent
+                for p in invalid_group:
+                    for anc in _strict_ancestors(p):
+                        if anc in their_deleted_paths and anc in self._nodes:
+                            self._node_ops.append(
+                                {
+                                    "op": "create",
+                                    "path": anc,
+                                    "node_id": self._nodes[anc]["node_id"],
+                                }
+                            )
         # merge their node table with our ops replayed on top
         merged = dict(tip.nodes)
         for op in self._node_ops:

@@ -341,3 +341,83 @@ def test_gc_sharded_chunk_layout_no_driver_listing(spark, repo):
     sess = repo.readonly_session()
     assert sess.get_chunk_bytes("/a", "0") == b"x" * 4096
     assert sess.get_chunk_bytes("/a", "1") == b"y" * 4096
+
+
+def test_delete_of_written_node_conflicts(spark, repo):
+    """We delete a node THEY wrote chunks into (reference
+    DeleteOfUpdatedArray seen from the deleting side): fail raises,
+    use_theirs cancels our delete, use_ours lets the delete win."""
+    from icechunk_spark.repo import ConflictError, ConflictSolver
+
+    with repo.transaction(message="init") as s:
+        s.create_array("/a", shape=[8], chunk_shape=[4])
+
+    # fail
+    s1 = repo.writable_session("main")
+    with repo.transaction(message="their write") as s:
+        s.set_chunk_bytes("/a", "0", b"t" * 4096)
+    s1.delete_node("/a")
+    with pytest.raises(ConflictError) as ei:
+        s1.commit("delete a")
+    assert any(c["kind"] == "delete_of_written" for c in ei.value.conflicts)
+
+    # use_theirs: their writes win, node + chunk survive
+    s2 = repo.writable_session("main")
+    with repo.transaction(message="their write 2") as s:
+        s.set_chunk_bytes("/a", "1", b"u" * 4096)
+    s2.delete_node("/a")
+    s2.commit("delete a", rebase_with=ConflictSolver(on_node_conflict="use_theirs"))
+    sess = repo.readonly_session()
+    assert "/a" in sess.list_nodes()
+    assert sess.get_chunk_bytes("/a", "1") == b"u" * 4096
+
+    # use_ours: the delete wins
+    s3 = repo.writable_session("main")
+    with repo.transaction(message="their write 3") as s:
+        s.set_chunk_bytes("/a", "0", b"v" * 4096)
+    s3.delete_node("/a")
+    s3.commit("delete a", rebase_with=ConflictSolver(on_node_conflict="use_ours"))
+    assert "/a" not in repo.readonly_session().list_nodes()
+
+
+def test_new_node_in_deleted_group_conflicts(spark, repo):
+    """We create a node under a group THEY deleted (reference
+    NewNodeInInvalidGroup): fail raises; use_theirs drops our create;
+    use_ours resurrects the group."""
+    from icechunk_spark.repo import ConflictError, ConflictSolver
+
+    with repo.transaction(message="init") as s:
+        s.create_group("/g")
+
+    s1 = repo.writable_session("main")
+    with repo.transaction(message="their delete") as s:
+        s.delete_node("/g")
+    s1.create_array("/g/child", shape=[4], chunk_shape=[4])
+    s1.set_chunk_bytes("/g/child", "0", b"c" * 4096)
+    with pytest.raises(ConflictError) as ei:
+        s1.commit("add child")
+    assert any(c["kind"] == "invalid_group" for c in ei.value.conflicts)
+
+    # use_theirs: group stays deleted, our child dropped
+    with repo.transaction(message="recreate g") as s:
+        s.create_group("/g")
+    s2 = repo.writable_session("main")
+    with repo.transaction(message="their delete 2") as s:
+        s.delete_node("/g")
+    s2.create_array("/g/child", shape=[4], chunk_shape=[4])
+    s2.commit("add child", rebase_with=ConflictSolver(on_node_conflict="use_theirs"))
+    nodes = repo.readonly_session().list_nodes()
+    assert "/g/child" not in nodes and "/g" not in nodes
+
+    # use_ours: our create wins and the group is resurrected
+    with repo.transaction(message="recreate g again") as s:
+        s.create_group("/g")
+    s3 = repo.writable_session("main")
+    with repo.transaction(message="their delete 3") as s:
+        s.delete_node("/g")
+    s3.create_array("/g/child", shape=[4], chunk_shape=[4])
+    s3.set_chunk_bytes("/g/child", "0", b"c" * 4096)
+    s3.commit("add child", rebase_with=ConflictSolver(on_node_conflict="use_ours"))
+    sess = repo.readonly_session()
+    assert "/g" in sess.list_nodes() and "/g/child" in sess.list_nodes()
+    assert sess.get_chunk_bytes("/g/child", "0") == b"c" * 4096
