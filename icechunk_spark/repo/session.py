@@ -454,6 +454,59 @@ class Session:
         node["attrs"] = {**node.get("attrs", {}), **attrs}
         self._node_ops.append({"op": "update", "path": _norm(path), "node_id": node["node_id"]})
 
+    def update_array(
+        self,
+        path: str,
+        *,
+        shape: list[int] | None = None,
+        fill_value: float | None = None,
+        attrs: dict | None = None,
+        dimension_names: list | None = None,
+        zarr_extra: dict | None = None,
+    ) -> ArrayMeta:
+        """Update an array's zarr metadata IN PLACE — the resize/append
+        workflow (a zarr client re-writes zarr.json with a larger
+        shape to append along a dimension; the reference accepts this
+        through store.set on an existing key — icechunk/src/store.rs
+        update_array path).  The node id is preserved, so existing
+        chunk refs stay valid; chunks beyond a SHRUNK shape stop being
+        read (boundary crop) and are reclaimed by GC once
+        unreferenced.  dtype and chunk_shape are immutable — changing
+        them would reinterpret existing chunk payloads."""
+        self._require_data_writable()
+        node = self._node(path)
+        if node.get("kind") != "array":
+            raise RefError(f"{path} is not an array")
+        if shape is not None:
+            if node["chunk_shape"] is not None and len(shape) != len(node["chunk_shape"]):
+                raise RefError("resize cannot change the array's rank")
+            node["shape"] = [int(s) for s in shape]
+        if fill_value is not None:
+            node["fill_value"] = fill_value
+        if attrs is not None:
+            node["attrs"] = dict(attrs)
+        if dimension_names is not None:
+            # [] clears (replace semantics for whole-doc rewrites)
+            node["dimension_names"] = list(dimension_names) or None
+        if zarr_extra is not None:
+            node["zarr_extra"] = dict(zarr_extra) or None
+        self._node_ops.append(
+            {"op": "update", "path": _norm(path), "node_id": node["node_id"]}
+        )
+        return node_from_dict(node)  # type: ignore[return-value]
+
+    def update_group_attrs(self, path: str, attrs: dict) -> None:
+        """REPLACE a group's attributes (whole-doc rewrite semantics,
+        unlike update_attrs which merges)."""
+        self._require_data_writable()
+        node = self._node(path)
+        if node.get("kind") != "group":
+            raise RefError(f"{path} is not a group")
+        node["attrs"] = dict(attrs)
+        self._node_ops.append(
+            {"op": "update", "path": _norm(path), "node_id": node["node_id"]}
+        )
+
     def delete_node(self, path: str) -> None:
         """Delete an array or group (group deletes cascade).  Chunk refs
         of deleted nodes become unreachable (no tombstones needed: the

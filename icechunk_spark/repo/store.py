@@ -205,17 +205,65 @@ class ChunkStore:
                         f"Unsupported chunk grid {grid.get('name')!r}. Only "
                         "'regular' and 'rectilinear' chunk grids are supported."
                     )
+                try:
+                    existing = self.session._node(path)
+                except RefError:
+                    existing = None
+                dtype = doc.get("dtype") or doc.get("data_type", "float64")
+                if existing is not None and existing.get("kind") != "array":
+                    # node-type change at a path = replace (zarr set
+                    # overwrites the doc wholesale)
+                    self.session.delete_node(path)
+                    existing = None
+                if existing is not None:
+                    # metadata UPDATE on an existing array — the zarr
+                    # resize/append workflow (client re-writes zarr.json
+                    # with a larger shape).  dtype / chunk grid are
+                    # immutable: changing them would reinterpret the
+                    # existing chunk payloads.
+                    if dtype != existing.get("dtype"):
+                        raise RefError(
+                            f"cannot change dtype of existing array {path} "
+                            f"({existing.get('dtype')} -> {dtype})"
+                        )
+                    if (chunk_shape is None) != (existing.get("chunk_shape") is None) or (
+                        chunk_shape is not None
+                        and [int(c) for c in chunk_shape] != list(existing["chunk_shape"])
+                    ):
+                        raise RefError(
+                            f"cannot change the chunk grid of existing array {path}"
+                        )
+                    self.session.update_array(
+                        path,
+                        shape=doc["shape"],
+                        fill_value=doc.get("fill_value", 0.0),
+                        attrs=doc.get("attrs") or doc.get("attributes") or {},
+                        dimension_names=doc.get("dimension_names") or [],
+                        zarr_extra=extra or {},
+                    )
+                    return
                 self.session.create_array(
                     path,
                     shape=doc["shape"],
                     chunk_shape=chunk_shape,
-                    dtype=doc.get("dtype") or doc.get("data_type", "float64"),
+                    dtype=dtype,
                     fill_value=doc.get("fill_value", 0.0),
                     attrs=doc.get("attrs") or doc.get("attributes") or {},
                     dimension_names=doc.get("dimension_names"),
                     zarr_extra=extra or None,
                 )
             elif node_type == "group":
+                try:
+                    existing = self.session._node(path)
+                except RefError:
+                    existing = None
+                if existing is not None and existing.get("kind") == "group":
+                    self.session.update_group_attrs(
+                        path, doc.get("attrs") or doc.get("attributes") or {}
+                    )
+                    return
+                if existing is not None:
+                    self.session.delete_node(path)
                 self.session.create_group(path, attrs=doc.get("attrs") or doc.get("attributes") or {})
             else:
                 # reference parity: store.rs rejects docs whose node_type

@@ -248,3 +248,84 @@ def test_unsupported_chunk_grid_rejected(repo):
     bad = RECTI_DOC.replace("rectilinear", "hilbert")
     with pytest.raises(RefError, match="Only 'regular' and 'rectilinear'"):
         store.set("x/zarr.json", bad.encode())
+
+
+# ---------------------------------------------------------------------------
+# metadata updates on existing nodes (resize/append — store.rs update path)
+# ---------------------------------------------------------------------------
+
+
+def test_resize_array_via_store_set(repo):
+    """The zarr append workflow: re-write zarr.json with a larger
+    shape, then write chunks beyond the old bounds.  The node id (and
+    existing chunk refs) survive the resize."""
+    s = _w(repo)
+    store = ChunkStore(s)
+    s.create_array("/t", shape=[4], chunk_shape=[4], dtype="float64")
+    store.set("t/c/0", b"\x01" * 32)
+    nid = s.array_meta("/t").node_id
+    doc = json.loads(store.get("t/zarr.json"))
+    doc["shape"] = [8]
+    store.set("t/zarr.json", json.dumps(doc, separators=(",", ":")).encode())
+    assert s.array_meta("/t").shape == [8]
+    assert s.array_meta("/t").node_id == nid  # same node, refs intact
+    store.set("t/c/1", b"\x02" * 32)  # append beyond the old bounds
+    assert store.get("t/c/0") == b"\x01" * 32
+    assert store.get("t/c/1") == b"\x02" * 32
+    s.commit("resized")
+    assert json.loads(ChunkStore(repo.readonly_session()).get("t/zarr.json"))["shape"] == [8]
+
+
+def test_resize_immutable_dtype_and_grid(repo):
+    s = _w(repo)
+    store = ChunkStore(s)
+    s.create_array("/t", shape=[4], chunk_shape=[4], dtype="float64")
+    doc = json.loads(store.get("t/zarr.json"))
+    bad = dict(doc, data_type="int32")
+    with pytest.raises(RefError, match="dtype"):
+        store.set("t/zarr.json", json.dumps(bad).encode())
+    bad = json.loads(store.get("t/zarr.json"))
+    bad["chunk_grid"]["configuration"]["chunk_shape"] = [2]
+    with pytest.raises(RefError, match="chunk grid"):
+        store.set("t/zarr.json", json.dumps(bad).encode())
+
+
+def test_shrink_crops_reads(spark, repo):
+    """Chunks beyond a SHRUNK shape stop being read (boundary crop) —
+    the refs linger until GC but never surface."""
+    from icechunk_spark.engine import local_df
+
+    s = _w(repo)
+    s.create_array("/t", shape=[8], chunk_shape=[4], dtype="float64")
+    s.write_array_df(
+        "/t", local_df(spark, [(i, float(i)) for i in range(8)], "i0 long, value double")
+    )
+    s.update_array("/t", shape=[4])
+    got = sorted(r["i0"] for r in s.read_array_df("/t").collect())
+    assert got == [0, 1, 2, 3]
+
+
+def test_group_attrs_replace_via_set(repo):
+    s = _w(repo)
+    store = ChunkStore(s)
+    s.create_group("/g", attrs={"a": 1, "b": 2})
+    store.set("g/zarr.json", b'{"zarr_format":3,"node_type":"group","attributes":{"c":3}}')
+    # whole-doc rewrite REPLACES attributes (not a merge)
+    assert store.get("g/zarr.json") == b'{"zarr_format":3,"node_type":"group","attributes":{"c":3}}'
+
+
+def test_concurrent_metadata_updates_conflict(spark, tmp_path):
+    """ZarrMetadataDoubleUpdate (conflicts/detector.rs): two sessions
+    resizing the same array must conflict at rebase."""
+    from icechunk_spark.repo.session import ConflictError
+
+    repo = Repository.create(spark, str(tmp_path / "zc2"))
+    with repo.transaction(message="init") as s:
+        s.create_array("/t", shape=[4], chunk_shape=[4])
+    s1 = repo.writable_session("main")
+    s2 = repo.writable_session("main")
+    s1.update_array("/t", shape=[8])
+    s2.update_array("/t", shape=[12])
+    s1.commit("grow to 8")
+    with pytest.raises(ConflictError):
+        s2.commit("grow to 12")
