@@ -1427,6 +1427,19 @@ class Session:
         conflicts += [
             {"kind": "delete_of_written", "node_id": n} for n in delete_of_written
         ]
+        # reference's ChunksUpdatedInUpdatedArray: we wrote chunks into
+        # an array whose METADATA they updated (e.g. a concurrent
+        # resize) — our writes may land outside the new bounds
+        # (conflicts/detector.rs)
+        their_updated = {
+            r["node_id"] for r in their_node_rows if r["op"] == "node_update"
+        }
+        updated_write = sorted(
+            (ours_chunk_nodes & their_updated) - node_conflicts - set(deleted_write)
+        )
+        conflicts += [
+            {"kind": "updated_node_write", "node_id": n} for n in updated_write
+        ]
         # reference's NewNodeInInvalidGroup: we created a node under a
         # group THEY deleted — the new node would dangle under a path
         # that no longer exists (conflicts/detector.rs)
@@ -1446,7 +1459,14 @@ class Session:
             if solver is None:
                 raise ConflictError(conflicts)
             mode = solver.on_chunk_conflict
-            node_kinds = ("node", "deleted_node_write", "path", "delete_of_written", "invalid_group")
+            node_kinds = (
+                "node",
+                "deleted_node_write",
+                "path",
+                "delete_of_written",
+                "invalid_group",
+                "updated_node_write",
+            )
             if any(c["kind"] in node_kinds for c in conflicts) and solver.on_node_conflict == "fail":
                 raise ConflictError([c for c in conflicts if c["kind"] in node_kinds])
             if mode == "fail" and any(c["kind"] == "chunk" for c in conflicts):
@@ -1509,6 +1529,17 @@ class Session:
             # delete_of_written + use_ours: nothing to do — our delete
             # replays over tip and their chunk refs become unreachable
             # (reclaimed by GC), exactly like a post-commit delete
+            if updated_write and solver.on_node_conflict == "use_theirs" and self._staged:
+                # their metadata update wins: drop our chunk writes
+                # into the updated node (they may be out of bounds)
+                doomed = local_df(
+                    self.spark, [(n,) for n in updated_write], "node_id string"
+                )
+                self._replace_staging(
+                    self._staged_manifest_df().join(doomed, "node_id", "left_anti")
+                )
+            # updated_write + use_ours: keep our chunks — reads crop to
+            # the (new) shape, so out-of-bounds writes never surface
             if invalid_group and solver.on_node_conflict == "use_theirs":
                 # the group delete wins: drop our creates underneath it
                 contested = set(invalid_group)

@@ -421,3 +421,38 @@ def test_new_node_in_deleted_group_conflicts(spark, repo):
     sess = repo.readonly_session()
     assert "/g" in sess.list_nodes() and "/g/child" in sess.list_nodes()
     assert sess.get_chunk_bytes("/g/child", "0") == b"c" * 4096
+
+
+def test_chunks_into_updated_array_conflicts(spark, repo):
+    """ChunksUpdatedInUpdatedArray (conflicts/detector.rs): our chunk
+    writes into an array THEY resized concurrently.  fail raises;
+    use_theirs drops our writes; use_ours keeps them (reads crop to
+    the new shape so out-of-bounds writes never surface)."""
+    from icechunk_spark.repo import ConflictError, ConflictSolver
+
+    with repo.transaction(message="init") as s:
+        s.create_array("/a", shape=[8], chunk_shape=[4])
+
+    s1 = repo.writable_session("main")
+    with repo.transaction(message="their resize") as s:
+        s.update_array("/a", shape=[4])
+    s1.set_chunk_bytes("/a", "1", b"w" * 4096)
+    with pytest.raises(ConflictError) as ei:
+        s1.commit("write into resized")
+    assert any(c["kind"] == "updated_node_write" for c in ei.value.conflicts)
+
+    # use_theirs: our writes are dropped
+    s2 = repo.writable_session("main")
+    with repo.transaction(message="their resize 2") as s:
+        s.update_array("/a", shape=[8])
+    s2.set_chunk_bytes("/a", "1", b"x" * 4096)
+    s2.commit("w", rebase_with=ConflictSolver(on_node_conflict="use_theirs"))
+    assert repo.readonly_session().get_chunk_bytes("/a", "1") is None
+
+    # use_ours: our writes land
+    s3 = repo.writable_session("main")
+    with repo.transaction(message="their resize 3") as s:
+        s.update_array("/a", shape=[4])
+    s3.set_chunk_bytes("/a", "0", b"y" * 4096)
+    s3.commit("w", rebase_with=ConflictSolver(on_node_conflict="use_ours"))
+    assert repo.readonly_session().get_chunk_bytes("/a", "0") == b"y" * 4096
