@@ -84,13 +84,16 @@ def upgrade_icechunk_repository(repo, *, dry_run: bool):
         repo.__dict__.clear()
         repo.__class__ = _InvalidatedRepository  # type: ignore[assignment]
     return new_repo
-from icechunk_spark.repo.storage import (
+
+
+from icechunk_spark.repo.storage import (  # noqa: E402
     InMemoryObjectStorage,
     LatencyStorage,
     LocalFilesystemStorage,
     LoggingStorage,
     Storage,
     StorageConflict,
+    azure_storage,
     gcs_storage,
     in_memory_storage,
     local_filesystem_storage,
@@ -136,4 +139,5 @@ __all__ = [
     "tigris_storage",
     "r2_storage",
     "gcs_storage",
+    "azure_storage",
 ]

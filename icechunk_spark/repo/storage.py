@@ -560,6 +560,26 @@ def gcs_storage(bucket: str, prefix: str = "", *, single_writer: bool = False) -
     return ArrowFsStorage(root, single_writer=single_writer)
 
 
+def azure_storage(
+    account: str,
+    container: str,
+    prefix: str = "",
+    *,
+    single_writer: bool = False,
+) -> Storage:
+    """Azure Blob metadata-plane storage via pyarrow's AzureFileSystem
+    (reference parity: icechunk.azure_storage).  Credentials come from
+    the environment (DefaultAzureCredential chain)."""
+    from pyarrow import fs as pafs
+
+    fs = pafs.AzureFileSystem(account_name=account)
+    base = f"{container}" + (f"/{prefix.strip('/')}" if prefix else "")
+    root = f"abfs://{account}/{base}"
+    st = ArrowFsStorage(root, single_writer=single_writer, fs=fs, base=base)
+    st._scheme = "abfs"
+    return st
+
+
 def resolve_storage(root: "str | Storage") -> Storage:
     if isinstance(root, Storage):
         return root

@@ -291,3 +291,16 @@ def test_storage_factory_helpers(tmp_path, spark):
         s.set_chunk_bytes("/a", "0", b"z" * 4096)
     assert repo.readonly_session().get_chunk_bytes("/a", "0") == b"z" * 4096
     assert repo.list_branches() == {"main"} or "main" in repo.list_branches()
+
+
+def test_azure_storage_factory_constructs():
+    """azure_storage builds an ArrowFsStorage over pyarrow's
+    AzureFileSystem without touching the network; the CAS for abfs has
+    no atomic primitive, so it must demand single_writer."""
+    from icechunk_spark.repo import azure_storage
+    from icechunk_spark.repo.storage import CASUnsupported
+
+    st = azure_storage("acct", "cont", "pre")
+    assert st.root == "abfs://acct/cont/pre" and st._scheme == "abfs"
+    with pytest.raises(CASUnsupported):
+        st.put("refs/x.json", b"1", if_none_match=True)
