@@ -335,3 +335,172 @@ ORACLES = {
     "funnel_conversion": FUNNEL_SQL,
     "label_pair_similarity": LABEL_PAIR_SIM_SQL,
 }
+
+
+# --- PMI phrase mining ----------------------------------------------------
+
+PMI_MIN_COUNT = 30
+
+
+def pmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase detection by pointwise mutual information over adjacent
+    token pairs (the word2vec-phrases / gensim Phrases shape): bigrams
+    whose corpus count clears PMI_MIN_COUNT, scored
+    pmi = log2( p(xy) / (p(x) p(y)) ).  All inputs are exact integer
+    counts, so the double arithmetic is bit-identical across engines
+    and partitionings; two grouped aggregations + two broadcast scalar
+    totals, no window, no Python."""
+    from pyspark.sql.functions import broadcast
+
+    t = load_tables(spark, sf_dir)
+    toks = t["documents"].select(tokenize(F.col("text")).alias("toks"))
+    uni = toks.select(F.explode("toks").alias("w"))
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.slice("toks", 2, F.size("toks") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    pair_counts = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= PMI_MIN_COUNT)
+    )
+    t1 = uni.agg(F.count(F.lit(1)).alias("t1"))
+    t2 = bigrams.agg(F.count(F.lit(1)).alias("t2"))
+    pmi = F.log2(
+        (F.col("c12") / F.col("t2"))
+        / ((F.col("c1") / F.col("t1")) * (F.col("c2") / F.col("t1")))
+    )
+    return (
+        pair_counts.join(broadcast(uni_counts.withColumnRenamed("w", "w1").withColumnRenamed("cw", "c1")), "w1")
+        .join(broadcast(uni_counts.withColumnRenamed("w", "w2").withColumnRenamed("cw", "c2")), "w2")
+        .crossJoin(broadcast(t1))
+        .crossJoin(broadcast(t2))
+        .select("w1", "w2", "c12", F.round(pmi, 4).alias("pmi"))
+        .orderBy("w1", "w2")
+    )
+
+
+PMI_PHRASES_SQL = f"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+), uni AS (
+  SELECT unnest(toks) AS w FROM toks
+), bigrams AS (
+  SELECT z[1] AS w1, z[2] AS w2
+  FROM (SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+        FROM toks WHERE len(toks) >= 2)
+), uni_counts AS (
+  SELECT w, count(*) AS cw FROM uni GROUP BY w
+), pair_counts AS (
+  SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY w1, w2
+  HAVING count(*) >= {PMI_MIN_COUNT}
+), t1 AS (SELECT count(*) AS t1 FROM uni),
+   t2 AS (SELECT count(*) AS t2 FROM bigrams)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+       round(log2((CAST(c12 AS BIGINT) / CAST(t2 AS BIGINT))
+             / ((CAST(u1.cw AS BIGINT) / CAST(t1 AS BIGINT))
+                * (CAST(u2.cw AS BIGINT) / CAST(t1 AS BIGINT)))), 4) AS pmi
+FROM pair_counts
+JOIN uni_counts u1 ON pair_counts.w1 = u1.w
+JOIN uni_counts u2 ON pair_counts.w2 = u2.w
+CROSS JOIN t1 CROSS JOIN t2
+ORDER BY w1, w2
+"""
+
+
+# --- event inter-arrival stats --------------------------------------------
+
+
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival statistics over each user's own
+    event stream (burstiness / traffic-shape diagnostic).  The lag
+    window partitions on (user_id, event_type) — parallelism scales
+    with users, never a per-type global sort — and the mean/std come
+    from exact DECIMAL sums of integer microsecond gaps, so results
+    are partitioning-independent."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    gaps = (
+        ev.withColumn("prev", F.lag("us").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("event_type", (F.col("us") - F.col("prev")).alias("gap_us"))
+    )
+    dec = "decimal(38,0)"
+    # square AFTER the decimal cast: a microsecond gap spanning the
+    # dataset period squares past the LONG range
+    sums = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(F.col("gap_us").cast(dec)).cast("double").alias("s"),
+        F.sum(F.col("gap_us").cast(dec) * F.col("gap_us").cast(dec))
+        .cast("double")
+        .alias("sq"),
+    )
+    mean_s = F.col("s") / F.col("n_gaps") / F.lit(1e6)
+    var_us = F.col("sq") / F.col("n_gaps") - (F.col("s") / F.col("n_gaps")) * (
+        F.col("s") / F.col("n_gaps")
+    )
+    return (
+        sums.select(
+            "event_type",
+            "n_gaps",
+            F.round(mean_s, 6).alias("mean_gap_s"),
+            F.round(F.sqrt(var_us) / F.lit(1e6), 6).alias("std_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_INTERARRIVAL_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id
+         ) AS gap_us
+  FROM events
+), sums AS (
+  SELECT event_type,
+         count(*) AS n_gaps,
+         CAST(sum(CAST(gap_us AS DECIMAL(38,0))) AS DOUBLE) AS s,
+         CAST(sum(CAST(gap_us AS DECIMAL(38,0)) * CAST(gap_us AS DECIMAL(38,0))) AS DOUBLE) AS sq
+  FROM gaps WHERE gap_us IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type,
+       n_gaps,
+       round(s / n_gaps / 1e6, 6) AS mean_gap_s,
+       round(sqrt(sq / n_gaps - (s / n_gaps) * (s / n_gaps)) / 1e6, 6) AS std_gap_s
+FROM sums
+ORDER BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "pmi_phrases": pmi_phrases,
+        "event_interarrival_stats": event_interarrival_stats,
+    }
+)
+ORACLES.update(
+    {
+        "pmi_phrases": PMI_PHRASES_SQL,
+        "event_interarrival_stats": EVENT_INTERARRIVAL_SQL,
+    }
+)

@@ -100,7 +100,12 @@ PRIORITY: list[str] = [
     "funnel_conversion",
     "label_pair_similarity",
     # ---- window boundary (50) ----
-    # r4 greens lead the overflow so r6's rotation is easy
+    # overflow head = the ONLY queries without a driver row yet (added
+    # late in r5, after the window filled with the 44 stale + 4 new):
+    # r6's window MUST start with these two
+    "pmi_phrases",
+    "event_interarrival_stats",
+    # r4 greens follow so r6's rotation is easy
     "q6_forecast_revenue",
     "sessionize",
     "dedup_cluster",

@@ -106,7 +106,19 @@ def test_training_ext_plans(spark):
         zipf_slope,
     )
 
-    for fn in (ttr_stats, zipf_slope, funnel_conversion, label_pair_similarity):
+    from icechunk_spark.operators.training_ext import (
+        event_interarrival_stats,
+        pmi_phrases,
+    )
+
+    for fn in (
+        ttr_stats,
+        zipf_slope,
+        funnel_conversion,
+        label_pair_similarity,
+        pmi_phrases,
+        event_interarrival_stats,
+    ):
         df = fn(spark, SF_DIR)
         df.collect()  # AQE finalizes the plan on execution
         plan = plan_of(df)
