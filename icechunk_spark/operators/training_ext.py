@@ -504,3 +504,108 @@ ORACLES.update(
         "event_interarrival_stats": EVENT_INTERARRIVAL_SQL,
     }
 )
+
+
+# --- dedup cluster size distribution --------------------------------------
+
+
+def cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the standard dedup report
+    ("how much of the corpus sits in clusters of size k").  Composes
+    the connected-components operator: one extra double aggregation
+    on top of dedup_cluster's labels; the oracle wraps the same
+    recursive-CTE twin."""
+    from icechunk_spark.operators.dedup import dedup_cluster
+
+    labels = dedup_cluster(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("size")
+    )
+
+
+def _body(sql: str) -> str:
+    """An oracle query with its trailing ORDER BY stripped, usable as
+    a derived table."""
+    return sql.rsplit("ORDER BY", 1)[0]
+
+
+def _cluster_size_sql() -> str:
+    from icechunk_spark.operators.dedup import DEDUP_CLUSTER_SQL
+
+    return f"""
+SELECT size, count(*) AS n_clusters
+FROM (SELECT cluster_id, count(*) AS size
+      FROM ({_body(DEDUP_CLUSTER_SQL)})
+      GROUP BY cluster_id)
+GROUP BY size
+ORDER BY size
+"""
+
+
+# --- train/val leakage ----------------------------------------------------
+
+
+def split_leakage_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-integrity check: fraction of validation documents whose
+    content fingerprint also appears in the train split (a leaked val
+    doc invalidates eval).  Composes the deterministic hash split with
+    the rolling-hash fingerprint — a distinct-fp semi-join, counts
+    only."""
+    from pyspark.sql.functions import broadcast
+
+    from icechunk_spark.operators.pipeline_ext import split_train_val
+    from icechunk_spark.operators.textstats import fingerprint
+
+    splits = split_train_val(spark, sf_dir).select("doc_id", "split")
+    j = splits.join(fingerprint(spark, sf_dir), "doc_id")
+    train_fps = j.filter(F.col("split") == "train").select("fp").distinct()
+    val = j.filter(F.col("split") == "val")
+    leaked = val.join(train_fps, "fp").select("doc_id").distinct()
+    n_train = j.filter(F.col("split") == "train").agg(F.count(F.lit(1)).alias("n_train"))
+    n_val = val.agg(F.count(F.lit(1)).alias("n_val"))
+    n_leak = leaked.agg(F.count(F.lit(1)).alias("n_leaked_val"))
+    return (
+        n_train.crossJoin(broadcast(n_val))
+        .crossJoin(broadcast(n_leak))
+        .select(
+            "n_train",
+            "n_val",
+            "n_leaked_val",
+            F.round(F.col("n_leaked_val") / F.col("n_val"), 6).alias("leakage_rate"),
+        )
+    )
+
+
+def _split_leakage_sql() -> str:
+    from icechunk_spark.operators.pipeline_ext import SPLIT_SQL
+    from icechunk_spark.operators.textstats import FINGERPRINT_SQL
+
+    return f"""
+WITH sp AS ({_body(SPLIT_SQL)}),
+     fp AS ({_body(FINGERPRINT_SQL)}),
+     j AS (SELECT sp.doc_id AS doc_id, split, fp FROM sp JOIN fp ON sp.doc_id = fp.doc_id),
+     tr AS (SELECT DISTINCT fp FROM j WHERE split = 'train'),
+     leaked AS (SELECT DISTINCT j.doc_id FROM j JOIN tr USING (fp) WHERE split = 'val')
+SELECT (SELECT count(*) FROM j WHERE split = 'train') AS n_train,
+       (SELECT count(*) FROM j WHERE split = 'val') AS n_val,
+       (SELECT count(*) FROM leaked) AS n_leaked_val,
+       round((SELECT count(*) FROM leaked) / (SELECT count(*) FROM j WHERE split = 'val'), 6)
+         AS leakage_rate
+"""
+
+
+QUERIES.update(
+    {
+        "cluster_size_distribution": cluster_size_distribution,
+        "split_leakage_rate": split_leakage_rate,
+    }
+)
+ORACLES.update(
+    {
+        "cluster_size_distribution": _cluster_size_sql(),
+        "split_leakage_rate": _split_leakage_sql(),
+    }
+)

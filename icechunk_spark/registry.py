@@ -102,9 +102,11 @@ PRIORITY: list[str] = [
     # ---- window boundary (50) ----
     # overflow head = the ONLY queries without a driver row yet (added
     # late in r5, after the window filled with the 44 stale + 4 new):
-    # r6's window MUST start with these two
+    # r6's window MUST start with these
     "pmi_phrases",
     "event_interarrival_stats",
+    "cluster_size_distribution",
+    "split_leakage_rate",
     # r4 greens follow so r6's rotation is easy
     "q6_forecast_revenue",
     "sessionize",
