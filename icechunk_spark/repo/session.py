@@ -478,7 +478,7 @@ class Session:
         if node.get("kind") != "array":
             raise RefError(f"{path} is not an array")
         if shape is not None:
-            if node["chunk_shape"] is not None and len(shape) != len(node["chunk_shape"]):
+            if len(shape) != len(node["shape"]):
                 raise RefError("resize cannot change the array's rank")
             node["shape"] = [int(s) for s in shape]
         if fill_value is not None:

@@ -226,9 +226,14 @@ class ChunkStore:
                             f"cannot change dtype of existing array {path} "
                             f"({existing.get('dtype')} -> {dtype})"
                         )
-                    if (chunk_shape is None) != (existing.get("chunk_shape") is None) or (
-                        chunk_shape is not None
-                        and [int(c) for c in chunk_shape] != list(existing["chunk_shape"])
+                    old_grid = (existing.get("zarr_extra") or {}).get("chunk_grid")
+                    if (
+                        (chunk_shape is None) != (existing.get("chunk_shape") is None)
+                        or (
+                            chunk_shape is not None
+                            and [int(c) for c in chunk_shape] != list(existing["chunk_shape"])
+                        )
+                        or (chunk_shape is None and extra.get("chunk_grid") != old_grid)
                     ):
                         raise RefError(
                             f"cannot change the chunk grid of existing array {path}"
