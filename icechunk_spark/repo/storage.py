@@ -267,6 +267,10 @@ class ArrowFsStorage(Storage):
         if uri.startswith("s3a://"):
             uri = "s3://" + uri[len("s3a://") :]
         self._scheme = uri.split("://", 1)[0] if "://" in uri else "file"
+        # forwarded to boto3 for the conditional-put path so the CAS
+        # targets the SAME endpoint pyarrow reads/writes (MinIO / R2 /
+        # Tigris); populated by the s3_storage factory
+        self._s3_opts: dict[str, str] = {}
         if fs is not None:
             # pre-built filesystem (factory helpers: custom region /
             # endpoint / anonymous S3)
@@ -299,7 +303,7 @@ class ArrowFsStorage(Storage):
         except ImportError:
             return False
         bucket, obj = self._bucket_and_key(key)
-        client = boto3.client("s3")
+        client = boto3.client("s3", **self._s3_opts)
         try:
             client.put_object(Bucket=bucket, Key=obj, Body=data, IfNoneMatch="*")
         except botocore.exceptions.ClientError as e:
@@ -527,6 +531,11 @@ def s3_storage(
     Credentials come from the environment/instance profile, matching
     the reference's from_env default (icechunk/storage.py:182)."""
     root = f"s3://{bucket}" + (f"/{prefix.strip('/')}" if prefix else "")
+    s3_opts: dict[str, str] = {}
+    if region:
+        s3_opts["region_name"] = region
+    if endpoint_url:
+        s3_opts["endpoint_url"] = endpoint_url
     if region is None and endpoint_url is None and not anonymous:
         return ArrowFsStorage(root, single_writer=single_writer)
     from pyarrow import fs as pafs
@@ -536,7 +545,9 @@ def s3_storage(
         endpoint_override=endpoint_url,
         anonymous=anonymous,
     )
-    return ArrowFsStorage(root, single_writer=single_writer, fs=fs)
+    st = ArrowFsStorage(root, single_writer=single_writer, fs=fs)
+    st._s3_opts = s3_opts
+    return st
 
 
 def tigris_storage(bucket: str, prefix: str = "", **kw) -> Storage:

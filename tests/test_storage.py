@@ -304,3 +304,31 @@ def test_azure_storage_factory_constructs():
     assert st.root == "abfs://acct/cont/pre" and st._scheme == "abfs"
     with pytest.raises(CASUnsupported):
         st.put("refs/x.json", b"1", if_none_match=True)
+
+
+def test_s3_conditional_put_targets_custom_endpoint(tmp_path, monkeypatch):
+    """The boto3 CAS must hit the SAME endpoint pyarrow reads from —
+    a MinIO/R2/Tigris repo whose conditional put silently targeted AWS
+    would break commit safety."""
+    import boto3
+
+    from icechunk_spark.repo.storage import s3_storage
+
+    seen = {}
+
+    class FakeS3:
+        def put_object(self, **kw):
+            seen["put"] = kw
+
+    def fake_client(svc, **kw):
+        seen["client_kwargs"] = kw
+        return FakeS3()
+
+    monkeypatch.setattr(boto3, "client", fake_client)
+    st = s3_storage("bkt", "repo", endpoint_url="https://minio.local:9000", region="us-west-2", anonymous=True)
+    st.put("refs/z.json", b"1", if_none_match=True)
+    assert seen["client_kwargs"] == {
+        "endpoint_url": "https://minio.local:9000",
+        "region_name": "us-west-2",
+    }
+    assert seen["put"]["IfNoneMatch"] == "*" and seen["put"]["Bucket"] == "bkt"
