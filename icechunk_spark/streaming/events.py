@@ -42,7 +42,9 @@ def _stream_dir(sf_dir: str) -> str:
     os.makedirs(d, exist_ok=True)
     staged = os.path.join(d, "events.parquet")
     if not os.path.exists(staged):
-        tmp = f"{staged}.tmp"
+        import uuid
+
+        tmp = f"{staged}.tmp.{uuid.uuid4().hex}"  # unique per stager
         with fs.open_input_file(p) as rf, open(tmp, "wb") as wf:
             while True:
                 buf = rf.read(8 << 20)
