@@ -1,0 +1,50 @@
+"""Dependency-free base of the engine's exception hierarchy.
+
+Lives below ``repo/format.py`` / ``repo/session.py`` / ``repo/storage.py``
+so their exception classes can inherit :class:`IcechunkError` without an
+import cycle; the full reference-parity surface (subclass-per-failure-
+mode, ``ErrorKind`` codes) is assembled in ``icechunk_spark/errors.py``.
+
+Reference parity: icechunk.IcechunkError / icechunk.ErrorKind
+(icechunk-python _icechunk_python.pyi:3611+) — a single base carrying a
+human ``message`` plus a stable machine-readable ``kind`` code.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+
+
+class ErrorKind(str, Enum):
+    """Stable machine-readable error codes (reference: icechunk.ErrorKind)."""
+
+    ALREADY_EXISTS = "already_exists"
+    CONFLICT = "conflict"
+    FORMAT = "format"
+    INTERNAL = "internal"
+    INVALID_INPUT = "invalid_input"
+    NODE_NOT_FOUND = "node_not_found"
+    NOT_FOUND = "not_found"
+    READ_ONLY = "read_only"
+    REBASE_FAILED = "rebase_failed"
+    REF_NOT_FOUND = "ref_not_found"
+    REPOSITORY_NOT_FOUND = "repository_not_found"
+    SESSION_STATE = "session_state"
+    SNAPSHOT_NOT_FOUND = "snapshot_not_found"
+    STORAGE = "storage"
+
+
+class IcechunkError(Exception):
+    """Base class for all errors raised by the engine
+    (reference parity: icechunk.IcechunkError)."""
+
+    default_kind: str = ErrorKind.INTERNAL.value
+
+    @property
+    def message(self) -> str:
+        return getattr(self, "_message", None) or str(self)
+
+    @property
+    def kind(self) -> str:
+        """Stable machine-readable error code, see :class:`ErrorKind`."""
+        return getattr(self, "_kind", None) or type(self).default_kind

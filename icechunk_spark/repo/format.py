@@ -29,6 +29,8 @@ import uuid
 from dataclasses import asdict, dataclass, field
 from typing import Any
 
+from icechunk_spark.repo.errbase import ErrorKind, IcechunkError
+
 # ``inline`` carries the payload itself for chunks below the repo's
 # inline_chunk_threshold_bytes (reference parity: ChunkPayload::Inline
 # in icechunk-format) — small writes cost zero extra files/reads.
@@ -44,8 +46,8 @@ TXLOG_SCHEMA = "node_id string, chunk_key string, op string"
 DTYPES = {"float64": 8, "float32": 4, "int64": 8, "int32": 4}
 
 
-class RefError(Exception):
-    pass
+class RefError(IcechunkError):
+    default_kind = ErrorKind.REF_NOT_FOUND.value
 
 
 def new_id() -> str:

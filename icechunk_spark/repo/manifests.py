@@ -64,7 +64,11 @@ def write_manifest(df: DataFrame, root: str, n_files: int = 1) -> str:
 
 
 def write_manifests(
-    df: DataFrame, root: str, splitting: dict | None = None, n_files: int = 1
+    df: DataFrame,
+    root: str,
+    splitting: dict | None = None,
+    n_files: int = 1,
+    node_paths: dict[str, str] | None = None,
 ) -> list[str]:
     """Write manifest rows as one or more immutable manifest files.
 
@@ -94,12 +98,47 @@ def write_manifests(
     # per-array splitting (the partition layout always includes the
     # node dir — documented reference semantics here).
     max_refs = splitting.get("max_refs_per_manifest")
-    if not splitting.get("split_by_array") and max_refs is None:
+    rules = splitting.get("rules")
+    if not splitting.get("split_by_array") and max_refs is None and not rules:
         return [write_manifest(df, root, n_files)]
     base = os.path.join("manifests", f"{new_id()}.parquet")
     cols = [c.strip().split(" ")[0] for c in MANIFEST_SCHEMA.split(",")]
     out = df.select(*cols).withColumn("__node", F.col("node_id"))
-    if max_refs is not None:
+    if rules and node_paths:
+        # Per-rule caps (the reference's ManifestSplittingConfig,
+        # _icechunk_python.pyi:921+): the FIRST condition matching an
+        # array's path decides its ref cap.  Rule evaluation happens
+        # driver-side over node METADATA (#arrays entries, not #refs)
+        # and ships as a broadcast (node_id, cap) join — the refs
+        # DataFrame itself never leaves executors.
+        from icechunk_spark.types import _Cond
+
+        conds = [(_Cond.from_dict(r["cond"]), int(r["max_refs"])) for r in rules]
+        caps: list[tuple[str, int]] = []
+        for node_id_, path in node_paths.items():
+            for cond, cap in conds:
+                if cond.matches(path):
+                    caps.append((node_id_, max(1, cap)))
+                    break
+        if caps:
+            cap_df = F.broadcast(
+                df.sparkSession.createDataFrame(caps, "node_id string, __cap int")
+            )
+            w = Window.partitionBy("node_id").orderBy("c0", "c1", "c2", "c3", "chunk_key")
+            out = (
+                out.join(cap_df, "node_id", "left")
+                .withColumn(
+                    "__split",
+                    F.when(
+                        F.col("__cap").isNotNull(),
+                        ((F.row_number().over(w) - 1) / F.col("__cap")).cast("int"),
+                    ).otherwise(F.lit(0)),
+                )
+                .drop("__cap")
+            )
+        else:
+            out = out.withColumn("__split", F.lit(0))
+    elif max_refs is not None:
         w = Window.partitionBy("node_id").orderBy("c0", "c1", "c2", "c3", "chunk_key")
         out = out.withColumn(
             "__split",

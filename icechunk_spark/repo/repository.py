@@ -105,18 +105,38 @@ class ManifestConfig:
     # Persisted ManifestSplittingConfig (reference:
     # icechunk-python/python/icechunk/config.py:59-64 and
     # design-docs/005): {"split_by_array": bool,
-    # "max_refs_per_manifest": int | None}.  When set, every commit
-    # writes per-array (and size-capped) manifest files instead of one
-    # monolith; readers prune split files by node before scanning.
+    # "max_refs_per_manifest": int | None, "rules": [...]}.  When set,
+    # every commit writes per-array (and size-capped) manifest files
+    # instead of one monolith; readers prune split files by node before
+    # scanning.  A typed icechunk_spark.types.ManifestSplittingConfig
+    # is accepted and compiled to the persisted form.
     splitting: dict[str, Any] | None = None
+    # Typed preload policy (reference ManifestPreloadConfig) evaluated
+    # at readonly_session open; persists alongside preload_paths.
+    preload: Any = None
+
+    def __post_init__(self) -> None:
+        if self.splitting is not None and hasattr(self.splitting, "to_splitting_dict"):
+            self.splitting = self.splitting.to_splitting_dict()
 
     def to_dict(self) -> dict[str, Any]:
-        return {"preload_paths": self.preload_paths, "splitting": self.splitting}
+        return {
+            "preload_paths": self.preload_paths,
+            "splitting": self.splitting,
+            "preload": self.preload.to_dict() if self.preload else None,
+        }
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "ManifestConfig":
+        preload = d.get("preload")
+        if preload:
+            from icechunk_spark.types import ManifestPreloadConfig
+
+            preload = ManifestPreloadConfig.from_dict(preload)
         return cls(
-            preload_paths=d.get("preload_paths"), splitting=d.get("splitting")
+            preload_paths=d.get("preload_paths"),
+            splitting=d.get("splitting"),
+            preload=preload,
         )
 
 
@@ -382,13 +402,17 @@ class Repository:
         root: str,
         metadata: dict | None = None,
         spec_version: int | None = None,
+        *,
+        config: "RepositoryConfig | None" = None,
+        authorize_virtual_chunk_access: dict[str, Any] | None = None,
     ) -> "Repository":
         """Create a repository.  ``spec_version`` pins the on-disk
         layout version (reference parity: Repository.create's
         spec_version arg) so repos can stay writable/readable by older
         engines; default = the engine's current spec.  Sessions honor
         the pinned version (a v1 repo keeps the flat chunk layout until
-        migrated)."""
+        migrated).  ``config`` is persisted to config.json at create
+        (reference parity: Repository.create's config arg)."""
         if cls.exists(root):
             raise RefError(f"repository already exists at {root}")
         v = SPEC_VERSION if spec_version is None else int(spec_version)
@@ -415,7 +439,12 @@ class Repository:
             root,
             {"format_version": v, "metadata": metadata or {}, "default_commit_metadata": {}},
         )
-        return cls(spark, root)
+        if config is not None:
+            fmt.write_config_doc(root, config.to_dict())
+        repo = cls(spark, root)
+        if authorize_virtual_chunk_access is not None:
+            repo = repo.reopen(authorize_virtual_chunk_access=authorize_virtual_chunk_access)
+        return repo
 
     @classmethod
     def open(
@@ -423,6 +452,8 @@ class Repository:
         spark: SparkSession,
         root: str,
         authorize_virtual_chunk_access: dict[str, Any] | None = None,
+        *,
+        config: "RepositoryConfig | None" = None,
     ) -> "Repository":
         if not cls.exists(root):
             raise RefError(f"no repository at {root}")
@@ -444,11 +475,20 @@ class Repository:
                 "migrate_repository (or `python -m icechunk_spark.cli "
                 "migrate`) to upgrade it in place"
             )
-        return cls(spark, root, authorize_virtual_chunk_access=authorize_virtual_chunk_access)
+        repo = cls(spark, root, authorize_virtual_chunk_access=authorize_virtual_chunk_access)
+        if config is not None:
+            # runtime override, not persisted (reference parity: open's
+            # config wins over the stored one for this handle only)
+            repo = repo.reopen(config=config)
+        return repo
 
     @classmethod
-    def open_or_create(cls, spark: SparkSession, root: str) -> "Repository":
-        return cls.open(spark, root) if cls.exists(root) else cls.create(spark, root)
+    def open_or_create(cls, spark: SparkSession, root: str, **kwargs: Any) -> "Repository":
+        return (
+            cls.open(spark, root, config=kwargs.get("config"))
+            if cls.exists(root)
+            else cls.create(spark, root, **kwargs)
+        )
 
     @staticmethod
     def exists(root: str) -> bool:
@@ -691,7 +731,16 @@ class Repository:
             yield snap
             sid = snap.parent_id
 
-    def ancestry_graph(self) -> dict[str, str | None]:
+    def ancestry_graph(self, plain: bool = False):
+        """Visual commit history (reference parity:
+        Repository.ancestry_graph — display.rs).  ``print()`` the
+        result for a terminal tree; notebooks render SVG.  ``plain``
+        swaps Unicode bullets for ASCII (CI / log files)."""
+        from icechunk_spark.snapshots import AncestryGraph
+
+        return AncestryGraph.from_repository(self, plain=plain)
+
+    def _parent_map(self) -> dict[str, str | None]:
         """snapshot_id -> parent_id over all refs' histories."""
         out: dict[str, str | None] = {}
         for ref in self.list_branches():
@@ -767,7 +816,25 @@ class Repository:
         # caching on, persist) the listed arrays' manifests so the
         # session's first read skips the resolve shuffle
         cfg = self.config()
-        for p in (cfg.manifest.preload_paths if cfg.manifest else None) or []:
+        preload = list((cfg.manifest.preload_paths if cfg.manifest else None) or [])
+        preload_cfg = (cfg.manifest.preload if cfg.manifest else None) or None
+        if preload_cfg is not None:
+            # ManifestPreloadConfig (reference parity): evaluate the
+            # condition over (path, #chunks) pairs — #chunks comes from
+            # the array's chunk grid, driver-side metadata only
+            import math
+
+            pairs = []
+            for p, n in s._nodes.items():
+                if n.get("kind") != "array":
+                    continue
+                shape, cshape = n.get("shape") or [], n.get("chunk_shape") or []
+                nchunks = 1
+                for dim, c in zip(shape, cshape):
+                    nchunks *= max(1, math.ceil(dim / max(1, c)))
+                pairs.append((p, nchunks))
+            preload.extend(preload_cfg.paths_to_preload(sorted(pairs)))
+        for p in preload:
             try:
                 node_id = s.array_meta(p).node_id
                 s._cached_base_manifest(node_id, None).count()
@@ -978,7 +1045,7 @@ class Repository:
         return expired
 
     def _reachable_snapshots(self) -> set[str]:
-        return set(self.ancestry_graph().keys())
+        return set(self._parent_map().keys())
 
     def garbage_collect(
         self,

@@ -39,6 +39,7 @@ from icechunk_spark.repo.arrays import (
     slice_chunk_filter,
     staged_manifest_from_chunk_dir,
 )
+from icechunk_spark.repo.errbase import ErrorKind, IcechunkError
 from icechunk_spark.repo.format import (
     MANIFEST_SCHEMA,
     TXLOG_SCHEMA,
@@ -74,9 +75,27 @@ class ChunkType(IntEnum):
     inline = 3
 
 
-class ConflictError(Exception):
-    def __init__(self, conflicts: list[dict[str, Any]]):
+class ConflictError(IcechunkError):
+    """Rebase/commit found concurrent changes that overlap ours.
+
+    Doubles as the reference's ``RebaseFailedError`` (both are exported
+    from ``icechunk_spark.errors``): ``conflicts`` carries the
+    structured conflict list a solver can act on, and
+    ``expected_parent``/``actual_parent`` carry the commit-parent
+    mismatch when the error came from the branch CAS."""
+
+    default_kind = ErrorKind.REBASE_FAILED.value
+
+    def __init__(
+        self,
+        conflicts: list[dict[str, Any]],
+        *,
+        expected_parent: str | None = None,
+        actual_parent: str | None = None,
+    ):
         self.conflicts = conflicts
+        self.expected_parent = expected_parent
+        self.actual_parent = actual_parent
         super().__init__(f"{len(conflicts)} conflicting change(s); sample: {conflicts[:5]}")
 
 
@@ -1151,6 +1170,7 @@ class Session:
                         staged.withColumn("seq", F.col("seq") + seq_base),
                         self.root,
                         splitting=((doc or {}).get("manifest") or {}).get("splitting"),
+                        node_paths=self._node_paths(),
                     )
                 )
             self._write_txlog(snap_id, staged)
@@ -1207,6 +1227,7 @@ class Session:
                     staged.withColumn("seq", F.col("seq") + seq_base),
                     self.root,
                     splitting=((doc or {}).get("manifest") or {}).get("splitting"),
+                    node_paths=self._node_paths(),
                 )
             )
         self._write_txlog(snap_id, staged)
@@ -1257,6 +1278,7 @@ class Session:
                     staged.withColumn("seq", F.col("seq") + seq_base),
                     self.root,
                     splitting=((doc or {}).get("manifest") or {}).get("splitting"),
+                    node_paths=self._node_paths(),
                 )
             )
         self._write_txlog(snap_id, staged, carry_from=tip_id)
@@ -1281,9 +1303,19 @@ class Session:
     def rebase(self, solver: ConflictSolver) -> None:
         """Move the session base to the branch tip, resolving conflicts."""
         self._require_writable()
+        # buffered (small) chunk writes must be visible to conflict
+        # detection — without the flush, a rebase() called before any
+        # commit attempt silently under-detects chunk conflicts
+        self._flush_chunk_buffer()
         _, tip_id = fmt.branch_tip(self.root, self._branch or "")
         if tip_id != self._base.id:
             self._rebase_onto(tip_id, solver)
+
+    def _node_paths(self) -> dict[str, str]:
+        """node_id -> array path for the session's current node set —
+        driver-side metadata (#arrays entries), used by write_manifests
+        to evaluate per-array ManifestSplittingConfig rules."""
+        return {n["node_id"]: p for p, n in self._nodes.items()}
 
     def _write_txlog(
         self, snap_id: str, staged: DataFrame | None, carry_from: str | None = None

@@ -35,16 +35,23 @@ import threading
 import time
 import uuid
 
-class StorageConflict(Exception):
+from icechunk_spark.repo.errbase import ErrorKind, IcechunkError
+
+
+class StorageConflict(IcechunkError):
     """Conditional put failed: the object already exists."""
 
+    default_kind = ErrorKind.CONFLICT.value
 
-class CASUnsupported(Exception):
+
+class CASUnsupported(IcechunkError):
     """The backend cannot provide an atomic conditional put for this
     scheme and the caller did not opt into ``single_writer=True``.
     Raised loudly at the first CAS attempt rather than silently
     degrading to exists-then-write (ADVICE r4: two concurrent
     committers could otherwise both win a branch CAS)."""
+
+    default_kind = ErrorKind.STORAGE.value
 
 
 class Storage:
@@ -526,17 +533,49 @@ def s3_storage(
     endpoint_url: str | None = None,
     anonymous: bool = False,
     single_writer: bool = False,
+    access_key_id: str | None = None,
+    secret_access_key: str | None = None,
+    session_token: str | None = None,
+    credentials: object | None = None,
+    allow_http: bool = False,
+    force_path_style: bool = False,
 ) -> Storage:
     """S3 (or any S3-compatible endpoint) metadata-plane storage.
-    Credentials come from the environment/instance profile, matching
-    the reference's from_env default (icechunk/storage.py:182)."""
+    Credentials default to the environment/instance profile, matching
+    the reference's from_env default (icechunk/storage.py:182); static
+    keys may be passed directly (reference s3_storage kwargs) or as a
+    ``credentials.S3Credentials.*`` object.  The same keys feed both
+    pyarrow's S3FileSystem (bulk plane) and the boto3 conditional-put
+    client (branch-CAS plane) so the two planes can never target
+    different identities."""
+    if credentials is not None:
+        from icechunk_spark.credentials import S3Credentials
+
+        if isinstance(credentials, S3Credentials.Anonymous):
+            anonymous = True
+        elif isinstance(credentials, S3Credentials.Static):
+            access_key_id = credentials.credentials.access_key_id
+            secret_access_key = credentials.credentials.secret_access_key
+            session_token = credentials.credentials.session_token
+        elif isinstance(credentials, S3Credentials.Refreshable):
+            cred = credentials.fetch()
+            access_key_id = cred.access_key_id
+            secret_access_key = cred.secret_access_key
+            session_token = cred.session_token
+        # FromEnv: nothing to do — the default chain applies
     root = f"s3://{bucket}" + (f"/{prefix.strip('/')}" if prefix else "")
     s3_opts: dict[str, str] = {}
     if region:
         s3_opts["region_name"] = region
     if endpoint_url:
         s3_opts["endpoint_url"] = endpoint_url
-    if region is None and endpoint_url is None and not anonymous:
+    if access_key_id:
+        s3_opts["aws_access_key_id"] = access_key_id
+    if secret_access_key:
+        s3_opts["aws_secret_access_key"] = secret_access_key
+    if session_token:
+        s3_opts["aws_session_token"] = session_token
+    if not s3_opts and not anonymous and not allow_http and not force_path_style:
         return ArrowFsStorage(root, single_writer=single_writer)
     from pyarrow import fs as pafs
 
@@ -544,6 +583,11 @@ def s3_storage(
         region=region,
         endpoint_override=endpoint_url,
         anonymous=anonymous,
+        access_key=access_key_id,
+        secret_key=secret_access_key,
+        session_token=session_token,
+        scheme="http" if allow_http else None,
+        force_virtual_addressing=False if force_path_style else None,
     )
     st = ArrowFsStorage(root, single_writer=single_writer, fs=fs)
     st._s3_opts = s3_opts
@@ -605,3 +649,183 @@ def resolve_storage(root: "str | Storage") -> Storage:
             single_writer = "single_writer=true" in query.lower()
         return ArrowFsStorage(root, single_writer=single_writer)
     return LocalFilesystemStorage(root)
+
+
+class HttpReadOnlyStorage(Storage):
+    """Read-only metadata plane over a plain HTTP(S) server (reference
+    parity: icechunk.http_storage — icechunk-python storage.py:77-97;
+    the Rust side is object_store's HTTP backend).
+
+    ``get``/``exists``/``getsize``/``mtime`` are real HTTP requests via
+    stdlib urllib (no extra SDK); every mutation raises
+    :class:`~icechunk_spark.errors.ReadOnlyError` since plain HTTP has
+    no atomic put.  Listing is only possible when the server exposes a
+    directory index — not guaranteed — so ``list_dir`` raises a typed
+    capability error rather than silently returning [].  The bulk
+    plane (``data_root``) serves Spark reads through the same base
+    URL; Spark's Hadoop http support or a mounted gateway must be
+    present for parquet scans, which matches the reference's
+    "read-only repos published over HTTP" use case.
+    """
+
+    def __init__(self, base_url: str, opts: dict | None = None, headers: dict | None = None):
+        self.root = base_url.rstrip("/")
+        self._opts = dict(opts or {})
+        self._headers = dict(headers or {})
+
+    def _url(self, key: str) -> str:
+        return f"{self.root}/{key.lstrip('/')}"
+
+    def _request(self, key: str, method: str = "GET") -> "object":
+        import urllib.request
+
+        req = urllib.request.Request(self._url(key), method=method, headers=self._headers)
+        return urllib.request.urlopen(req, timeout=float(self._opts.get("timeout", 30)))
+
+    def get(self, key: str) -> bytes:
+        import urllib.error
+
+        try:
+            with self._request(key) as resp:
+                return resp.read()
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                raise FileNotFoundError(key) from e
+            raise
+
+    def exists(self, key: str) -> bool:
+        import urllib.error
+
+        try:
+            with self._request(key, "HEAD"):
+                return True
+        except urllib.error.HTTPError as e:
+            if e.code in (404, 405):
+                return e.code == 405  # 405: HEAD unsupported but path routed
+            raise
+        except OSError:
+            return False
+
+    def getsize(self, key: str) -> int:
+        with self._request(key, "HEAD") as resp:
+            cl = resp.headers.get("Content-Length")
+            return int(cl) if cl is not None else len(self.get(key))
+
+    def mtime(self, key: str) -> float:
+        from email.utils import parsedate_to_datetime
+
+        with self._request(key, "HEAD") as resp:
+            lm = resp.headers.get("Last-Modified")
+            return parsedate_to_datetime(lm).timestamp() if lm else 0.0
+
+    def _read_only(self, *_a, **_k):
+        from icechunk_spark.errors import ReadOnlyError
+
+        raise ReadOnlyError("http storage is read-only (reference parity: http_storage)")
+
+    put = _read_only
+    delete = _read_only
+    delete_prefix = _read_only
+
+    def list_dir(self, prefix: str) -> list[str]:
+        raise NotImplementedError(
+            "plain HTTP cannot list; serve an index or use an object-store scheme"
+        )
+
+    @property
+    def data_root(self) -> str:
+        return self.root
+
+
+def http_storage(
+    base_url: str,
+    opts: dict | None = None,
+    headers: dict | None = None,
+) -> Storage:
+    """Read-only storage over HTTP(S) (reference parity:
+    icechunk.http_storage).  ``headers`` are injected into every
+    request (e.g. ``{"authorization": "Bearer <token>"}``)."""
+    return HttpReadOnlyStorage(base_url, opts, headers)
+
+
+def redirect_storage(base_url: str) -> Storage:
+    """Follow HTTP redirects from ``base_url`` until a recognized
+    storage scheme appears, then open THAT as the real backend
+    (reference parity: icechunk.redirect_storage — a service decides
+    where the repo lives; clients just hold one stable URL)."""
+    import urllib.request
+
+    class _NoRedirect(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, req, fp, code, msg, headers, newurl):
+            return None
+
+    opener = urllib.request.build_opener(_NoRedirect)
+    url = base_url
+    for _ in range(10):  # redirect-chain bound
+        if not url.startswith(("http://", "https://")):
+            return resolve_storage(url)
+        try:
+            resp = opener.open(urllib.request.Request(url, method="HEAD"), timeout=30)
+            resp.close()
+            # 2xx with no redirect: the URL itself is the final location
+            return http_storage(url)
+        except urllib.error.HTTPError as e:
+            loc = e.headers.get("Location") if 300 <= e.code < 400 else None
+            if loc is None:
+                raise
+            url = loc
+    raise RuntimeError(f"redirect chain from {base_url} did not terminate in 10 hops")
+
+
+def local_filesystem_store(path: str):
+    """ObjectStoreConfig for a local-filesystem container (reference
+    parity: icechunk.local_filesystem_store)."""
+    from icechunk_spark.types import ObjectStoreConfig
+
+    return ObjectStoreConfig.LocalFileSystem(path)
+
+
+def http_store(opts: dict | None = None, headers: dict | None = None):
+    """ObjectStoreConfig for an HTTP container (reference parity)."""
+    from icechunk_spark.types import ObjectStoreConfig
+
+    return ObjectStoreConfig.Http(opts, headers)
+
+
+def s3_store(
+    region: str | None = None,
+    endpoint_url: str | None = None,
+    allow_http: bool = False,
+    anonymous: bool = False,
+    s3_compatible: bool = False,
+    force_path_style: bool = False,
+    network_stream_timeout_seconds: int = 60,
+    requester_pays: bool = False,
+    checksum_algorithm=None,
+):
+    """ObjectStoreConfig for S3 / S3-compatible containers (reference
+    parity: icechunk.s3_store)."""
+    from icechunk_spark.types import ObjectStoreConfig, S3Options
+
+    options = S3Options(
+        region=region,
+        endpoint_url=endpoint_url,
+        allow_http=allow_http,
+        anonymous=anonymous,
+        force_path_style=force_path_style,
+        network_stream_timeout_seconds=network_stream_timeout_seconds,
+        requester_pays=requester_pays,
+        checksum_algorithm=checksum_algorithm,
+    )
+    return (
+        ObjectStoreConfig.S3Compatible(options)
+        if s3_compatible
+        else ObjectStoreConfig.S3(options)
+    )
+
+
+def gcs_store(opts: dict | None = None):
+    """ObjectStoreConfig for GCS containers (reference parity)."""
+    from icechunk_spark.types import ObjectStoreConfig
+
+    return ObjectStoreConfig.Gcs(opts)

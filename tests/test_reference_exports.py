@@ -1,0 +1,319 @@
+"""Full public-API surface conformance vs the reference.
+
+The reference's top-level ``__all__``
+(icechunk-python/python/icechunk/__init__.py:130-260) is vendored
+below; every name must be importable from ``icechunk_spark`` so a
+reference user's imports work unchanged.  Functional smokes cover the
+pieces with real behavior behind them: the error hierarchy, the
+conflict-solver algebra in an actual rebase, credential factory
+dispatch, manifest split/preload rule evaluation end-to-end, the
+ancestry graph, typed ops-log entries, and the HTTP / redirect
+storage backends (served by a stdlib http.server).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+
+import pytest
+
+import icechunk_spark as ics
+
+# Vendored from the reference __init__ (public repo) — the compatibility
+# contract this engine promises.
+REFERENCE_ALL = [
+    "AlreadyExistsError", "AncestryGraph", "AnyAzureCredential",
+    "AnyAzureStaticCredential", "AnyCredential", "AnyGcsCredential",
+    "AnyGcsStaticCredential", "AnyObjectStoreConfig", "AnyS3Credential",
+    "AzureCredentials", "AzureRefreshableCredential", "AzureStaticCredentials",
+    "BasicConflictSolver", "CachingConfig", "ChecksumAlgorithm", "ChunkType",
+    "CommitMethod", "CompressionAlgorithm", "CompressionConfig", "Conflict",
+    "ConflictDetector", "ConflictError", "ConflictSolver", "ConflictType",
+    "Credentials", "Diff", "ErrorKind", "FeatureFlag", "ForkSession",
+    "FormatError", "GCSummary", "GcsBearerCredential", "GcsCredentials",
+    "GcsStaticCredentials", "IcechunkError", "IcechunkStore", "InternalError",
+    "InvalidInputError", "ManifestConfig", "ManifestFileInfo",
+    "ManifestPreloadCondition", "ManifestPreloadConfig",
+    "ManifestSplitCondition", "ManifestSplitDimCondition",
+    "ManifestSplittingConfig",
+    "ManifestVirtualChunkLocationCompressionConfig", "NodeNotFoundError",
+    "NotFoundError", "ObjectStoreConfig", "ReadOnlyError",
+    "RebaseFailedError", "RefNotFoundError", "RepoAvailability", "RepoStatus",
+    "Repository", "RepositoryConfig", "RepositoryNotFoundError",
+    "S3Credentials", "S3Options", "S3StaticCredentials", "Session",
+    "SessionMode", "SessionStateError", "SnapshotInfo",
+    "SnapshotNotFoundError", "SpecVersion", "Storage",
+    "StorageConcurrencySettings", "StorageError", "StorageRetriesSettings",
+    "StorageSettings", "StorageTimeoutSettings", "Update", "UpdateType",
+    "VersionSelection", "VirtualChunkContainer", "VirtualChunkSpec",
+    "azure_anonymous_credentials", "azure_credentials",
+    "azure_from_env_credentials", "azure_refreshable_credentials",
+    "azure_static_credentials", "azure_storage", "containers_credentials",
+    "gcs_credentials", "gcs_from_env_credentials",
+    "gcs_refreshable_credentials", "gcs_static_credentials", "gcs_storage",
+    "gcs_store", "http_storage", "http_store", "in_memory_storage",
+    "initialize_logs", "local_filesystem_storage", "local_filesystem_store",
+    "print_debug_info", "r2_storage", "redirect_storage",
+    "s3_anonymous_credentials", "s3_credentials", "s3_from_env_credentials",
+    "s3_refreshable_credentials", "s3_static_credentials", "s3_storage",
+    "s3_store", "set_logs_filter", "shutdown_telemetry", "spec_version",
+    "tigris_storage", "user_agent",
+]
+
+
+def test_every_reference_name_is_exported():
+    missing = [n for n in REFERENCE_ALL if not hasattr(ics, n)]
+    assert not missing, f"missing reference exports: {missing}"
+    # and the engine's own __all__ is importable/resolvable
+    bad = [n for n in ics.__all__ if not hasattr(ics, n)]
+    assert not bad
+
+
+def test_error_hierarchy_and_kinds():
+    # engine-core exceptions are IcechunkError and carry stable kinds
+    from icechunk_spark.repo.format import RefError
+
+    assert issubclass(RefError, ics.IcechunkError)
+    assert issubclass(ics.ConflictError, ics.IcechunkError)
+    assert issubclass(ics.RebaseFailedError, ics.ConflictError)
+    assert issubclass(ics.StorageConflict, ics.IcechunkError)
+    assert issubclass(ics.CASUnsupported, ics.IcechunkError)
+    e = RefError("branch gone")
+    assert e.kind == "ref_not_found" and "branch gone" in e.message
+    ce = ics.ConflictError([{"kind": "chunk", "node_id": "n", "chunk_key": "c/0"}])
+    assert ce.kind == "rebase_failed" and ce.conflicts
+    try:
+        raise RefError("x")
+    except ics.IcechunkError:
+        pass  # catchable via the reference base, like the reference
+
+
+def test_conflict_objects_and_detector_in_real_rebase(spark, tmp_path):
+    repo = ics.Repository.create(spark, str(tmp_path / "r"))
+    with repo.transaction(message="init") as s:
+        s.create_array("/a", shape=[8], chunk_shape=[4])
+        s.set_chunk_bytes("/a", "0", b"x" * 4096)
+    s1 = repo.writable_session("main")
+    s2 = repo.writable_session("main")
+    s1.set_chunk_bytes("/a", "0", b"a" * 4096)
+    s1.commit("w1")
+    s2.set_chunk_bytes("/a", "0", b"b" * 4096)
+    with pytest.raises(ics.RebaseFailedError) as ei:
+        s2.rebase(ics.ConflictDetector())
+    typed = ics.conflicts_of(ei.value)
+    assert typed and typed[0].conflict_type == ics.ConflictType.ChunkDoubleUpdate
+    assert typed[0].conflicted_chunks == [[0]]
+    # BasicConflictSolver(UseOurs) resolves the same conflict
+    s2.rebase(ics.BasicConflictSolver(on_chunk_conflict=ics.VersionSelection.UseOurs))
+    s2.commit("w2")
+    ro = repo.readonly_session()
+    assert ro.get_chunk_bytes("/a", "0") == b"b" * 4096
+
+
+def test_credential_factories_dispatch():
+    st = ics.s3_credentials(access_key_id="k", secret_access_key="s")
+    assert isinstance(st, ics.S3Credentials.Static)
+    assert st.credentials.access_key_id == "k"
+    assert isinstance(ics.s3_credentials(anonymous=True), ics.S3Credentials.Anonymous)
+    assert isinstance(ics.s3_credentials(from_env=True), ics.S3Credentials.FromEnv)
+    refreshed = []
+
+    def fetch():
+        refreshed.append(1)
+        return ics.S3StaticCredentials("a", "b")
+
+    r = ics.s3_refreshable_credentials(fetch, scatter_initial_credentials=True)
+    assert refreshed == [1] and r.current.access_key_id == "a"
+    with pytest.raises(ValueError):
+        ics.s3_credentials(access_key_id="k", anonymous=True)
+    creds = ics.containers_credentials(
+        {"c1": st}, c2=ics.gcs_credentials(anonymous=True), c3=None
+    )
+    assert isinstance(creds["c1"], ics.Credentials.S3)
+    assert isinstance(creds["c2"], ics.Credentials.Gcs)
+    assert creds["c3"] is None
+
+
+def test_s3_storage_accepts_credential_objects():
+    st = ics.s3_storage(
+        "bucket", "p", credentials=ics.s3_credentials(access_key_id="k", secret_access_key="s")
+    )
+    assert st._s3_opts["aws_access_key_id"] == "k"  # CAS plane gets the same identity
+
+
+def test_manifest_split_condition_algebra():
+    c = ics.ManifestSplitCondition.name_matches("temp") | ics.ManifestSplitCondition.path_matches("^/model/")
+    assert c.matches("/obs/temperature")
+    assert c.matches("/model/x")
+    assert not c.matches("/obs/humidity")
+    both = ics.ManifestSplitCondition.and_conditions(
+        [ics.ManifestSplitCondition.path_matches("^/model/"), ics.ManifestSplitCondition.name_matches("x")]
+    )
+    assert both.matches("/model/x") and not both.matches("/model/y")
+    # dict round-trip survives
+    from icechunk_spark.types import _Cond
+
+    assert _Cond.from_dict(c.to_dict()).matches("/model/x")
+
+
+def test_manifest_splitting_config_end_to_end(spark, tmp_path):
+    """An array matching the split rule gets size-capped per-array
+    manifests; a non-matching array stays in one file."""
+    cfg = ics.ManifestSplittingConfig.from_dict(
+        {ics.ManifestSplitCondition.name_matches("^big$"): {ics.ManifestSplitDimCondition.Any(): 2}}
+    )
+    repo = ics.Repository.create(
+        spark,
+        str(tmp_path / "r"),
+        config=ics.RepositoryConfig(manifest=ics.ManifestConfig(splitting=cfg)),
+    )
+    with repo.transaction(message="w") as s:
+        s.create_array("/big", shape=[24], chunk_shape=[4])
+        s.create_array("/small", shape=[24], chunk_shape=[4])
+        for i in range(6):
+            s.set_chunk_bytes("/big", str(i), bytes([i]) * 4096)
+            s.set_chunk_bytes("/small", str(i), bytes([i]) * 4096)
+    tip = repo.lookup_snapshot(repo.lookup_branch("main"))
+    big_id = repo.readonly_session().array_meta("/big").node_id
+    small_id = repo.readonly_session().array_meta("/small").node_id
+    big_files = [m for m in tip.manifests if f"__node={big_id}" in m]
+    small_files = [m for m in tip.manifests if f"__node={small_id}" in m]
+    # 6 refs, cap 2 -> 3 split files for /big; /small has exactly one
+    assert len(big_files) == 3, tip.manifests
+    assert len(small_files) == 1, tip.manifests
+    ro = repo.readonly_session()
+    assert ro.get_chunk_bytes("/big", "5") == bytes([5]) * 4096
+    assert ro.get_chunk_bytes("/small", "0") == b"\x00" * 4096
+
+
+def test_manifest_preload_config_rules():
+    cfg = ics.ManifestPreloadConfig(
+        max_total_refs=100,
+        preload_if=ics.ManifestPreloadCondition.name_matches("^(time|lat|lon)$"),
+    )
+    pairs = [("/data/lat", 10), ("/data/lon", 10), ("/data/values", 10), ("/data/time", 200)]
+    # /data/time exceeds nothing individually but 200 > budget left
+    assert cfg.paths_to_preload(pairs) == ["/data/lat", "/data/lon"]
+    # default preload condition targets CF coordinate names only
+    default = ics.ManifestPreloadConfig()
+    assert default.paths_to_preload([("/a/time", 5), ("/a/values", 5)]) == ["/a/time"]
+
+
+def test_preload_config_in_repository(spark, tmp_path):
+    cfg = ics.RepositoryConfig(
+        manifest=ics.ManifestConfig(
+            preload=ics.ManifestPreloadConfig(
+                preload_if=ics.ManifestPreloadCondition.true()
+            )
+        )
+    )
+    repo = ics.Repository.create(spark, str(tmp_path / "r"), config=cfg)
+    with repo.transaction(message="w") as s:
+        s.create_array("/x", shape=[8], chunk_shape=[4])
+        s.set_chunk_bytes("/x", "0", b"x" * 4096)
+    ro = repo.readonly_session()  # preload path exercised
+    assert ro.get_chunk_bytes("/x", "0") == b"x" * 4096
+
+
+def test_ancestry_graph_render(spark, tmp_path):
+    repo = ics.Repository.create(spark, str(tmp_path / "r"))
+    with repo.transaction(message="first commit") as s:
+        s.create_group("/g")
+    repo.create_tag("v1", repo.lookup_branch("main"))
+    g = repo.ancestry_graph()
+    text = str(g)
+    assert isinstance(g, ics.AncestryGraph)
+    assert "branch:main" in text and "tag:v1" in text and "first commit" in text
+    svg = g._repr_svg_()
+    assert svg.startswith("<svg") and "first commit" in svg
+    plain = repo.ancestry_graph(plain=True)
+    assert "●" not in str(plain)
+
+
+def test_ops_log_typed_updates(spark, tmp_path):
+    repo = ics.Repository.create(spark, str(tmp_path / "r"))
+    repo.create_branch("dev", repo.lookup_branch("main"))
+    repo.create_tag("v1", repo.lookup_branch("main"))
+    kinds = [u.kind_typed for u in repo.ops_log()]
+    assert any(isinstance(k, ics.UpdateType.BranchCreated) and k.name == "dev" for k in kinds)
+    assert any(isinstance(k, ics.UpdateType.TagCreated) and k.name == "v1" for k in kinds)
+
+
+def test_spec_version_surface():
+    assert ics.spec_version() == int(ics.SpecVersion.current())
+    assert ics.SpecVersion.v1 < ics.SpecVersion.v2
+    assert ics.supported_spec_versions()
+    assert ics.user_agent().startswith("icechunk_spark/")
+    ics.initialize_logs("WARNING")
+    ics.set_logs_filter("icechunk_spark=ERROR")
+    ics.shutdown_telemetry()
+
+
+@pytest.fixture()
+def http_repo_server(tmp_path):
+    """Serve a directory over HTTP; also answer /redirect with a 302
+    pointing at a file:// URI (for redirect_storage)."""
+    import http.server
+
+    root = tmp_path / "served"
+    root.mkdir()
+    (root / "repo.json").write_text(json.dumps({"format_version": 2}))
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(root), **kw)
+
+        def do_HEAD(self):  # noqa: N802
+            if self.path.startswith("/redirect"):
+                self.send_response(302)
+                self.send_header("Location", str(tmp_path / "resolved"))
+                self.end_headers()
+                return
+            super().do_HEAD()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", root
+    srv.shutdown()
+
+
+def test_http_storage_read_only(http_repo_server):
+    url, root = http_repo_server
+    st = ics.http_storage(url, headers={"x-test": "1"})
+    assert st.exists("repo.json")
+    assert json.loads(st.get("repo.json"))["format_version"] == 2
+    assert st.getsize("repo.json") == len((root / "repo.json").read_bytes())
+    with pytest.raises(FileNotFoundError):
+        st.get("missing.json")
+    with pytest.raises(ics.ReadOnlyError):
+        st.put("x", b"data")
+    with pytest.raises(ics.ReadOnlyError):
+        st.delete("repo.json")
+
+
+def test_redirect_storage_follows_to_scheme(http_repo_server, tmp_path):
+    url, _ = http_repo_server
+    (tmp_path / "resolved").mkdir(exist_ok=True)
+    st = ics.redirect_storage(f"{url}/redirect")
+    # the 302 Location is a plain path -> resolves to the local backend
+    assert isinstance(st, ics.LocalFilesystemStorage)
+
+
+def test_store_config_helpers():
+    s3c = ics.s3_store(region="r", s3_compatible=True)
+    assert isinstance(s3c, ics.ObjectStoreConfig.S3Compatible)
+    assert isinstance(ics.s3_store(), ics.ObjectStoreConfig.S3)
+    assert isinstance(ics.gcs_store({"a": "b"}), ics.ObjectStoreConfig.Gcs)
+    assert isinstance(ics.local_filesystem_store("/x"), ics.ObjectStoreConfig.LocalFileSystem)
+    assert isinstance(ics.http_store(), ics.ObjectStoreConfig.Http)
+    with pytest.raises(ValueError):
+        ics.VirtualChunkContainer(url_prefix="s3://b/no-trailing-slash")
+    vc = ics.VirtualChunkContainer(url_prefix="s3://b/p/", store=ics.s3_store(), name="c")
+    assert vc.name == "c"
+    spec = ics.VirtualChunkSpec(index=[0, 1], location="s3://b/p/f.nc", offset=0, length=10)
+    assert spec.index == [0, 1]
