@@ -19,7 +19,7 @@ def _modules():
     from icechunk_spark.operators import tpch
 
     mods = [tpch]
-    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "multimodal", "repo_queries", "streaming_queries"):
+    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "profile_ext", "multimodal", "repo_queries", "streaming_queries"):
         try:
             mods.append(__import__(f"icechunk_spark.operators.{name}", fromlist=[name]))
         except ImportError:
@@ -107,6 +107,10 @@ PRIORITY: list[str] = [
     "event_interarrival_stats",
     "cluster_size_distribution",
     "split_leakage_rate",
+    "embedding_outliers",
+    "event_type_markov",
+    "session_paths",
+    "source_kl_divergence",
     # r4 greens follow so r6's rotation is easy
     "q6_forecast_revenue",
     "sessionize",

@@ -129,3 +129,31 @@ def test_training_ext_plans(spark):
     assert "PushedFilters" in plan and "event_type" in plan
     plan = plan_of(ttr_stats(spark, SF_DIR))
     assert "partial" in plan.lower()  # map-side combine on (source, tok)
+
+
+def test_profile_ext_plans(spark):
+    """The r5 profiling operators stay JVM-side end to end: no Python
+    row eval; the embedding-outlier per-label stats frame is broadcast
+    (never a shuffle join against a 2-row-per-label side)."""
+    from icechunk_spark.operators.profile_ext import (
+        embedding_outliers,
+        event_type_markov,
+        session_paths,
+        source_kl_divergence,
+    )
+
+    for fn in (
+        embedding_outliers,
+        event_type_markov,
+        session_paths,
+        source_kl_divergence,
+    ):
+        df = fn(spark, SF_DIR)
+        df.collect()  # AQE finalizes the plan on execution
+        plan = plan_of(df)
+        assert "BatchEvalPython" not in plan, f"{fn.__name__} fell back to Python rows"
+        assert "PythonUDF" not in plan, fn.__name__
+
+    df = embedding_outliers(spark, SF_DIR)
+    df.collect()
+    assert "BroadcastHashJoin" in plan_of(df)
