@@ -137,6 +137,13 @@ def cmd_gc(args) -> int:
     return 0
 
 
+def cmd_graph(args) -> int:
+    """Terminal commit graph (reference parity: the ancestry_graph
+    display — display.rs); --plain for ASCII-only output."""
+    print(str(_repo(args.root).ancestry_graph(plain=args.plain)))
+    return 0
+
+
 def cmd_compact(args) -> int:
     repo = _repo(args.root, need_spark=True)
     snap_id = repo.rewrite_manifests(branch=args.branch)
@@ -167,6 +174,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("ancestry", cmd_ancestry, "commit history of a branch")
     sp.add_argument("--branch", default="main")
     sp.add_argument("-n", type=int, default=0, help="limit entries (0 = all)")
+    sp = add("graph", cmd_graph, "commit graph across all refs (terminal tree)")
+    sp.add_argument("--plain", action="store_true", help="ASCII bullets (CI/logs)")
     add("config", cmd_config, "persisted repository config")
     sp = add("migrate", cmd_migrate, "upgrade the layout to the current spec")
     sp.add_argument("--dry-run", action="store_true")

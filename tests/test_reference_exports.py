@@ -317,3 +317,15 @@ def test_store_config_helpers():
     assert vc.name == "c"
     spec = ics.VirtualChunkSpec(index=[0, 1], location="s3://b/p/f.nc", offset=0, length=10)
     assert spec.index == [0, 1]
+
+
+def test_cli_graph_command(spark, tmp_path, capsys):
+    from icechunk_spark.cli import main
+
+    root = str(tmp_path / "repo")
+    repo = ics.Repository.create(spark, root)
+    with repo.transaction(message="seed commit") as s:
+        s.create_group("/g")
+    assert main(["graph", root, "--plain"]) == 0
+    out = capsys.readouterr().out
+    assert "branch:main" in out and "seed commit" in out and "●" not in out
