@@ -310,14 +310,34 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("term"),
         )
     )
-    return (
-        terms.groupBy("source", "n_s")
+    # Two-level deterministic fold: a single collect_list over a
+    # source's whole vocabulary would funnel 10^7+ pairs into one task
+    # at web scale.  Instead partial-fold per (source, first-char
+    # bucket) — bounded arrays, parallelism = sources × buckets — then
+    # fold the ≤|alphabet| bucket sums in bucket order.  Both levels
+    # add identical doubles in identical order on both engines, so the
+    # result stays bit-stable AND the per-task memory is bounded.
+    partial = (
+        terms.withColumn("bkt", F.substring("tok", 1, 1))
+        .groupBy("source", "n_s", "bkt")
         .agg(F.array_sort(F.collect_list(F.struct("tok", "term"))).alias("pairs"))
+        .select(
+            "source",
+            "n_s",
+            "bkt",
+            F.aggregate("pairs", F.lit(0.0), lambda acc, p: acc + p["term"]).alias(
+                "psum"
+            ),
+        )
+    )
+    return (
+        partial.groupBy("source", "n_s")
+        .agg(F.array_sort(F.collect_list(F.struct("bkt", "psum"))).alias("bsums"))
         .select(
             "source",
             F.col("n_s").alias("n_tokens"),
             F.round(
-                F.aggregate("pairs", F.lit(0.0), lambda acc, p: acc + p["term"]), 6
+                F.aggregate("bsums", F.lit(0.0), lambda acc, b: acc + b["psum"]), 6
             ).alias("kl_bits"),
         )
         .orderBy("source")
@@ -344,12 +364,21 @@ WITH counts AS (
   JOIN totals t ON c.source = t.source
   JOIN gcounts g ON c.tok = g.tok
   CROSS JOIN gtotal gt
+), partial AS (
+  -- two-level fold mirroring the Spark plan: partial sums per
+  -- (source, first-char bucket) in token order, then bucket order
+  SELECT source, n_s, substr(tok, 1, 1) AS bkt,
+         list_reduce(list_transform(list_sort(list({'tok': tok, 'term': term})),
+                                    x -> x.term),
+                     (a, b) -> a + b) AS psum
+  FROM terms
+  GROUP BY source, n_s, bkt
 )
 SELECT source, n_s AS n_tokens,
-       round(list_reduce(list_transform(list_sort(list({'tok': tok, 'term': term})),
-                                        x -> x.term),
+       round(list_reduce(list_transform(list_sort(list({'bkt': bkt, 'psum': psum})),
+                                        x -> x.psum),
                          (a, b) -> a + b), 6) AS kl_bits
-FROM terms
+FROM partial
 GROUP BY source, n_s
 ORDER BY source
 """
