@@ -249,11 +249,98 @@ ORDER BY d.doc_id
 """
 
 
+# small because the synthetic corpus has ~31 distinct tokens — at 16 the
+# vocab covers roughly the frequent half, so OOV rates are non-trivial
+VOCAB_SIZE = 16
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocab coverage: build the top-``VOCAB_SIZE`` vocabulary
+    from the TRAIN split (by corpus frequency, ties broken by token)
+    and measure each source's out-of-vocabulary rate on the VAL split —
+    the pre-training check that a tokenizer trained on the mixture
+    actually covers every source.
+
+    Scale: vocabulary selection is exact two-stage top-k (per-partition
+    candidates, then a global rank over <= VOCAB_SIZE x partitions
+    rows) — never a global sort of the full vocabulary; the selected
+    vocab is VOCAB_SIZE rows and broadcasts into the OOV join."""
+    t = load_tables(spark, sf_dir)
+    toks = (
+        t["documents"]
+        .withColumn("bucket", _bucket_col())
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < VAL_THRESHOLD, "val").otherwise("train"),
+        )
+        .select("source", "split", F.explode(tokenize(F.col("text"))).alias("tok"))
+    )
+    train_counts = (
+        toks.filter(F.col("split") == "train").groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    )
+    # exact top-k under any partitioning: any global top-k row is in
+    # its partition's local top-k (same argument as similarity._partial_topk)
+    local_w = Window.partitionBy("pid").orderBy(F.desc("c"), "tok")
+    cand = (
+        train_counts.withColumn("pid", F.spark_partition_id())
+        .withColumn("rn", F.row_number().over(local_w))
+        .filter(F.col("rn") <= VOCAB_SIZE)
+        .drop("pid", "rn")
+    )
+    vocab = (
+        cand.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("c"), "tok"))
+        )
+        .filter(F.col("rn") <= VOCAB_SIZE)
+        .select("tok")
+    )
+    val = toks.filter(F.col("split") == "val")
+    return (
+        val.join(F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT source,
+         CASE WHEN {_BUCKET} < '{VAL_THRESHOLD}' THEN 'val' ELSE 'train' END AS split,
+         unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS c FROM toks WHERE split = 'train' GROUP BY tok
+  ) ORDER BY c DESC, tok LIMIT {VOCAB_SIZE}
+)
+SELECT t.source,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             / count(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+WHERE t.split = 'val'
+GROUP BY t.source
+ORDER BY t.source
+"""
+
+
 QUERIES = {
     "split_train_val": split_train_val,
     "pack_sequences": pack_sequences,
     "mixture_sample": mixture_sample,
     "decontaminate": decontaminate,
+    "vocab_coverage": vocab_coverage,
 }
 
 ORACLES = {
@@ -261,4 +348,5 @@ ORACLES = {
     "pack_sequences": PACK_SQL,
     "mixture_sample": MIXTURE_SQL,
     "decontaminate": DECON_SQL,
+    "vocab_coverage": VOCAB_COVERAGE_SQL,
 }

@@ -111,6 +111,7 @@ PRIORITY: list[str] = [
     "event_type_markov",
     "session_paths",
     "source_kl_divergence",
+    "vocab_coverage",
     # r4 greens follow so r6's rotation is easy
     "q6_forecast_revenue",
     "sessionize",

@@ -157,3 +157,12 @@ def test_profile_ext_plans(spark):
     df = embedding_outliers(spark, SF_DIR)
     df.collect()
     assert "BroadcastHashJoin" in plan_of(df)
+
+    from icechunk_spark.operators.pipeline_ext import vocab_coverage
+
+    df = vocab_coverage(spark, SF_DIR)
+    df.collect()
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan
+    # the VOCAB_SIZE-row vocabulary must broadcast into the OOV join
+    assert "BroadcastHashJoin" in plan
