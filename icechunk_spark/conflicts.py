@@ -57,14 +57,19 @@ class BasicConflictSolver(ConflictSolver):
         fail_on_delete_of_updated_array: bool = False,
         fail_on_delete_of_updated_group: bool = False,
     ):
-        node_mode = (
-            "fail"
-            if (fail_on_delete_of_updated_array or fail_on_delete_of_updated_group)
-            else "use_ours"
-        )
+        # each flag fails ONLY its own conflict kinds (reference
+        # semantics) — other node conflicts still resolve use_ours
+        fail_kinds: list[str] = []
+        if fail_on_delete_of_updated_array:
+            # both directions of the array-delete/write race
+            fail_kinds += ["delete_of_written", "deleted_node_write"]
+        if fail_on_delete_of_updated_group:
+            # new node created under a group the other side deleted
+            fail_kinds += ["invalid_group"]
         super().__init__(
             on_chunk_conflict=_MODE[on_chunk_conflict],
-            on_node_conflict=node_mode,
+            on_node_conflict="use_ours",
+            fail_node_kinds=tuple(fail_kinds),
         )
         self.fail_on_delete_of_updated_array = fail_on_delete_of_updated_array
         self.fail_on_delete_of_updated_group = fail_on_delete_of_updated_group

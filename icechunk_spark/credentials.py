@@ -257,14 +257,16 @@ def s3_credentials(
     scatter_initial_credentials: bool = False,
 ):
     """Dispatching factory (reference parity: icechunk.s3_credentials):
-    exactly one of static keys / anonymous / from_env / refreshable."""
+    exactly one of static keys / anonymous / from_env / refreshable.
+    A bare call (no arguments) means from_env, matching the reference's
+    default branch (credentials.py:214: ``from_env is None or from_env``)."""
     if (
         (access_key_id is None)
         and (secret_access_key is None)
         and (session_token is None)
         and (expires_after is None)
         and not anonymous
-        and from_env
+        and (from_env is None or from_env)
         and (get_credentials is None)
     ):
         return s3_from_env_credentials()
@@ -353,7 +355,8 @@ def gcs_credentials(
     statics = (service_account_file, service_account_key, application_credentials, bearer_token)
     if anonymous and not any(statics) and not from_env and get_credentials is None:
         return gcs_anonymous_credentials()
-    if from_env and not any(statics) and not anonymous and get_credentials is None:
+    # bare call -> from_env (reference default branch)
+    if (from_env is None or from_env) and not any(statics) and not anonymous and get_credentials is None:
         return gcs_from_env_credentials()
     if any(statics) and not anonymous and not from_env and get_credentials is None:
         return GcsCredentials.Static(
@@ -416,7 +419,8 @@ def azure_credentials(
     statics = (access_key, sas_token, bearer_token)
     if anonymous and not any(statics) and not from_env and get_credentials is None:
         return azure_anonymous_credentials()
-    if from_env and not any(statics) and not anonymous and get_credentials is None:
+    # bare call -> from_env (reference default branch)
+    if (from_env is None or from_env) and not any(statics) and not anonymous and get_credentials is None:
         return azure_from_env_credentials()
     if any(statics) and not anonymous and not from_env and get_credentials is None:
         return AzureCredentials.Static(

@@ -98,6 +98,14 @@ class UpdateType:
         name: str | None = None
         previous_snap_id: str | None = None
 
+    @dataclass(frozen=True)
+    class ManifestsRewritten:
+        """Engine extension: manifest compaction ran (the reference
+        folds this under maintenance; this engine logs it explicitly
+        because rewrite_manifests is a first-class op here)."""
+
+        branch: str | None = None
+
     # engine "type" string -> variant class
     _BY_TYPE = {}
 
@@ -136,6 +144,7 @@ UpdateType._BY_TYPE = {
     "StatusChanged": UpdateType.RepoStatusChanged,
     "TagCreated": UpdateType.TagCreated,
     "TagDeleted": UpdateType.TagDeleted,
+    "ManifestsRewritten": UpdateType.ManifestsRewritten,
 }
 
 

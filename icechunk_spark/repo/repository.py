@@ -414,7 +414,9 @@ class Repository:
         migrated).  ``config`` is persisted to config.json at create
         (reference parity: Repository.create's config arg)."""
         if cls.exists(root):
-            raise RefError(f"repository already exists at {root}")
+            from icechunk_spark.errors import AlreadyExistsError
+
+            raise AlreadyExistsError(f"repository already exists at {root}")
         v = SPEC_VERSION if spec_version is None else int(spec_version)
         if not (1 <= v <= SPEC_VERSION):
             raise ValueError(
@@ -456,7 +458,9 @@ class Repository:
         config: "RepositoryConfig | None" = None,
     ) -> "Repository":
         if not cls.exists(root):
-            raise RefError(f"no repository at {root}")
+            from icechunk_spark.errors import RepositoryNotFoundError
+
+            raise RepositoryNotFoundError(f"no repository at {root}")
         # spec gate (migrations.py): refuse layouts this engine cannot
         # read correctly rather than misreading them.  Any version in
         # [1, SPEC_VERSION] opens fine — sessions honor the repo's
@@ -484,11 +488,19 @@ class Repository:
 
     @classmethod
     def open_or_create(cls, spark: SparkSession, root: str, **kwargs: Any) -> "Repository":
-        return (
-            cls.open(spark, root, config=kwargs.get("config"))
-            if cls.exists(root)
-            else cls.create(spark, root, **kwargs)
-        )
+        if cls.exists(root):
+            # open honors every kwarg open() understands — silently
+            # dropping e.g. authorize_virtual_chunk_access would make
+            # behavior depend on whether the repo pre-existed
+            return cls.open(
+                spark,
+                root,
+                authorize_virtual_chunk_access=kwargs.get(
+                    "authorize_virtual_chunk_access"
+                ),
+                config=kwargs.get("config"),
+            )
+        return cls.create(spark, root, **kwargs)
 
     @staticmethod
     def exists(root: str) -> bool:

@@ -122,10 +122,14 @@ def resolve_vcc(vpath: str, names: dict[str, str] | None) -> str:
 class ConflictSolver:
     """Resolution policy, mirroring icechunk's BasicConflictSolver:
     ``fail`` raises, ``use_ours`` keeps the session's writes,
-    ``use_theirs`` keeps the committed writes."""
+    ``use_theirs`` keeps the committed writes.  ``fail_node_kinds``
+    scopes failure to specific node-conflict kinds while the rest
+    resolve per ``on_node_conflict`` (the reference's
+    fail_on_delete_of_updated_* flags)."""
 
     on_chunk_conflict: str = "fail"  # fail | use_ours | use_theirs
     on_node_conflict: str = "fail"
+    fail_node_kinds: tuple[str, ...] = ()
 
 
 @dataclass
@@ -1501,6 +1505,15 @@ class Session:
             )
             if any(c["kind"] in node_kinds for c in conflicts) and solver.on_node_conflict == "fail":
                 raise ConflictError([c for c in conflicts if c["kind"] in node_kinds])
+            # scoped fail set (BasicConflictSolver's
+            # fail_on_delete_of_updated_* flags): resolve every node
+            # conflict EXCEPT the listed kinds, which still fail —
+            # without the scoping, a flag meant for delete-of-updated
+            # would fail unrelated metadata-double-update conflicts too
+            fail_kinds = set(getattr(solver, "fail_node_kinds", ()) or ())
+            scoped = [c for c in conflicts if c["kind"] in fail_kinds]
+            if scoped:
+                raise ConflictError(scoped)
             if mode == "fail" and any(c["kind"] == "chunk" for c in conflicts):
                 raise ConflictError([c for c in conflicts if c["kind"] == "chunk"])
             if mode == "use_theirs" and staged is not None:

@@ -310,7 +310,18 @@ class ArrowFsStorage(Storage):
         except ImportError:
             return False
         bucket, obj = self._bucket_and_key(key)
-        client = boto3.client("s3", **self._s3_opts)
+        opts = dict(self._s3_opts)
+        refresh = getattr(self, "_s3_refresh", None)
+        if refresh is not None:
+            # refreshable credentials: re-fetch (the fetch() is cached
+            # until expires_after) so the CAS plane never signs with an
+            # expired STS token
+            cred = refresh.fetch()
+            opts["aws_access_key_id"] = cred.access_key_id
+            opts["aws_secret_access_key"] = cred.secret_access_key
+            if cred.session_token:
+                opts["aws_session_token"] = cred.session_token
+        client = boto3.client("s3", **opts)
         try:
             client.put_object(Bucket=bucket, Key=obj, Body=data, IfNoneMatch="*")
         except botocore.exceptions.ClientError as e:
@@ -548,6 +559,7 @@ def s3_storage(
     pyarrow's S3FileSystem (bulk plane) and the boto3 conditional-put
     client (branch-CAS plane) so the two planes can never target
     different identities."""
+    refreshable = None
     if credentials is not None:
         from icechunk_spark.credentials import S3Credentials
 
@@ -558,6 +570,11 @@ def s3_storage(
             secret_access_key = credentials.credentials.secret_access_key
             session_token = credentials.credentials.session_token
         elif isinstance(credentials, S3Credentials.Refreshable):
+            # seed the pyarrow fs with the current token; keep the
+            # refreshable handle so the boto3 CAS plane re-fetches
+            # after expiry (a rebuilt pyarrow fs needs a new
+            # s3_storage call — pyarrow has no refresh hook)
+            refreshable = credentials
             cred = credentials.fetch()
             access_key_id = cred.access_key_id
             secret_access_key = cred.secret_access_key
@@ -591,6 +608,7 @@ def s3_storage(
     )
     st = ArrowFsStorage(root, single_writer=single_writer, fs=fs)
     st._s3_opts = s3_opts
+    st._s3_refresh = refreshable
     return st
 
 
@@ -700,8 +718,25 @@ class HttpReadOnlyStorage(Storage):
             with self._request(key, "HEAD"):
                 return True
         except urllib.error.HTTPError as e:
-            if e.code in (404, 405):
-                return e.code == 405  # 405: HEAD unsupported but path routed
+            if e.code == 404:
+                return False
+            if e.code == 405:
+                # HEAD disabled on this server: 405 says nothing about
+                # the KEY, so disambiguate with a GET (a Range GET
+                # keeps the transfer tiny on servers that honor it)
+                try:
+                    import urllib.request
+
+                    req = urllib.request.Request(
+                        self._url(key),
+                        headers={**self._headers, "Range": "bytes=0-0"},
+                    )
+                    with urllib.request.urlopen(req, timeout=float(self._opts.get("timeout", 30))):
+                        return True
+                except urllib.error.HTTPError as e2:
+                    if e2.code == 404:
+                        return False
+                    raise
             raise
         except OSError:
             return False
@@ -773,6 +808,12 @@ def redirect_storage(base_url: str) -> Storage:
             loc = e.headers.get("Location") if 300 <= e.code < 400 else None
             if loc is None:
                 raise
+            if "://" not in loc:
+                # RFC 7231 permits relative Location headers — resolve
+                # against the current URL, never treat as a local path
+                from urllib.parse import urljoin
+
+                loc = urljoin(url, loc)
             url = loc
     raise RuntimeError(f"redirect chain from {base_url} did not terminate in 10 hops")
 

@@ -76,17 +76,17 @@ class AncestryGraph:
             for s in self.snapshots.values()
             if s.parent_id is None or s.parent_id not in self.snapshots
         ]
-
-        def walk(sid: str, depth: int) -> None:
+        bullet = "*" if self.plain else "●"
+        # iterative DFS — a linear 10^4-commit history must not hit
+        # Python's recursion limit
+        stack: list[tuple[str, int]] = [(r, 0) for r in sorted(roots, reverse=True)]
+        while stack:
+            sid, depth = stack.pop()
             s = self.snapshots[sid]
-            bullet = "*" if self.plain else "●"
             msg = (s.message or "").splitlines()[0][:60] if s.message else ""
             lines.append(f"{'  ' * depth}{bullet} {sid[:12]}{self._labels_for(sid)} {msg}")
-            for child in sorted(self._children.get(sid, [])):
-                walk(child, depth + 1)
-
-        for r in sorted(roots):
-            walk(r, 0)
+            for child in sorted(self._children.get(sid, []), reverse=True):
+                stack.append((child, depth + 1))
         return "\n".join(lines) if lines else "(empty history)"
 
     def __repr__(self) -> str:

