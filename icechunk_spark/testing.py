@@ -65,3 +65,38 @@ def compare(spark, con, fn, sql: str, sf_dir: str) -> list[str]:
 
 def norm_row(r: tuple) -> tuple:
     return tuple(norm_value(v) for v in r)
+
+
+# --- reference-parity testing exports --------------------------------------
+# (icechunk-python/python/icechunk/testing/__init__.py re-exports
+# LatencyStorage; invariants.py ships reusable ancestry checks.)
+
+from icechunk_spark.repo.storage import LatencyStorage  # noqa: E402,F401
+
+
+def assert_ancestry_invariants(
+    ancestry, known_commits=None, *, must_contain_initial: bool = True
+) -> None:
+    """Fundamental invariants of a snapshot ancestry chain (reference
+    parity: icechunk.testing.invariants.assert_ancestry_invariants):
+    timestamps monotonically non-increasing, each snapshot appears at
+    most once, every non-terminal snapshot has a parent, and the chain
+    terminates at a parentless (initial) snapshot unless expiration
+    re-parenting is allowed via ``must_contain_initial=False``."""
+    import itertools
+
+    ancestry = list(ancestry)
+    ids = [s.id for s in ancestry]
+    if known_commits is not None:
+        assert set(ids).issubset(set(known_commits)), "unknown snapshot in ancestry"
+    assert all(
+        a.written_at >= b.written_at for a, b in itertools.pairwise(ancestry)
+    ), "ancestry timestamps must be non-increasing"
+    assert len(set(ids)) == len(ids), "duplicate snapshot in ancestry"
+    assert all(s.parent_id is not None for s in ancestry[:-1]), (
+        "non-terminal snapshot without a parent"
+    )
+    if must_contain_initial and ancestry:
+        assert ancestry[-1].parent_id is None, (
+            "ancestry must terminate at the initial snapshot"
+        )

@@ -410,3 +410,17 @@ def test_ancestry_graph_deep_history_no_recursion_error():
     text = str(g)  # must not RecursionError
     assert text.splitlines()[0].lstrip().startswith("* s00000")
     assert len(text.splitlines()) == n
+
+
+def test_testing_module_parity(spark, tmp_path):
+    from icechunk_spark.testing import LatencyStorage, assert_ancestry_invariants
+
+    repo = ics.Repository.create(spark, str(tmp_path / "r"))
+    for i in range(3):
+        with repo.transaction(message=f"c{i}") as s:
+            s.create_group(f"/g{i}")
+    chain = list(repo.ancestry(branch="main"))
+    assert_ancestry_invariants(chain)
+    with pytest.raises(AssertionError):
+        assert_ancestry_invariants(chain + [chain[0]])  # duplicate
+    assert LatencyStorage is not None
