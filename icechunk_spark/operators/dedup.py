@@ -772,6 +772,59 @@ ORDER BY doc_a, doc_b
 SIMHASH_SQL = _simhash_sql()
 
 
+def lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tuning diagnostic for the MinHash-LSH dedup: recall of the
+    banded pipeline against exact shared-shingle ground truth (and
+    precision, which the candidate-verify stage keeps at 1 over the
+    shared universe).  A production pipeline runs this on a sample
+    before committing to a band configuration — recall here IS the
+    fraction of near-dups the 100 TB dedup will actually catch.
+
+    Composed from the two existing pipelines (one row out — both
+    sides aggregate to counts before the final join):
+    exact = ngram_jaccard pairs (df-capped universe),
+    lsh   = minhash_lsh pairs (band-bucket candidates + verify)."""
+    t = load_tables(spark, sf_dir)
+    docs = (
+        t["documents"].select("doc_id", shingles_col(F.col("text")).alias("sh")).persist()
+    )
+    exact = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
+    lsh = minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    matched = exact.join(lsh, ["doc_a", "doc_b"]).count()
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    row = [
+        (
+            n_exact,
+            n_lsh,
+            matched,
+            round(matched / n_exact, 6) if n_exact else None,
+            round(matched / n_lsh, 6) if n_lsh else None,
+        )
+    ]
+    from icechunk_spark.engine import local_df
+
+    return local_df(
+        spark,
+        row,
+        "n_exact bigint, n_lsh bigint, n_matched bigint, recall double, precision double",
+    )
+
+
+LSH_QUALITY_SQL = f"""
+WITH {_MINHASH_CTES},
+lsh AS (SELECT doc_a, doc_b FROM verified),
+exact AS (SELECT doc_a, doc_b FROM ({NGRAM_JACCARD_SQL})),
+m AS (SELECT count(*) AS n_matched FROM exact JOIN lsh USING (doc_a, doc_b)),
+e AS (SELECT count(*) AS n_exact FROM exact),
+l AS (SELECT count(*) AS n_lsh FROM lsh)
+SELECT n_exact, n_lsh, n_matched,
+       CASE WHEN n_exact > 0 THEN round(n_matched / n_exact, 6) END AS recall,
+       CASE WHEN n_lsh > 0 THEN round(n_matched / n_lsh, 6) END AS precision
+FROM e, l, m
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_keep_first": dedup_exact_keep_first,
@@ -782,6 +835,7 @@ QUERIES = {
     "simhash": simhash,
     "embedding_neardup": embedding_neardup,
     "cross_doc_spans": cross_doc_spans,
+    "lsh_quality": lsh_quality,
 }
 
 ORACLES = {
@@ -794,4 +848,5 @@ ORACLES = {
     "simhash": SIMHASH_SQL,
     "embedding_neardup": EMBEDDING_NEARDUP_SQL,
     "cross_doc_spans": CROSS_DOC_SPANS_SQL,
+    "lsh_quality": LSH_QUALITY_SQL,
 }

@@ -100,7 +100,7 @@ PRIORITY: list[str] = [
     "funnel_conversion",
     "label_pair_similarity",
     # ---- window boundary (50) ----
-    # overflow head = the 9 queries without a driver row yet (added
+    # overflow head = the 10 queries without a driver row yet (added
     # late in r5, after the window filled with the 44 stale + 4 new):
     # r6's window MUST start with these
     "pmi_phrases",
@@ -112,6 +112,7 @@ PRIORITY: list[str] = [
     "session_paths",
     "source_kl_divergence",
     "vocab_coverage",
+    "lsh_quality",
     # r4 greens follow so r6's rotation is easy
     "q6_forecast_revenue",
     "sessionize",
