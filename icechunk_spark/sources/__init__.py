@@ -124,3 +124,49 @@ def write_avro(df: DataFrame, path: str) -> None:
             "not present in this deployment"
         )
     df.write.mode("overwrite").format("avro").save(path)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    shard_by: str = "doc_id",
+    n_shards: int = 64,
+    compression: str = "gzip",
+) -> None:
+    """Training-export sink: the cleaned corpus as deterministic,
+    size-balanced JSONL shards (``shard=NNNN`` hive dirs of
+    ``.json.gz`` part files) — the handoff format tokenizer and
+    training loaders consume.
+
+    Deterministic by construction: a row's shard is
+    ``crc32(shard_by) % n_shards``, so re-running the export after an
+    upstream change moves only the rows that changed, and two engines
+    producing the same corpus produce byte-identical shard membership
+    (the same property the dedup/split operators get from md5).
+
+    Scale: one hash + one shuffle by shard id; each shard writes in
+    parallel.  Raise ``n_shards`` with corpus size so a shard stays
+    in the low-GB range (loader-friendly, retry-friendly).
+    """
+    from pyspark.sql import functions as F
+
+    out = df.withColumn(
+        "shard", (F.crc32(F.col(shard_by).cast("string")) % n_shards).cast("int")
+    )
+    (
+        out.repartition("shard")
+        .write.partitionBy("shard")
+        .option("compression", compression)
+        .mode("overwrite")
+        .json(path)
+    )
+
+
+def read_training_shards(
+    spark: SparkSession, path: str, schema: StructType | str
+) -> DataFrame:
+    """Read back a write_training_shards export (schema-projected; the
+    ``shard`` partition column is available for pruning a subset of
+    shards)."""
+    return spark.read.schema(schema).option("basePath", path).json(f"{path}/shard=*")
