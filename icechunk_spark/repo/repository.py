@@ -1242,7 +1242,21 @@ class Repository:
         compacted = resolved.withColumn("seq", F.lit(0).cast("bigint")).sortWithinPartitions(
             "node_id", "c0", "c1", "c2", "c3"
         )
-        rel = mf.write_manifest(compacted, self.root, n_files=self.config().manifest_split_files)
+        cfg = self.config()
+        splitting = cfg.manifest.splitting if cfg.manifest else None
+        if splitting:
+            # a repo configured with manifest splitting must stay split
+            # through compaction (reference: rewrite_manifests honors
+            # ManifestSplittingConfig, design-docs/005) — collapsing to
+            # a monolith here would undo the layout the config asked for
+            rels = mf.write_manifests(
+                compacted,
+                self.root,
+                splitting=splitting,
+                node_paths={n["node_id"]: p for p, n in tip.nodes.items()},
+            )
+        else:
+            rels = [mf.write_manifest(compacted, self.root, n_files=cfg.manifest_split_files)]
         snap = SnapshotInfo(
             id=new_id(),
             parent_id=tip.id,
@@ -1250,7 +1264,7 @@ class Repository:
             metadata={"op": "rewrite_manifests"},
             written_at=time.time(),
             seq=tip.seq + 1,
-            manifests=[rel],
+            manifests=rels,
             nodes=tip.nodes,
         )
         fmt.write_snapshot(self.root, snap)

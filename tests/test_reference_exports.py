@@ -424,3 +424,31 @@ def test_testing_module_parity(spark, tmp_path):
     with pytest.raises(AssertionError):
         assert_ancestry_invariants(chain + [chain[0]])  # duplicate
     assert LatencyStorage is not None
+
+
+def test_compaction_preserves_split_layout(spark, tmp_path):
+    """rewrite_manifests on a repo configured with per-rule splitting
+    must keep the split layout (reference design-docs/005) — not
+    collapse everything into one monolithic manifest."""
+    cfg = ics.ManifestSplittingConfig.from_dict(
+        {ics.ManifestSplitCondition.AnyArray(): {ics.ManifestSplitDimCondition.Any(): 2}}
+    )
+    repo = ics.Repository.create(
+        spark,
+        str(tmp_path / "r"),
+        config=ics.RepositoryConfig(manifest=ics.ManifestConfig(splitting=cfg)),
+    )
+    with repo.transaction(message="w1") as s:
+        s.create_array("/a", shape=[24], chunk_shape=[4])
+        for i in range(4):
+            s.set_chunk_bytes("/a", str(i), bytes([i]) * 4096)
+    with repo.transaction(message="w2") as s:
+        for i in range(4, 6):
+            s.set_chunk_bytes("/a", str(i), bytes([i]) * 4096)
+    snap_id = repo.rewrite_manifests()
+    tip = repo.lookup_snapshot(snap_id)
+    # 6 refs, cap 2 -> the compacted snapshot still has 3 split files
+    assert len(tip.manifests) == 3, tip.manifests
+    ro = repo.readonly_session()
+    for i in range(6):
+        assert ro.get_chunk_bytes("/a", str(i)) == bytes([i]) * 4096
