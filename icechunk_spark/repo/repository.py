@@ -1056,8 +1056,56 @@ class Repository:
         self._log_update({"type": "SnapshotsExpired", "n_expired": len(expired)})
         return expired
 
+    # histories shorter than this read serially — executor round-trips
+    # cost more than a handful of driver GETs
+    _PARALLEL_SNAPSHOT_READ_MIN = 64
+
+    def _snapshot_meta_parallel(
+        self, ids: list[str]
+    ) -> "list[tuple[str, str | None, list[str], list[str]]] | None":
+        """(id, parent_id, manifests, pruned_ancestor_tx_logs) for the
+        given snapshot ids, read INSIDE executor tasks so a 10^5-commit
+        history costs one parallel wave of object GETs instead of 10^5
+        serial driver round-trips (the r4 GC-driver-bottleneck fix,
+        applied to the snapshot plane).  Returns None when the root is
+        not executor-readable (process-local memory:// store) or the
+        history is too small to be worth a Spark job."""
+        root = self.root
+        if (
+            not isinstance(root, str)
+            or root.startswith("memory://")
+            or len(ids) < self._PARALLEL_SNAPSHOT_READ_MIN
+        ):
+            return None
+
+        def _read(sid: str):
+            from icechunk_spark.repo import format as _fmt
+
+            s = _fmt.read_snapshot(root, sid)
+            return (s.id, s.parent_id, list(s.manifests), list(s.pruned_ancestor_tx_logs))
+
+        n_parts = max(1, min(len(ids) // 8, self.spark.sparkContext.defaultParallelism))
+        return self.spark.sparkContext.parallelize(ids, n_parts).map(_read).collect()
+
     def _reachable_snapshots(self) -> set[str]:
-        return set(self._parent_map().keys())
+        """Snapshot ids reachable from any branch/tag.  Large histories
+        build the parent graph with one executor-parallel read over ALL
+        snapshot files, then walk it in memory; small/process-local
+        repos fall back to the serial ref walk."""
+        ids = fmt.list_snapshot_ids(self.root)
+        metas = self._snapshot_meta_parallel(ids)
+        if metas is None:
+            return set(self._parent_map().keys())
+        parent = {sid: pid for sid, pid, _m, _p in metas}
+        tips = [self.lookup_branch(b) for b in self.list_branches()]
+        tips += [fmt.read_tag(self.root, t) for t in self.list_tags()]
+        live: set[str] = set()
+        for tip in tips:
+            cur: str | None = tip
+            while cur is not None and cur not in live:
+                live.add(cur)
+                cur = parent.get(cur)
+        return live
 
     def garbage_collect(
         self,
@@ -1094,10 +1142,16 @@ class Repository:
         # snapshots are gone/going — diff/rebase across the expired
         # gap still read them.
         pruned_keep: set[str] = set()
-        for sid in live_snaps:
-            snap = fmt.read_snapshot(self.root, sid)
-            live_manifests.update(snap.manifests)
-            pruned_keep.update(snap.pruned_ancestor_tx_logs)
+        metas = self._snapshot_meta_parallel(sorted(live_snaps))
+        if metas is not None:
+            for _sid, _pid, mans, pruned in metas:
+                live_manifests.update(mans)
+                pruned_keep.update(pruned)
+        else:
+            for sid in live_snaps:
+                snap = fmt.read_snapshot(self.root, sid)
+                live_manifests.update(snap.manifests)
+                pruned_keep.update(snap.pruned_ancestor_tx_logs)
         def _old_snap(sid: str) -> bool:
             try:
                 return fmt.snapshot_mtime(self.root, sid) < cutoff

@@ -452,3 +452,35 @@ def test_compaction_preserves_split_layout(spark, tmp_path):
     ro = repo.readonly_session()
     for i in range(6):
         assert ro.get_chunk_bytes("/a", str(i)) == bytes([i]) * 4096
+
+
+def test_parallel_snapshot_reachability_matches_serial(spark, tmp_path):
+    """Above the parallel threshold, _reachable_snapshots builds the
+    parent graph with an executor-parallel read; the result must equal
+    the serial ref-walk, including tag-only reachability and orphans
+    excluded."""
+    from icechunk_spark.repo.repository import Repository
+
+    root = str(tmp_path / "r")
+    repo = ics.Repository.create(spark, root)
+    for i in range(3):
+        with repo.transaction(message=f"c{i}") as s:
+            s.create_group(f"/g{i}")
+    repo.create_tag("keep", repo.lookup_branch("main"))
+    with repo.transaction(message="tip") as s:
+        s.create_group("/tip")
+    serial = set(repo._parent_map().keys())
+    old_min = Repository._PARALLEL_SNAPSHOT_READ_MIN
+    Repository._PARALLEL_SNAPSHOT_READ_MIN = 1  # force the parallel path
+    try:
+        parallel = repo._reachable_snapshots()
+    finally:
+        Repository._PARALLEL_SNAPSHOT_READ_MIN = old_min
+    assert parallel == serial
+    # GC over the parallel path still works end to end
+    Repository._PARALLEL_SNAPSHOT_READ_MIN = 1
+    try:
+        summary = repo.garbage_collect(dry_run=True, older_than_seconds=0)
+    finally:
+        Repository._PARALLEL_SNAPSHOT_READ_MIN = old_min
+    assert summary.snapshots_deleted == 0  # everything reachable
