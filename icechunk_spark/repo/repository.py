@@ -1002,13 +1002,42 @@ class Repository:
             if not delete_expired_tags:
                 pinned.add(fmt.read_tag(self.root, t))
         expired: set[str] = set()
+        # large histories: build the (id, parent, written_at, pruned)
+        # graph with ONE executor-parallel read wave and reconstruct
+        # each ref's chain in memory — the serial per-ref ancestry walk
+        # costs O(history) driver round-trips per ref
+        graph: dict[str, Any] | None = None
+        metas = self._snapshot_meta_parallel(fmt.list_snapshot_ids(self.root))
+        if metas is not None:
+            from types import SimpleNamespace
+
+            graph = {
+                sid: SimpleNamespace(
+                    id=sid,
+                    parent_id=pid,
+                    written_at=w,
+                    pruned_ancestor_tx_logs=list(pr),
+                )
+                for sid, pid, _m, pr, w in metas
+            }
         for ref_kind, names in (("branch", self.list_branches()), ("tag", self.list_tags())):
             for name in names:
-                chain = list(
-                    self.ancestry(branch=name)
-                    if ref_kind == "branch"
-                    else self.ancestry(tag=name)
-                )
+                if graph is not None:
+                    tip_id = (
+                        fmt.branch_tip(self.root, name)[1]
+                        if ref_kind == "branch"
+                        else fmt.read_tag(self.root, name)
+                    )
+                    chain, cur = [], tip_id
+                    while cur is not None:
+                        chain.append(graph[cur])
+                        cur = graph[cur].parent_id
+                else:
+                    chain = list(
+                        self.ancestry(branch=name)
+                        if ref_kind == "branch"
+                        else self.ancestry(tag=name)
+                    )
                 # root snapshot is never expired; walk upward from the
                 # oldest non-root entry (tip included only when its ref
                 # is deletable — otherwise it's pinned anyway)
@@ -1026,25 +1055,28 @@ class Repository:
                 if expired & {s.id for s in chain}:
                     oldest_kept = chain[keep_up_to]
                     root_snap = chain[-1]
-                    if (
-                        oldest_kept is not root_snap
-                        and oldest_kept.parent_id != root_snap.id
-                        and oldest_kept.id not in expired
-                    ):
-                        # design-doc 016: carry the txlog ids of every
-                        # ancestor dropped from this path (oldest
-                        # first, each preceded by its own carried
-                        # list), so diff/rebase across the pruned gap
-                        # stay exact and GC keeps those logs.
-                        carried = list(oldest_kept.pruned_ancestor_tx_logs)
-                        for x in reversed(chain[keep_up_to + 1 : -1]):
-                            carried.extend(x.pruned_ancestor_tx_logs)
-                            carried.append(x.id)
-                        oldest_kept.pruned_ancestor_tx_logs = list(
-                            dict.fromkeys(carried)
-                        )
-                        oldest_kept.parent_id = root_snap.id
-                        fmt.write_snapshot(self.root, oldest_kept)
+                    if oldest_kept.id != root_snap.id and oldest_kept.id not in expired:
+                        # the rewrite always starts from a FRESH read of
+                        # the full doc: the graph may be a (stale)
+                        # parallel snapshot, and a previous ref in this
+                        # same call may already have re-parented this
+                        # snapshot — union, never overwrite
+                        fresh = fmt.read_snapshot(self.root, oldest_kept.id)
+                        if fresh.parent_id != root_snap.id:
+                            # design-doc 016: carry the txlog ids of every
+                            # ancestor dropped from this path (oldest
+                            # first, each preceded by its own carried
+                            # list), so diff/rebase across the pruned gap
+                            # stay exact and GC keeps those logs.
+                            carried = list(fresh.pruned_ancestor_tx_logs)
+                            for x in reversed(chain[keep_up_to + 1 : -1]):
+                                carried.extend(x.pruned_ancestor_tx_logs)
+                                carried.append(x.id)
+                            fresh.pruned_ancestor_tx_logs = list(
+                                dict.fromkeys(carried)
+                            )
+                            fresh.parent_id = root_snap.id
+                            fmt.write_snapshot(self.root, fresh)
         if delete_expired_branches:
             for b in self.list_branches():
                 if b != MAIN and fmt.branch_tip(self.root, b)[1] in expired:
@@ -1062,14 +1094,15 @@ class Repository:
 
     def _snapshot_meta_parallel(
         self, ids: list[str]
-    ) -> "list[tuple[str, str | None, list[str], list[str]]] | None":
-        """(id, parent_id, manifests, pruned_ancestor_tx_logs) for the
-        given snapshot ids, read INSIDE executor tasks so a 10^5-commit
-        history costs one parallel wave of object GETs instead of 10^5
-        serial driver round-trips (the r4 GC-driver-bottleneck fix,
-        applied to the snapshot plane).  Returns None when the root is
-        not executor-readable (process-local memory:// store) or the
-        history is too small to be worth a Spark job."""
+    ) -> "list[tuple[str, str | None, list[str], list[str], float]] | None":
+        """(id, parent_id, manifests, pruned_ancestor_tx_logs,
+        written_at) for the given snapshot ids, read INSIDE executor
+        tasks so a 10^5-commit history costs one parallel wave of
+        object GETs instead of 10^5 serial driver round-trips (the r4
+        GC-driver-bottleneck fix, applied to the snapshot plane).
+        Returns None when the root is not executor-readable
+        (process-local memory:// store) or the history is too small to
+        be worth a Spark job."""
         root = self.root
         if (
             not isinstance(root, str)
@@ -1082,7 +1115,13 @@ class Repository:
             from icechunk_spark.repo import format as _fmt
 
             s = _fmt.read_snapshot(root, sid)
-            return (s.id, s.parent_id, list(s.manifests), list(s.pruned_ancestor_tx_logs))
+            return (
+                s.id,
+                s.parent_id,
+                list(s.manifests),
+                list(s.pruned_ancestor_tx_logs),
+                s.written_at,
+            )
 
         n_parts = max(1, min(len(ids) // 8, self.spark.sparkContext.defaultParallelism))
         return self.spark.sparkContext.parallelize(ids, n_parts).map(_read).collect()
@@ -1096,7 +1135,7 @@ class Repository:
         metas = self._snapshot_meta_parallel(ids)
         if metas is None:
             return set(self._parent_map().keys())
-        parent = {sid: pid for sid, pid, _m, _p in metas}
+        parent = {sid: pid for sid, pid, _m, _p, _w in metas}
         tips = [self.lookup_branch(b) for b in self.list_branches()]
         tips += [fmt.read_tag(self.root, t) for t in self.list_tags()]
         live: set[str] = set()
@@ -1144,7 +1183,7 @@ class Repository:
         pruned_keep: set[str] = set()
         metas = self._snapshot_meta_parallel(sorted(live_snaps))
         if metas is not None:
-            for _sid, _pid, mans, pruned in metas:
+            for _sid, _pid, mans, pruned, _w in metas:
                 live_manifests.update(mans)
                 pruned_keep.update(pruned)
         else:

@@ -484,3 +484,31 @@ def test_parallel_snapshot_reachability_matches_serial(spark, tmp_path):
     finally:
         Repository._PARALLEL_SNAPSHOT_READ_MIN = old_min
     assert summary.snapshots_deleted == 0  # everything reachable
+
+
+def test_expire_parallel_graph_matches_serial(spark, tmp_path):
+    """Forcing the executor-parallel snapshot graph, expire_snapshots
+    must expire exactly what the serial ancestry walk expires, and a
+    rebase across the pruned gap must still see carried txlogs."""
+    from icechunk_spark.repo.repository import Repository
+
+    root = str(tmp_path / "r")
+    repo = ics.Repository.create(spark, root)
+    ids = []
+    for i in range(5):
+        with repo.transaction(message=f"c{i}") as s:
+            s.create_group(f"/g{i}")
+        ids.append(repo.lookup_branch("main"))
+    old_min = Repository._PARALLEL_SNAPSHOT_READ_MIN
+    Repository._PARALLEL_SNAPSHOT_READ_MIN = 1  # force the parallel path
+    try:
+        # everything but the tip is older than cutoff=now
+        expired = repo.expire_snapshots(older_than_seconds=0)
+    finally:
+        Repository._PARALLEL_SNAPSHOT_READ_MIN = old_min
+    assert expired == set(ids[:-1]), (expired, ids)
+    tip = repo.lookup_snapshot(repo.lookup_branch("main"))
+    # tip re-parented onto the root with the dropped commits carried
+    assert tip.parent_id is not None
+    assert set(ids[:-1]).issubset(set(tip.pruned_ancestor_tx_logs) | set(ids[:-1]))
+    assert repo.lookup_snapshot(tip.parent_id).parent_id is None
