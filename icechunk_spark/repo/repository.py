@@ -1198,23 +1198,68 @@ class Repository:
                 return False
 
         # drop unreachable snapshots + their txlogs (counting actual
-        # outcomes — a failed delete is not a reclaimed object)
-        for sid in fmt.list_snapshot_ids(self.root):
-            if sid not in live_snaps and _old_snap(sid):
+        # outcomes — a failed delete is not a reclaimed object).  Large
+        # backlogs run the mtime-check + delete per-candidate INSIDE
+        # executor tasks (only the candidate NAME list — already
+        # driver-side — and two small sets ship in the closure); small
+        # or process-local repos keep the serial loop.
+        candidates = [s for s in fmt.list_snapshot_ids(self.root) if s not in live_snaps]
+        parallel_ok = (
+            isinstance(self.root, str)
+            and not self.root.startswith("memory://")
+            and len(candidates) >= self._PARALLEL_SNAPSHOT_READ_MIN
+        )
+        if parallel_ok:
+            root, keep = self.root, frozenset(pruned_keep)
+            txdir = _dp(self.root, "txlogs")
+
+            def _reap(sid: str):
+                from icechunk_spark.repo import format as _fmt
+                from icechunk_spark.repo import fsio as _fsio
+
+                snaps = logs = 0
+                try:
+                    if _fmt.snapshot_mtime(root, sid) >= cutoff:
+                        return (0, 0)
+                except (OSError, FileNotFoundError):
+                    return (0, 0)
                 if dry_run:
-                    summary.snapshots_deleted += 1
+                    snaps = 1
                 else:
                     try:
-                        fmt.delete_snapshot(self.root, sid)
-                        summary.snapshots_deleted += 1
+                        _fmt.delete_snapshot(root, sid)
+                        snaps = 1
                     except OSError:
-                        continue
-                if sid in pruned_keep:
-                    continue  # txlog carried by a live boundary snapshot
-                tx = _dp(self.root, "txlogs", f"{sid}.parquet")
-                if fsio.exists(tx):
-                    if dry_run or fsio.delete_dir(tx):
-                        summary.txlogs_deleted += 1
+                        return (0, 0)
+                if sid not in keep:
+                    tx = f"{txdir}/{sid}.parquet"
+                    if _fsio.exists(tx) and (dry_run or _fsio.delete_dir(tx)):
+                        logs = 1
+                return (snaps, logs)
+
+            n_parts = max(1, min(len(candidates) // 8, self.spark.sparkContext.defaultParallelism))
+            for snaps, logs in (
+                self.spark.sparkContext.parallelize(candidates, n_parts).map(_reap).collect()
+            ):
+                summary.snapshots_deleted += snaps
+                summary.txlogs_deleted += logs
+        else:
+            for sid in candidates:
+                if _old_snap(sid):
+                    if dry_run:
+                        summary.snapshots_deleted += 1
+                    else:
+                        try:
+                            fmt.delete_snapshot(self.root, sid)
+                            summary.snapshots_deleted += 1
+                        except OSError:
+                            continue
+                    if sid in pruned_keep:
+                        continue  # txlog carried by a live boundary snapshot
+                    tx = _dp(self.root, "txlogs", f"{sid}.parquet")
+                    if fsio.exists(tx):
+                        if dry_run or fsio.delete_dir(tx):
+                            summary.txlogs_deleted += 1
         # orphan txlogs: their snapshot file is already gone (expired +
         # reclaimed in an earlier GC) so the loop above never sees them;
         # enumerate txlogs/ directly and apply the same keep rules

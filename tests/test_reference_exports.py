@@ -512,3 +512,26 @@ def test_expire_parallel_graph_matches_serial(spark, tmp_path):
     assert tip.parent_id is not None
     assert set(ids[:-1]).issubset(set(tip.pruned_ancestor_tx_logs) | set(ids[:-1]))
     assert repo.lookup_snapshot(tip.parent_id).parent_id is None
+
+
+def test_gc_parallel_snapshot_reaping_matches_serial(spark, tmp_path):
+    """Forcing the parallel reap path, GC deletes exactly the expired
+    unreachable snapshots (+ their txlogs) that the serial loop would."""
+    from icechunk_spark.repo.repository import Repository
+
+    root = str(tmp_path / "r")
+    repo = ics.Repository.create(spark, root)
+    for i in range(4):
+        with repo.transaction(message=f"c{i}") as s:
+            s.create_group(f"/g{i}")
+    repo.expire_snapshots(older_than_seconds=0)
+    old_min = Repository._PARALLEL_SNAPSHOT_READ_MIN
+    Repository._PARALLEL_SNAPSHOT_READ_MIN = 1
+    try:
+        dry = repo.garbage_collect(dry_run=True, older_than_seconds=0)
+        real = repo.garbage_collect(dry_run=False, older_than_seconds=0)
+    finally:
+        Repository._PARALLEL_SNAPSHOT_READ_MIN = old_min
+    assert dry.snapshots_deleted == real.snapshots_deleted == 3
+    # history still works after the reap
+    assert repo.lookup_snapshot(repo.lookup_branch("main")).message == "c3"
