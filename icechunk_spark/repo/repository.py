@@ -1092,6 +1092,29 @@ class Repository:
     # cost more than a handful of driver GETs
     _PARALLEL_SNAPSHOT_READ_MIN = 64
 
+    def _reap_paths(self, paths: list[str], cutoff: float, dry_run: bool) -> int:
+        """Age-gated delete of a list of files/dirs, counting actual
+        outcomes.  Large backlogs run per-candidate inside executor
+        tasks (only the path NAMES ship); small or process-local repos
+        loop on the driver."""
+
+        def _one(path: str) -> int:
+            from icechunk_spark.repo import fsio as _fsio
+
+            ts = _fsio.mtime(path)
+            if ts is None or ts >= cutoff:
+                return 0
+            return 1 if (dry_run or _fsio.delete_dir(path)) else 0
+
+        if (
+            not isinstance(self.root, str)
+            or self.root.startswith("memory://")
+            or len(paths) < self._PARALLEL_SNAPSHOT_READ_MIN
+        ):
+            return sum(_one(p) for p in paths)
+        n_parts = max(1, min(len(paths) // 8, self.spark.sparkContext.defaultParallelism))
+        return sum(self.spark.sparkContext.parallelize(paths, n_parts).map(_one).collect())
+
     def _snapshot_meta_parallel(
         self, ids: list[str]
     ) -> "list[tuple[str, str | None, list[str], list[str], float]] | None":
@@ -1262,30 +1285,35 @@ class Repository:
                             summary.txlogs_deleted += 1
         # orphan txlogs: their snapshot file is already gone (expired +
         # reclaimed in an earlier GC) so the loop above never sees them;
-        # enumerate txlogs/ directly and apply the same keep rules
+        # enumerate txlogs/ directly and apply the same keep rules.
+        # Like the snapshot reap, large backlogs age-check + delete per
+        # candidate inside executor tasks — the NAME list (already
+        # driver-side) is all that ships.
         all_snap_ids = set(fmt.list_snapshot_ids(self.root))
-        for name in fsio.list_child_names(_dp(self.root, "txlogs")):
-            sid = name.removesuffix(".parquet")
-            if sid in live_snaps or sid in pruned_keep or sid in all_snap_ids:
-                continue
-            tx = _dp(self.root, "txlogs", name)
-            if _old(tx):
-                if dry_run or fsio.delete_dir(tx):
-                    summary.txlogs_deleted += 1
-        # drop unreferenced manifest files
+        orphan_tx = [
+            name
+            for name in fsio.list_child_names(_dp(self.root, "txlogs"))
+            if name.removesuffix(".parquet") not in live_snaps
+            and name.removesuffix(".parquet") not in pruned_keep
+            and name.removesuffix(".parquet") not in all_snap_ids
+        ]
+        summary.txlogs_deleted += self._reap_paths(
+            [_dp(self.root, "txlogs", n) for n in orphan_tx], cutoff, dry_run
+        )
+        # drop unreferenced manifest files.  Liveness is a driver-side
+        # set test on top-level NAMES (live_manifests is bounded by the
+        # live snapshots' manifest lists, which GC already holds); the
+        # age-check + delete of the dead ones parallelizes.
         mdir = _dp(self.root, "manifests")
-        for f in fsio.list_child_names(mdir):
-            rel = f"manifests/{f}"
-            full = _dp(self.root, "manifests", f)
-            # split manifests record LEAF partition dirs in
-            # snapshots; the top-level dir is live if any live
-            # path sits underneath it
-            live = rel in live_manifests or any(
-                m.startswith(rel + "/") for m in live_manifests
-            )
-            if not live and _old(full):
-                if dry_run or fsio.delete_dir(full):
-                    summary.manifests_deleted += 1
+        live_tops = {m.split("/", 2)[1] for m in live_manifests if m.startswith("manifests/")}
+        dead = [
+            f
+            for f in fsio.list_child_names(mdir)
+            if f not in live_tops
+        ]
+        summary.manifests_deleted += self._reap_paths(
+            [_dp(self.root, "manifests", f) for f in dead], cutoff, dry_run
+        )
         # Chunk files referenced by no live manifest.  The candidate set
         # is born DISTRIBUTED: one shallow LIST of chunks/ yields only
         # the 2-hex shard dirs (<=256 names, spec-v2 layout —
