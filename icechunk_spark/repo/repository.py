@@ -1030,8 +1030,22 @@ class Repository:
                     )
                     chain, cur = [], tip_id
                     while cur is not None:
-                        chain.append(graph[cur])
-                        cur = graph[cur].parent_id
+                        node = graph.get(cur)
+                        if node is None:
+                            # tip moved (or graph is stale) — read fresh
+                            # instead of KeyError-ing the whole expire
+                            from types import SimpleNamespace
+
+                            s = fmt.read_snapshot(self.root, cur)
+                            node = SimpleNamespace(
+                                id=s.id,
+                                parent_id=s.parent_id,
+                                written_at=s.written_at,
+                                pruned_ancestor_tx_logs=list(s.pruned_ancestor_tx_logs),
+                            )
+                            graph[cur] = node
+                        chain.append(node)
+                        cur = node.parent_id
                 else:
                     chain = list(
                         self.ancestry(branch=name)
@@ -1116,16 +1130,21 @@ class Repository:
         return sum(self.spark.sparkContext.parallelize(paths, n_parts).map(_one).collect())
 
     def _snapshot_meta_parallel(
-        self, ids: list[str]
+        self, ids: list[str], include_manifests: bool = False
     ) -> "list[tuple[str, str | None, list[str], list[str], float]] | None":
         """(id, parent_id, manifests, pruned_ancestor_tx_logs,
         written_at) for the given snapshot ids, read INSIDE executor
         tasks so a 10^5-commit history costs one parallel wave of
         object GETs instead of 10^5 serial driver round-trips (the r4
         GC-driver-bottleneck fix, applied to the snapshot plane).
-        Returns None when the root is not executor-readable
-        (process-local memory:// store) or the history is too small to
-        be worth a Spark job."""
+
+        ``include_manifests=False`` (default) ships an empty manifests
+        list — parent-graph callers must not pull every snapshot's
+        split-manifest leaf paths onto the driver.  A snapshot deleted
+        between LIST and read (concurrent GC from another driver)
+        yields no tuple instead of failing the task.  Returns None when
+        the root is not executor-readable (process-local memory://
+        store) or the history is too small to be worth a Spark job."""
         root = self.root
         if (
             not isinstance(root, str)
@@ -1137,37 +1156,61 @@ class Repository:
         def _read(sid: str):
             from icechunk_spark.repo import format as _fmt
 
-            s = _fmt.read_snapshot(root, sid)
+            try:
+                s = _fmt.read_snapshot(root, sid)
+            except (_fmt.RefError, FileNotFoundError, OSError):
+                return None  # vanished between LIST and read
             return (
                 s.id,
                 s.parent_id,
-                list(s.manifests),
+                list(s.manifests) if include_manifests else [],
                 list(s.pruned_ancestor_tx_logs),
                 s.written_at,
             )
 
         n_parts = max(1, min(len(ids) // 8, self.spark.sparkContext.defaultParallelism))
-        return self.spark.sparkContext.parallelize(ids, n_parts).map(_read).collect()
+        out = self.spark.sparkContext.parallelize(ids, n_parts).map(_read).collect()
+        return [m for m in out if m is not None]
+
+    def _ref_tips(self) -> list[str]:
+        """Current snapshot ids of every branch and tag.  Read these
+        BEFORE any snapshot listing/parallel wave: tips captured first
+        are guaranteed present (snapshots are immutable and tips are
+        never deleted), which closes the list-then-walk race window."""
+        tips = [fmt.branch_tip(self.root, b)[1] for b in self.list_branches()]
+        tips += [fmt.read_tag(self.root, t) for t in self.list_tags()]
+        return tips
+
+    def _walk_live(
+        self, tips: list[str], parent: dict[str, "str | None"]
+    ) -> set[str]:
+        """BFS over the (possibly stale) parent graph; any id the graph
+        does not know — a ref that moved after the graph was read — is
+        resolved with a fresh driver read so reachability is NEVER
+        truncated (truncation would hand live history to GC)."""
+        live: set[str] = set()
+        for tip in tips:
+            cur: str | None = tip
+            while cur is not None and cur not in live:
+                live.add(cur)
+                if cur in parent:
+                    cur = parent[cur]
+                else:
+                    cur = fmt.read_snapshot(self.root, cur).parent_id
+        return live
 
     def _reachable_snapshots(self) -> set[str]:
         """Snapshot ids reachable from any branch/tag.  Large histories
         build the parent graph with one executor-parallel read over ALL
         snapshot files, then walk it in memory; small/process-local
         repos fall back to the serial ref walk."""
+        tips = self._ref_tips()  # before the listing — see _ref_tips
         ids = fmt.list_snapshot_ids(self.root)
         metas = self._snapshot_meta_parallel(ids)
         if metas is None:
             return set(self._parent_map().keys())
         parent = {sid: pid for sid, pid, _m, _p, _w in metas}
-        tips = [self.lookup_branch(b) for b in self.list_branches()]
-        tips += [fmt.read_tag(self.root, t) for t in self.list_tags()]
-        live: set[str] = set()
-        for tip in tips:
-            cur: str | None = tip
-            while cur is not None and cur not in live:
-                live.add(cur)
-                cur = parent.get(cur)
-        return live
+        return self._walk_live(tips, parent)
 
     def garbage_collect(
         self,
@@ -1196,7 +1239,6 @@ class Repository:
             # not ours to count
             return ts is not None and ts < cutoff
 
-        live_snaps = self._reachable_snapshots()
         summary = GCSummary()
         live_manifests: set[str] = set()
         # design-doc 016 retention rule: txlogs named in any live
@@ -1204,16 +1246,42 @@ class Repository:
         # snapshots are gone/going — diff/rebase across the expired
         # gap still read them.
         pruned_keep: set[str] = set()
-        metas = self._snapshot_meta_parallel(sorted(live_snaps))
-        if metas is not None:
-            for _sid, _pid, mans, pruned, _w in metas:
-                live_manifests.update(mans)
-                pruned_keep.update(pruned)
-        else:
+        # ONE parallel wave (with manifests) serves both reachability
+        # and the live-manifest/pruned-txlog collection.  Tips are read
+        # BEFORE the listing (_ref_tips); any id the stale graph does
+        # not know resolves with a fresh driver read — reachability is
+        # never truncated (truncation would hand live history to GC).
+        tips = self._ref_tips()
+        metas = self._snapshot_meta_parallel(
+            fmt.list_snapshot_ids(self.root), include_manifests=True
+        )
+        if metas is None:
+            live_snaps = self._reachable_snapshots()
             for sid in live_snaps:
                 snap = fmt.read_snapshot(self.root, sid)
                 live_manifests.update(snap.manifests)
                 pruned_keep.update(snap.pruned_ancestor_tx_logs)
+        else:
+            info = {
+                sid: (pid, mans, pruned) for sid, pid, mans, pruned, _w in metas
+            }
+            live_snaps = set()
+            for tip in tips:
+                cur: str | None = tip
+                while cur is not None and cur not in live_snaps:
+                    live_snaps.add(cur)
+                    if cur not in info:
+                        s = fmt.read_snapshot(self.root, cur)
+                        info[cur] = (
+                            s.parent_id,
+                            list(s.manifests),
+                            list(s.pruned_ancestor_tx_logs),
+                        )
+                    cur = info[cur][0]
+            for sid in live_snaps:
+                _pid, mans, pruned = info[sid]
+                live_manifests.update(mans)
+                pruned_keep.update(pruned)
         def _old_snap(sid: str) -> bool:
             try:
                 return fmt.snapshot_mtime(self.root, sid) < cutoff

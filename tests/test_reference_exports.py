@@ -510,7 +510,8 @@ def test_expire_parallel_graph_matches_serial(spark, tmp_path):
     tip = repo.lookup_snapshot(repo.lookup_branch("main"))
     # tip re-parented onto the root with the dropped commits carried
     assert tip.parent_id is not None
-    assert set(ids[:-1]).issubset(set(tip.pruned_ancestor_tx_logs) | set(ids[:-1]))
+    # the dropped commits are carried exactly (design-doc 016)
+    assert set(tip.pruned_ancestor_tx_logs) == set(ids[:-1])
     assert repo.lookup_snapshot(tip.parent_id).parent_id is None
 
 
@@ -535,3 +536,21 @@ def test_gc_parallel_snapshot_reaping_matches_serial(spark, tmp_path):
     assert dry.snapshots_deleted == real.snapshots_deleted == 3
     # history still works after the reap
     assert repo.lookup_snapshot(repo.lookup_branch("main")).message == "c3"
+
+
+def test_walk_live_resolves_ids_missing_from_stale_graph(spark, tmp_path):
+    """A ref tip absent from the (stale) parallel parent graph must be
+    resolved with a fresh read — truncating reachability there would
+    hand live history to GC."""
+    repo = ics.Repository.create(spark, str(tmp_path / "r"))
+    ids = []
+    for i in range(3):
+        with repo.transaction(message=f"c{i}") as s:
+            s.create_group(f"/g{i}")
+        ids.append(repo.lookup_branch("main"))
+    root_id = next(s.id for s in repo.ancestry(branch="main") if s.parent_id is None)
+    full = repo._parent_map()
+    # simulate a tip that landed after the graph was read
+    stale = {k: v for k, v in full.items() if k != ids[-1]}
+    live = repo._walk_live([ids[-1]], stale)
+    assert live == set(ids) | {root_id}
