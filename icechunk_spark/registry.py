@@ -31,21 +31,86 @@ def _modules():
 # the FIRST 50 entries of ``all_queries()``.  History: r1/r2 checked the
 # TPC-H/analytics/dedup block, r3 rotated in the similarity/text/
 # multimodal/repo/streaming block, r4 re-verified the 10 never-green
-# fixes + the 33 stalest r1/r2 greens (50/50 green).  Round 5 window =
-# 2 anchors + all 44 queries NOT in the r4 window (bpe_pair_counts
-# first — the only pre-r5 query with no driver row ever, then the
-# r2-overflow block at 2 rounds stale and the full r3 block at 1
-# round stale) + the 4 operators NEW this round, so nothing repeats
-# the bpe situation of landing unchecked outside the window.  Result:
-# every one of the 98 registered queries is driver-green within the
-# last 2 rounds (the 44 r4 greens sit first in the overflow for r6).
+# fixes + the 33 stalest r1/r2 greens (50/50 green), r5 re-verified the
+# 44 stale r2/r3 greens + bpe_pair_counts + the 4 new training ops
+# (50/50 green).  Round 6 window = 2 anchors + the 10 late-r5 queries
+# that have never had a driver row + 38 of the 48 r4 greens (now the
+# stalest block: q2-q22, knn_lsh/ivf, streaming, repo_manifest_stats,
+# the dedup family, and 5 window ops).  The 10 remaining r4 greens
+# (topk_per_group .. word_entropy) head the overflow for r7 so nothing
+# ever exceeds 2 rounds stale.
 PRIORITY: list[str] = [
     # anchors (continuity across every round)
     "q1_pricing_summary",
     "minhash_lsh",
-    # never driver-checked (new in r4, landed outside the window)
+    # never driver-checked (added late in r5, after that window filled)
+    "pmi_phrases",
+    "event_interarrival_stats",
+    "cluster_size_distribution",
+    "split_leakage_rate",
+    "embedding_outliers",
+    "event_type_markov",
+    "session_paths",
+    "source_kl_divergence",
+    "vocab_coverage",
+    "lsh_quality",
+    # r4 greens, now 2 rounds stale: full TPC-H block
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_class",
+    "q13_order_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_part_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q22_global_sales",
+    # r4 greens: similarity + streaming + repo
+    "knn_lsh",
+    "knn_ivf",
+    "stream_windowed_agg",
+    "stream_dedup",
+    "stream_interval_join",
+    "stream_sessionize",
+    "repo_manifest_stats",
+    # r4 greens: dedup family
+    "dedup_cluster",
+    "dedup_cluster_star",
+    "dedup_exact",
+    "simhash",
+    "ngram_jaccard",
+    # r4 greens: window/join ops
+    "sessionize",
+    "asof_join",
+    "range_join",
+    "pivot_events",
+    "window_lead_lag",
+    # ---- window boundary (50) ----
+    # overflow head = the 10 r4 greens that did not fit; r7's window
+    # starts with these (they will be exactly 2 rounds stale then)
+    "topk_per_group",
+    "running_agg",
+    "distinct_count_exact",
+    "distinct_count_approx",
+    "percentiles",
+    "rollup_cube",
+    "json_extract_agg",
+    "pack_sequences",
+    "mixture_sample",
+    "word_entropy",
+    # r5 greens follow (freshest — checked last round)
     "bpe_pair_counts",
-    # r2 greens, 2 rounds stale
     "rank_distribution",
     "first_last_in_group",
     "stats_agg",
@@ -56,7 +121,6 @@ PRIORITY: list[str] = [
     "sketch_event_counts",
     "hypertable_rollup",
     "dedup_exact_keep_first",
-    # r3 greens, 1 round stale: dedup/similarity block
     "embedding_neardup",
     "cross_doc_spans",
     "knn_brute_force",
@@ -64,7 +128,6 @@ PRIORITY: list[str] = [
     "label_centroids",
     "vector_norm_stats",
     "kmeans_clusters",
-    # r3 greens: text analysis / LLM pipeline block
     "lang_id",
     "token_count",
     "quality_score",
@@ -82,53 +145,19 @@ PRIORITY: list[str] = [
     "length_percentile_filter",
     "vector_quantize_error",
     "shard_assign",
-    # r3 greens: multimodal block
     "multimodal_features",
     "media_dedup",
     "frame_sample",
     "media_resize",
-    # r3 greens: repo + streaming block
     "array_store_roundtrip",
     "repo_time_travel",
     "repo_changed_cells",
     "stream_running_totals",
     "stream_static_enrich",
-    # NEW in r5 (training_ext): inside the window so they get their
-    # first driver row immediately
     "ttr_stats",
     "zipf_slope",
     "funnel_conversion",
     "label_pair_similarity",
-    # ---- window boundary (50) ----
-    # overflow head = the 10 queries without a driver row yet (added
-    # late in r5, after the window filled with the 44 stale + 4 new):
-    # r6's window MUST start with these
-    "pmi_phrases",
-    "event_interarrival_stats",
-    "cluster_size_distribution",
-    "split_leakage_rate",
-    "embedding_outliers",
-    "event_type_markov",
-    "session_paths",
-    "source_kl_divergence",
-    "vocab_coverage",
-    "lsh_quality",
-    # r4 greens follow so r6's rotation is easy
-    "q6_forecast_revenue",
-    "sessionize",
-    "dedup_cluster",
-    "dedup_exact",
-    "simhash",
-    "pack_sequences",
-    "mixture_sample",
-    "word_entropy",
-    "knn_lsh",
-    "knn_ivf",
-    "stream_windowed_agg",
-    "stream_dedup",
-    "stream_interval_join",
-    "stream_sessionize",
-    "repo_manifest_stats",
 ]
 
 
