@@ -190,10 +190,12 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = views.agg(F.count(F.lit(1)).alias("n_viewers"))
     s2 = clicks.agg(F.count(F.lit(1)).alias("n_click_after_view"))
     s3 = purchases.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
+    # 1-row aggregate sides: explicit broadcast so the plan stays
+    # BroadcastNestedLoopJoin even with AQE disabled (VERDICT r5 #7)
     return (
-        totals.crossJoin(s1)
-        .crossJoin(s2)
-        .crossJoin(s3)
+        totals.crossJoin(F.broadcast(s1))
+        .crossJoin(F.broadcast(s2))
+        .crossJoin(F.broadcast(s3))
         .select(
             "n_users",
             "n_viewers",

@@ -703,8 +703,50 @@ class Session:
             self.set_virtual_ref(path, chunk_key, location, offset, length)
 
     def all_virtual_chunk_locations(self) -> list[str]:
+        """Reference parity (list-returning API).  At ~10^8 virtual
+        refs this driver list is the wrong tool — use
+        :meth:`virtual_chunk_locations_df`."""
         df = self._resolved_manifest(None, None).filter(F.col("is_virtual"))
         return sorted({r["vpath"] for r in df.select("vpath").distinct().collect()})
+
+    def virtual_chunk_locations_df(self) -> DataFrame:
+        """Spark-native audit surface over virtual refs: one row per
+        distinct stored location with its ref count, total referenced
+        bytes, and the ``vcc://``-resolved absolute URL — the DataFrame
+        analog of :meth:`all_virtual_chunk_locations` for repos whose
+        virtual-ref count makes a driver-side list unreasonable
+        (SURVEY §4 sizing: ~10^8 refs at 100 TB).  Nothing is
+        collected; vcc resolution is a pure column expression over a
+        literal name→url_prefix map, so a ref naming an unknown
+        container surfaces as resolved_location NULL (an audit signal)
+        instead of failing the scan."""
+        agg = (
+            self._resolved_manifest(None, None)
+            .filter(F.col("is_virtual"))
+            .groupBy(F.col("vpath").alias("location"))
+            .agg(
+                F.count(F.lit(1)).alias("ref_count"),
+                F.sum("vlength").alias("total_bytes"),
+            )
+        )
+        names = self._virtual_container_names or {}
+        loc = F.col("location")
+        if names:
+            pairs: list = []
+            for k, v in sorted(names.items()):
+                pairs += [F.lit(k), F.lit(v)]
+            rest = F.substring(loc, 7, 2**30)  # after 'vcc://'
+            name = F.substring_index(rest, "/", 1)
+            rel = F.expr("substring(location, 8 + length(split_part(substring(location, 7), '/', 1)))")
+            resolved = F.when(
+                loc.startswith("vcc://"),
+                F.concat(F.element_at(F.create_map(*pairs), name), rel),
+            ).otherwise(loc)
+        else:
+            resolved = F.when(loc.startswith("vcc://"), F.lit(None).cast("string")).otherwise(loc)
+        return agg.select(
+            "location", resolved.alias("resolved_location"), "ref_count", "total_bytes"
+        )
 
     def chunk_coordinates(self, array_path: str, batch_size: int = 1000):
         """Iterator over the grid coordinates of every initialized

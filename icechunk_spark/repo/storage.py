@@ -259,6 +259,9 @@ class ArrowFsStorage(Storage):
       honor the same header.
     - ``gs://`` — google-cloud-storage ``if_generation_match=0``
       precondition.
+    - ``abfs://``/``abfss://``/``az://`` — azure-storage-blob
+      ``upload_blob(overwrite=False)`` (If-None-Match: * under the
+      hood; ``ResourceExistsError`` = lost the race).
     - anything else (or the SDK missing) — there is NO atomic
       primitive, so the CAS raises :class:`CASUnsupported` unless the
       deployment explicitly opts into ``single_writer=True``, in which
@@ -333,6 +336,51 @@ class ArrowFsStorage(Storage):
             raise
         return True
 
+    def _az_blob_client(self, container: str, blob: str):
+        """A BlobClient for the CAS plane, or None when
+        azure-storage-blob is unavailable.  Isolated so contract tests
+        can substitute a fake service without the SDK installed."""
+        try:
+            from azure.storage.blob import BlobServiceClient
+        except ImportError:
+            return None
+        opts = dict(getattr(self, "_az_opts", {}) or {})
+        account = opts.get("account") or self._base.split("/", 1)[0]
+        credential = opts.get("account_key") or opts.get("sas_token")
+        if credential is None:
+            try:
+                from azure.identity import DefaultAzureCredential
+
+                credential = DefaultAzureCredential()
+            except ImportError:
+                credential = None
+        svc = BlobServiceClient(
+            account_url=f"https://{account}.blob.core.windows.net",
+            credential=credential,
+        )
+        return svc.get_blob_client(container=container, blob=blob)
+
+    def _az_conditional_put(self, key: str, data: bytes) -> bool:
+        """True conditional create on Azure Blob:
+        ``upload_blob(..., overwrite=False)`` sends ``If-None-Match: *``
+        and raises ``ResourceExistsError`` when the blob already exists
+        — the same atomic primitive the reference relies on for Azure
+        (icechunk/src/storage/object_store.rs conditional write).
+        Returns False when the SDK is unavailable so the caller decides
+        the fallback (CASUnsupported unless single_writer)."""
+        container, obj = self._bucket_and_key(key)
+        client = self._az_blob_client(container, obj)
+        if client is None:
+            return False
+        try:
+            client.upload_blob(data, overwrite=False)
+        except Exception as e:  # noqa: BLE001 — mapped by exception name so
+            # the contract holds with or without azure.core importable
+            if type(e).__name__ == "ResourceExistsError":
+                raise StorageConflict(key) from e
+            raise
+        return True
+
     def _gs_conditional_put(self, key: str, data: bytes) -> bool:
         try:
             from google.api_core import exceptions as gexc
@@ -364,6 +412,10 @@ class ArrowFsStorage(Storage):
             if self._scheme == "s3" and self._s3_conditional_put(key, data):
                 return
             elif self._scheme == "gs" and self._gs_conditional_put(key, data):
+                return
+            elif self._scheme in ("abfs", "abfss", "az") and self._az_conditional_put(
+                key, data
+            ):
                 return
             if not self.single_writer:
                 raise CASUnsupported(
@@ -639,17 +691,39 @@ def azure_storage(
     prefix: str = "",
     *,
     single_writer: bool = False,
+    account_key: str | None = None,
+    sas_token: str | None = None,
+    credentials: object | None = None,
 ) -> Storage:
     """Azure Blob metadata-plane storage via pyarrow's AzureFileSystem
-    (reference parity: icechunk.azure_storage).  Credentials come from
-    the environment (DefaultAzureCredential chain)."""
+    (reference parity: icechunk.azure_storage).  Bulk-plane credentials
+    come from the environment (DefaultAzureCredential chain); the
+    branch-CAS plane uses azure-storage-blob
+    ``upload_blob(overwrite=False)`` — a true atomic conditional create
+    — with the same account identity (account_key / sas_token if given,
+    else DefaultAzureCredential)."""
     from pyarrow import fs as pafs
 
-    fs = pafs.AzureFileSystem(account_name=account)
+    if credentials is not None:
+        from icechunk_spark.credentials import AzureCredentials
+
+        if isinstance(credentials, AzureCredentials.Static):
+            inner = credentials.credentials
+            account_key = getattr(inner, "account_key", None) or account_key
+            sas_token = getattr(inner, "sas_token", None) or sas_token
+    fs_kwargs = {"account_name": account}
+    if account_key:
+        fs_kwargs["account_key"] = account_key
+    fs = pafs.AzureFileSystem(**fs_kwargs)
     base = f"{container}" + (f"/{prefix.strip('/')}" if prefix else "")
     root = f"abfs://{account}/{base}"
     st = ArrowFsStorage(root, single_writer=single_writer, fs=fs, base=base)
     st._scheme = "abfs"
+    st._az_opts = {"account": account}
+    if account_key:
+        st._az_opts["account_key"] = account_key
+    if sas_token:
+        st._az_opts["sas_token"] = sas_token
     return st
 
 

@@ -308,6 +308,45 @@ class ChunkStore:
                 return list(pool.map(one, key_ranges))
         return [one(kr) for kr in key_ranges]
 
+    def set_partial_values(
+        self, key_start_values: list[tuple[str, int, bytes]]
+    ) -> None:
+        """Byte-range writes: (key, range_start, value) triples
+        (reference store.py:587-602).  A key may occur multiple times
+        with different range_starts; ranges for the same key must not
+        overlap.  Semantics are read-modify-write over the session's
+        buffered chunk bytes: the existing value (empty if the key is
+        absent) is zero-extended to cover every range, the ranges are
+        spliced in, and the result is written back through ``set`` —
+        so read-your-writes and commit flushing behave exactly like a
+        whole-value ``set``.  Note ``supports_partial_writes`` stays
+        False, matching the reference (zarr itself no longer uses the
+        capability; the method exists for sharding-style writers)."""
+        self._require_store_writable()
+        by_key: dict[str, list[tuple[int, bytes]]] = {}
+        for key, start, value in key_start_values:
+            start = int(start)
+            if start < 0:
+                raise RefError(f"set_partial_values: negative range_start {start} for {key}")
+            by_key.setdefault(key, []).append((start, bytes(value)))
+        for key, ranges in by_key.items():
+            ranges.sort(key=lambda sv: sv[0])
+            prev_end = -1
+            for start, value in ranges:
+                if start < prev_end:
+                    raise RefError(
+                        f"set_partial_values: overlapping ranges for {key} "
+                        f"(range starting at {start} overlaps previous end {prev_end})"
+                    )
+                prev_end = start + len(value)
+            existing = self.get(key) or b""
+            end = max(prev_end, len(existing))
+            buf = bytearray(end)
+            buf[: len(existing)] = existing
+            for start, value in ranges:
+                buf[start : start + len(value)] = value
+            self.set(key, bytes(buf))
+
     def set_if_not_exists(self, key: str, value: bytes) -> None:
         if not self.exists(key):
             self.set(key, value)

@@ -127,6 +127,11 @@ def test_training_ext_plans(spark):
 
     plan = plan_of(funnel_conversion(spark, SF_DIR))
     assert "PushedFilters" in plan and "event_type" in plan
+    # the final scalar assembly is three crossJoins of 1-row aggregates;
+    # the explicit F.broadcast hints must keep them BroadcastNestedLoop
+    # even with AQE off (VERDICT r5 #7)
+    assert plan.count("BroadcastNestedLoopJoin") >= 3
+    assert "CartesianProduct" not in plan
     plan = plan_of(ttr_stats(spark, SF_DIR))
     assert "partial" in plan.lower()  # map-side combine on (source, tok)
 

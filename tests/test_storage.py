@@ -332,3 +332,85 @@ def test_s3_conditional_put_targets_custom_endpoint(tmp_path, monkeypatch):
         "region_name": "us-west-2",
     }
     assert seen["put"]["IfNoneMatch"] == "*" and seen["put"]["Bucket"] == "bkt"
+
+
+class _FakeAzureService:
+    """In-memory stand-in for azure-storage-blob's conditional create:
+    upload_blob(overwrite=False) raises ResourceExistsError (by NAME —
+    the SDK is not in this container) when the blob exists, atomically
+    under a lock like the real service's If-None-Match: *."""
+
+    def __init__(self):
+        import threading
+
+        self.blobs: dict[tuple[str, str], bytes] = {}
+        self.lock = threading.Lock()
+
+    def client(self, container: str, blob: str):
+        svc = self
+
+        class ResourceExistsError(Exception):
+            pass
+
+        class FakeBlobClient:
+            def upload_blob(self, data, overwrite=False):
+                with svc.lock:
+                    if not overwrite and (container, blob) in svc.blobs:
+                        raise ResourceExistsError(blob)
+                    svc.blobs[(container, blob)] = bytes(data)
+
+        return FakeBlobClient()
+
+
+def test_azure_conditional_put_maps_conflict(tmp_path):
+    """The abfs path issues upload_blob(overwrite=False) and maps
+    ResourceExistsError to StorageConflict (reference parity: Azure
+    conditional write in icechunk/src/storage/object_store.rs)."""
+    svc = _FakeAzureService()
+    st = ArrowFsStorage(f"file://{tmp_path}/cont/repo")
+    st._scheme = "abfs"
+    st._base = "cont/repo"  # what azure_storage sets: container/prefix
+    st._az_blob_client = svc.client
+    st.put("refs/x.json", b"1", if_none_match=True)
+    with pytest.raises(StorageConflict):
+        st.put("refs/x.json", b"2", if_none_match=True)
+    # winner not clobbered; container/key split took the first path part
+    assert svc.blobs[("cont", "repo/refs/x.json")] == b"1"
+
+
+def test_azure_racing_conditional_puts_one_winner(tmp_path):
+    """The same racing-put contract every other CAS backend passes."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    svc = _FakeAzureService()
+    st = ArrowFsStorage(f"file://{tmp_path}/cont/repo")
+    st._scheme = "abfs"
+    st._base = "cont/repo"
+    st._az_blob_client = svc.client
+
+    def attempt(i: int) -> bool:
+        try:
+            st.put("refs/race.json", b"%d" % i, if_none_match=True)
+            return True
+        except StorageConflict:
+            return False
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        wins = list(pool.map(attempt, range(8)))
+    assert sum(wins) == 1
+    assert svc.blobs[("cont", "repo/refs/race.json")] == b"%d" % wins.index(True)
+
+
+def test_azure_storage_no_longer_requires_single_writer(monkeypatch):
+    """azure_storage(...) has a real CAS plane: with the SDK present
+    (faked here) a conditional put succeeds without single_writer."""
+    from icechunk_spark.repo import azure_storage
+
+    svc = _FakeAzureService()
+    st = azure_storage("acct", "cont", "pre", account_key="k")
+    assert st._az_opts["account"] == "acct" and st._az_opts["account_key"] == "k"
+    monkeypatch.setattr(st, "_az_blob_client", svc.client)
+    st.put("refs/x.json", b"1", if_none_match=True)
+    with pytest.raises(StorageConflict):
+        st.put("refs/x.json", b"2", if_none_match=True)
+    assert svc.blobs[("cont", "pre/refs/x.json")] == b"1"

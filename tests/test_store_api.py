@@ -199,3 +199,39 @@ def test_dimension_names_roundtrip(spark, repo):
     w = repo.writable_session()
     with pytest.raises(ValueError, match="rank"):
         w.create_array("/bad", shape=[4], chunk_shape=[2], dimension_names=["a", "b"])
+
+
+def test_set_partial_values(spark, repo):
+    """Byte-range writes (reference store.py:587-602): multiple
+    non-overlapping ranges per key splice into the buffered chunk;
+    absent keys zero-extend; overlap raises; commit round-trips."""
+    from icechunk_spark.repo.format import RefError
+
+    with repo.transaction(message="v1") as s:
+        s.create_array("/a", shape=[8], chunk_shape=[8])
+        s.set_chunk_bytes("/a", "0", b"aaaaaaaa")
+        store = ChunkStore(s)
+        # two ranges on an existing key, one range creating a new chunk
+        store.set_partial_values(
+            [
+                ("a/c/0", 0, b"XY"),
+                ("a/c/0", 6, b"ZW"),
+            ]
+        )
+        assert store.get("a/c/0") == b"XYaaaaZW"
+        # absent key: zero-extended to cover the range
+        s.create_array("/b", shape=[8], chunk_shape=[8])
+        store.set_partial_values([("b/c/0", 3, b"Q")])
+        assert store.get("b/c/0") == b"\x00\x00\x00Q"
+        # overlapping ranges for the same key must be rejected
+        with pytest.raises(RefError, match="overlap"):
+            store.set_partial_values([("a/c/0", 0, b"1234"), ("a/c/0", 2, b"56")])
+        with pytest.raises(RefError, match="negative"):
+            store.set_partial_values([("a/c/0", -1, b"x")])
+    # committed state reflects the splice (read-your-writes -> flush)
+    ro = ChunkStore(repo.readonly_session())
+    assert ro.get("a/c/0") == b"XYaaaaZW"
+    assert ro.get("b/c/0") == b"\x00\x00\x00Q"
+    # read-only store refuses
+    with pytest.raises(Exception):
+        ro.set_partial_values([("a/c/0", 0, b"n")])

@@ -155,3 +155,30 @@ def test_vcc_read_requires_named_containers_authorization(spark, tmp_path, ext_f
         unauth.readonly_session().get_chunk_bytes("/v", "0")
     with pytest.raises(RefError, match="not under an authorized"):
         unauth.readonly_session().read_array_df("/v").collect()
+
+
+def test_virtual_chunk_locations_df(spark, tmp_path, ext_file):
+    """The DataFrame audit surface: per-location ref counts/bytes with
+    vcc:// resolution as a column expression (no driver collection);
+    agrees with the list-returning parity API."""
+    prefix = ext_file[: ext_file.rindex("/") + 1]
+    repo = _mkrepo(spark, tmp_path, prefix)
+    with repo.transaction(message="virt") as s:
+        s.create_array("/v", shape=[12], chunk_shape=[4])
+        s.set_virtual_ref("/v", "0", ext_file, offset=4, length=32)
+        s.set_virtual_ref("/v", "1", f"vcc://data/external.bin", offset=4, length=16)
+        s.set_virtual_ref("/v", "2", f"vcc://data/external.bin", offset=20, length=16)
+
+    sess = Repository.open(
+        spark, repo.root, authorize_virtual_chunk_access={prefix: None}
+    ).readonly_session()
+    rows = {r["location"]: r for r in sess.virtual_chunk_locations_df().collect()}
+    assert set(rows) == {ext_file, "vcc://data/external.bin"}
+    vcc = rows["vcc://data/external.bin"]
+    assert vcc["resolved_location"] == prefix + "external.bin"
+    assert vcc["ref_count"] == 2 and vcc["total_bytes"] == 32
+    abs_row = rows[ext_file]
+    assert abs_row["resolved_location"] == ext_file
+    assert abs_row["ref_count"] == 1 and abs_row["total_bytes"] == 32
+    # agrees with the parity list API
+    assert sess.all_virtual_chunk_locations() == sorted(rows)
