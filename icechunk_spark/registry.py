@@ -19,7 +19,7 @@ def _modules():
     from icechunk_spark.operators import tpch
 
     mods = [tpch]
-    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "profile_ext", "multimodal", "repo_queries", "streaming_queries"):
+    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "profile_ext", "curation_ext", "multimodal", "repo_queries", "streaming_queries"):
         try:
             mods.append(__import__(f"icechunk_spark.operators.{name}", fromlist=[name]))
         except ImportError:
@@ -90,15 +90,22 @@ PRIORITY: list[str] = [
     "dedup_exact",
     "simhash",
     "ngram_jaccard",
-    # r4 greens: window/join ops
+    # NEW in r6 (curation_ext): inside the window so they get their
+    # first driver row immediately (the r5 lesson: never land a new
+    # query outside the window)
+    "winnowing_fingerprint",
+    "source_mixture_weights",
+    "doc_token_histogram",
+    "retention_cohorts",
+    "embedding_covariance",
+    # ---- window boundary (50) ----
+    # overflow head = r4 greens that did not fit; r7's window starts
+    # with these
     "sessionize",
     "asof_join",
     "range_join",
     "pivot_events",
     "window_lead_lag",
-    # ---- window boundary (50) ----
-    # overflow head = the 10 r4 greens that did not fit; r7's window
-    # starts with these (they will be exactly 2 rounds stale then)
     "topk_per_group",
     "running_agg",
     "distinct_count_exact",

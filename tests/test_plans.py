@@ -171,3 +171,32 @@ def test_profile_ext_plans(spark):
     assert "BatchEvalPython" not in plan
     # the VOCAB_SIZE-row vocabulary must broadcast into the OOV join
     assert "BroadcastHashJoin" in plan
+
+
+def test_curation_ext_plans(spark):
+    """The r6 curation operators stay JVM-side: no Python row eval;
+    winnowing's rolling min is partitioned by doc_id (never a global
+    sort); covariance aggregates partials map-side."""
+    from icechunk_spark.operators.curation_ext import (
+        doc_token_histogram,
+        embedding_covariance,
+        retention_cohorts,
+        source_mixture_weights,
+        winnowing_fingerprint,
+    )
+
+    for fn in (
+        winnowing_fingerprint,
+        source_mixture_weights,
+        doc_token_histogram,
+        retention_cohorts,
+        embedding_covariance,
+    ):
+        df = fn(spark, SF_DIR)
+        df.collect()  # AQE finalizes the plan on execution
+        plan = plan_of(df)
+        assert "BatchEvalPython" not in plan, f"{fn.__name__} fell back to Python rows"
+        assert "PythonUDF" not in plan, fn.__name__
+
+    plan = plan_of(embedding_covariance(spark, SF_DIR))
+    assert "partial" in plan.lower()  # map-side combine on (i, j)
