@@ -198,8 +198,52 @@ ORDER BY purchase_id, click_id
 """
 
 
+def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming leaderboard: per-(event_type, user) value totals
+    maintained by the streaming aggregation (complete mode), top-3
+    users per event type ranked after the drain.  The streaming state
+    is O(event_types × users) aggregates — the rank itself is a tiny
+    batch window over the final table (≤ users rows), which is how a
+    production leaderboard reads its serving store."""
+    from icechunk_spark.functions import money_sum
+
+    name = f"topk_{uuid.uuid4().hex[:8]}"
+    ev = read_event_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type", "user_id").agg(
+        money_sum("value").alias("total_value")
+    )
+    run_to_memory(agg, name, output_mode="complete")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    )
+    return (
+        spark.table(name)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "rnk", "user_id", "total_value")
+        .orderBy("event_type", "rnk")
+    )
+
+
+STREAM_TOPK_USERS_SQL = """
+SELECT event_type, rnk, user_id, total_value FROM (
+  SELECT event_type, user_id,
+         CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) DESC,
+                    user_id
+         ) AS rnk
+  FROM events GROUP BY event_type, user_id
+) t
+WHERE rnk <= 3
+ORDER BY event_type, rnk
+"""
+
+
 QUERIES = {
     "stream_windowed_agg": stream_windowed_agg,
+    "stream_topk_users": stream_topk_users,
     "stream_dedup": stream_dedup,
     "stream_sessionize": stream_sessionize,
     "stream_running_totals": stream_running_totals,
@@ -209,6 +253,7 @@ QUERIES = {
 
 ORACLES = {
     "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
+    "stream_topk_users": STREAM_TOPK_USERS_SQL,
     "stream_windowed_agg": STREAM_WINDOWED_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
     "stream_sessionize": STREAM_SESSIONIZE_SQL,

@@ -89,7 +89,6 @@ PRIORITY: list[str] = [
     "dedup_cluster_star",
     "dedup_exact",
     "simhash",
-    "ngram_jaccard",
     # NEW in r6 (curation_ext): inside the window so they get their
     # first driver row immediately (the r5 lesson: never land a new
     # query outside the window)
@@ -98,9 +97,11 @@ PRIORITY: list[str] = [
     "doc_token_histogram",
     "retention_cohorts",
     "embedding_covariance",
+    "stream_topk_users",
     # ---- window boundary (50) ----
     # overflow head = r4 greens that did not fit; r7's window starts
     # with these
+    "ngram_jaccard",
     "sessionize",
     "asof_join",
     "range_join",
