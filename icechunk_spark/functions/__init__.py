@@ -72,3 +72,19 @@ def normalized_text(text: Column | str) -> Column:
     """Lowercase, collapse whitespace — canonical form for exact dedup."""
     text = F.col(text) if isinstance(text, str) else text
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def ensure_min_partitions(df, min_factor: float = 0.5):
+    """Guard against scan-parallelism collapse for CPU-heavy per-row
+    work on byte-small tables: a compact parquet table (one file, a few
+    MB) arrives as 1-2 input splits, so a per-row-expensive stage
+    (vector folds, shingle hashing) would run nearly single-task no
+    matter how many cores exist.  Repartition to defaultParallelism
+    ONLY when the scan is under-partitioned — at real scale the table
+    spans many splits already and this is a no-op (no shuffle added).
+    The same pattern minhash_lsh applies inline (dedup.py)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, int(target * min_factor)):
+        return df.repartition(target)
+    return df

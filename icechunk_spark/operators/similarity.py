@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from icechunk_spark.catalog import load_tables
-from icechunk_spark.functions import cosine, money_avg
+from icechunk_spark.functions import cosine, ensure_min_partitions, money_avg
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -63,7 +63,9 @@ def _partial_topk(df: DataFrame, keys: list[str], order: list[Column], k: int) -
 def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for each query vector."""
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
+    # the dot-product stage is per-row expensive on a byte-small scan:
+    # spread it across cores when the parquet arrives as 1-2 splits
+    emb = ensure_min_partitions(t["embeddings"])
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )

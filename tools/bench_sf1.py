@@ -68,8 +68,13 @@ def build(spark) -> None:
     def shift(col, off):
         return (F.col(col) + F.lit(off) * F.col("__r")).alias(col)
 
-    def write(df, name):
-        df.drop("__r").write.mode("overwrite").parquet(os.path.join(OUT, f"{name}.parquet"))
+    def write(df, name, n_files: int | None = None):
+        out = df.drop("__r")
+        if n_files:
+            # a 10x table landing as ONE parquet file would hand the
+            # whole scan to one task — real sf1 data spans many splits
+            out = out.repartition(n_files)
+        out.write.mode("overwrite").parquet(os.path.join(OUT, f"{name}.parquet"))
 
     # fixed dims: straight copy
     t["region"].write.mode("overwrite").parquet(os.path.join(OUT, "region.parquet"))
@@ -136,6 +141,7 @@ def build(spark) -> None:
             shift("doc_id", D_OFF), ciphered.alias("text"), "lang", "source", "n_chars", "__r"
         ),
         "documents",
+        n_files=8,
     )
     write(
         reps(t["embeddings"]).select(
@@ -145,6 +151,7 @@ def build(spark) -> None:
             "__r",
         ),
         "embeddings",
+        n_files=8,
     )
     write(
         reps(t["events"]).select(
