@@ -110,6 +110,7 @@ def staged_manifest_from_chunk_dir(
         F.lit(None).cast("bigint").alias("vlength"),
         F.lit(None).cast("binary").alias("inline"),
         F.lit(0).cast("bigint").alias("seq"),
+        F.lit(None).cast("string").alias("vchecksum"),
     )
 
 
@@ -142,7 +143,8 @@ def decode_chunks_to_rows(
         if r["file"] is not None
     ]
     refs = manifest.select(
-        "chunk_key", "chunk_id", "is_virtual", "vpath", "voffset", "vlength", "inline"
+        "chunk_key", "chunk_id", "is_virtual", "vpath", "voffset", "vlength", "inline",
+        "vchecksum",
     )
     if files:
         payloads = spark.read.parquet(*[data_path(root, f) for f in files]).select(
@@ -159,13 +161,14 @@ def decode_chunks_to_rows(
 
     def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from icechunk_spark.repo import fsio
-        from icechunk_spark.repo.session import resolve_vcc
+        from icechunk_spark.repo.session import check_virtual_checksum, resolve_vcc
 
         for pdf in batches:
             for _, row in pdf.iterrows():
                 ck = [int(x) for x in row["chunk_key"].split(".")]
                 if row["is_virtual"]:
                     vp = resolve_vcc(row["vpath"], vcc_map)
+                    check_virtual_checksum(vp, row.get("vchecksum"))
                     raw = fsio.read_range(vp, int(row["voffset"]), int(row["vlength"]))
                 elif row["inline"] is not None:
                     raw = row["inline"]

@@ -34,11 +34,15 @@ from icechunk_spark.repo.errbase import ErrorKind, IcechunkError
 # ``inline`` carries the payload itself for chunks below the repo's
 # inline_chunk_threshold_bytes (reference parity: ChunkPayload::Inline
 # in icechunk-format) — small writes cost zero extra files/reads.
+# ``vchecksum`` (added r6, nullable — pre-r6 manifests read as NULL
+# since Spark/pyarrow fill absent parquet columns) carries the virtual
+# ref's write-time checksum: ``etag:<value>`` or ``mtime:<epoch>``
+# (reference store.py:253 set_virtual_ref(checksum=str|datetime)).
 MANIFEST_SCHEMA = (
     "node_id string, chunk_key string, c0 int, c1 int, c2 int, c3 int, "
     "chunk_id string, file string, n_bytes bigint, op string, "
     "is_virtual boolean, vpath string, voffset bigint, vlength bigint, "
-    "inline binary, seq bigint"
+    "inline binary, seq bigint, vchecksum string"
 )
 
 TXLOG_SCHEMA = "node_id string, chunk_key string, op string"

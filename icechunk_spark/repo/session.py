@@ -118,6 +118,50 @@ def resolve_vcc(vpath: str, names: dict[str, str] | None) -> str:
     return prefix + rel  # url_prefix always ends with "/"
 
 
+def encode_virtual_checksum(checksum) -> str | None:
+    """Serialize the reference's ``checksum: str | datetime`` virtual-ref
+    parameter (store.py:253) into the manifest's ``vchecksum`` column:
+    ``etag:<value>`` for strings, ``mtime:<epoch>`` for datetimes
+    (naive datetimes are taken as UTC — the session tz convention)."""
+    if checksum is None:
+        return None
+    import datetime as _dt
+
+    if isinstance(checksum, _dt.datetime):
+        ts = checksum
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        return f"mtime:{ts.timestamp()}"
+    return f"etag:{checksum}"
+
+
+def check_virtual_checksum(vp: str, vchecksum: str | None) -> None:
+    """Fail the read if the external object visibly changed since the
+    virtual ref was written (reference semantics: a stale ref must not
+    silently return different bytes).  ``mtime:`` checksums compare the
+    object's modification time via pyarrow (any scheme, any process —
+    executor-safe).  ``etag:`` checksums can only be verified where an
+    etag is obtainable; filesystems without one skip the check (the
+    reference's object-store If-Match has no filesystem analog), so the
+    value still round-trips for parity and audits."""
+    if not vchecksum:
+        return
+    if vchecksum.startswith("mtime:"):
+        from icechunk_spark.repo import fsio
+
+        recorded = float(vchecksum[len("mtime:") :])
+        actual = fsio.mtime(vp)
+        # strictly newer than the recorded write-time stamp = modified
+        if actual is not None and actual > recorded:
+            err = IcechunkError(
+                f"virtual chunk at {vp!r} was modified after its recorded "
+                f"checksum time (mtime {actual} > {recorded}); the reference "
+                "is stale"
+            )
+            err._kind = ErrorKind.INVALID_INPUT.value
+            raise err
+
+
 @dataclass
 class ConflictSolver:
     """Resolution policy, mirroring icechunk's BasicConflictSolver:
@@ -674,13 +718,18 @@ class Session:
         offset: int,
         length: int,
         *,
+        checksum=None,
         validate_container: bool = True,
     ) -> None:
         """Reference a byte range in an external file as a chunk
         (icechunk/src/virtual_chunks.rs).  ``validate_container=False``
         skips the configured-container check (the store facade's bulk
         ``set_virtual_refs_arr(validate_containers=False)`` contract —
-        reads remain subject to read authorization regardless)."""
+        reads remain subject to read authorization regardless).
+        ``checksum`` (reference store.py:253: etag str or
+        last-modified datetime) is persisted with the ref and verified
+        on every read — a stale ref fails instead of silently
+        returning different bytes."""
         self._require_data_writable()
         if validate_container:
             self._check_virtual_write(location)
@@ -695,12 +744,19 @@ class Session:
                 "vpath": location,
                 "voffset": offset,
                 "vlength": length,
+                "vchecksum": encode_virtual_checksum(checksum),
             }
         )
 
-    def set_virtual_refs(self, path: str, refs: list[tuple[str, str, int, int]]) -> None:
-        for chunk_key, location, offset, length in refs:
-            self.set_virtual_ref(path, chunk_key, location, offset, length)
+    def set_virtual_refs(self, path: str, refs: list[tuple]) -> None:
+        """Bulk variant: (chunk_key, location, offset, length) tuples,
+        optionally with a 5th checksum element."""
+        for ref in refs:
+            chunk_key, location, offset, length = ref[:4]
+            checksum = ref[4] if len(ref) > 4 else None
+            self.set_virtual_ref(
+                path, chunk_key, location, offset, length, checksum=checksum
+            )
 
     def all_virtual_chunk_locations(self) -> list[str]:
         """Reference parity (list-returning API).  At ~10^8 virtual
@@ -824,6 +880,7 @@ class Session:
                 if c["is_virtual"]:
                     vp = self._resolve_vcc(c["vpath"])
                     self._check_virtual_read(vp)
+                    check_virtual_checksum(vp, c.get("vchecksum"))
                     return fsio.read_range(vp, c["voffset"], c["vlength"])
                 return c["payload"]
         row = self._point_manifest_rows(meta.node_id, chunk_key)
@@ -833,6 +890,7 @@ class Session:
         if r["is_virtual"]:
             vp = self._resolve_vcc(r["vpath"])
             self._check_virtual_read(vp)
+            check_virtual_checksum(vp, r.get("vchecksum"))
             return fsio.read_range(vp, r["voffset"], r["vlength"])
         if r["inline"] is not None:
             return bytes(r["inline"])
@@ -888,6 +946,7 @@ class Session:
             ("voffset", "bigint"),
             ("vlength", "bigint"),
             ("inline", "binary"),
+            ("vchecksum", "string"),
         ]:
             tombs = tombs.withColumn(col, F.lit(None).cast(typ))
         tombs = tombs.withColumn("is_virtual", F.lit(False)).withColumn(
@@ -981,6 +1040,7 @@ class Session:
                 F.lit(None).cast("bigint").alias("vlength"),
                 F.lit(None).cast("binary").alias("inline"),
                 F.lit(0).cast("bigint").alias("seq"),
+                F.lit(None).cast("string").alias("vchecksum"),
             )
             self._stage_manifest(tombs)
         cols = [c.strip().split(" ")[0] for c in MANIFEST_SCHEMA.split(",")]
@@ -1051,6 +1111,7 @@ class Session:
                     "vlength": c.get("vlength"),
                     "inline": inline,
                     "seq": 0,
+                    "vchecksum": c.get("vchecksum"),
                 }
             )
         if rows:
@@ -1103,6 +1164,7 @@ class Session:
                     "vpath": c.get("vpath"),
                     "voffset": c.get("voffset"),
                     "vlength": c.get("vlength"),
+                    "vchecksum": c.get("vchecksum"),
                     "inline": payload if c["op"] == "set" and not c.get("is_virtual") else None,
                     # buffer flushes as the LAST staging item at commit,
                     # so it shadows staged rows; within the buffer later

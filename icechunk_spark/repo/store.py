@@ -83,14 +83,24 @@ class ChunkStore:
         *,
         offset: int,
         length: int,
+        checksum=None,
         validate_container: bool = True,
     ) -> None:
+        """Reference parity: store.py:245 — ``checksum`` is the etag
+        (str) or last-modified datetime of the external object; reads
+        of a ref whose object has visibly changed fail."""
         self._require_store_writable()
         path, chunk = self._parse(key)
         if chunk is None:
             raise RefError(f"{key} is a metadata key, not a chunk key")
         self.session.set_virtual_ref(
-            path, chunk, location, offset, length, validate_container=validate_container
+            path,
+            chunk,
+            location,
+            offset,
+            length,
+            checksum=checksum,
+            validate_container=validate_container,
         )
 
     def set_virtual_refs(
@@ -531,11 +541,14 @@ class ChunkStore:
         *,
         validate_containers: bool = True,
         arr_offset: tuple[int, ...] | None = None,
+        checksums: list | None = None,
     ) -> list[tuple[int, ...]] | None:
         """Store virtual refs from flat C-order arrays of locations /
-        offsets / lengths.  Empty locations are skipped; refs failing
-        container validation are skipped and their grid coordinates
-        returned (reference parity: store.set_virtual_refs_arr)."""
+        offsets / lengths (and optional per-ref ``checksums`` — etag
+        str or last-modified datetime, persisted and read-verified).
+        Empty locations are skipped; refs failing container validation
+        are skipped and their grid coordinates returned (reference
+        parity: store.set_virtual_refs_arr)."""
         import itertools
 
         n = 1
@@ -564,6 +577,7 @@ class ChunkStore:
                 loc,
                 int(offsets[i]),
                 int(lengths[i]),
+                checksum=checksums[i] if checksums is not None else None,
                 validate_container=validate_containers,
             )
         return failed or None

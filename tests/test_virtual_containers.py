@@ -182,3 +182,57 @@ def test_virtual_chunk_locations_df(spark, tmp_path, ext_file):
     assert abs_row["ref_count"] == 1 and abs_row["total_bytes"] == 32
     # agrees with the parity list API
     assert sess.all_virtual_chunk_locations() == sorted(rows)
+
+
+def test_virtual_ref_checksum_validation(spark, tmp_path, ext_file):
+    """Reference parity (store.py:253): set_virtual_ref(checksum=...)
+    persists an etag/last-modified checksum with the ref and read paths
+    verify it — a virtual ref whose external object changed fails
+    instead of silently returning different bytes."""
+    import datetime as dt
+    import os
+
+    from icechunk_spark.errors import IcechunkError
+
+    prefix = ext_file[: ext_file.rindex("/") + 1]
+    repo = Repository.create(
+        spark,
+        str(tmp_path / "repo"),
+        authorize_virtual_chunk_access={prefix: None},
+    )
+    repo.set_virtual_chunk_container("data", prefix)
+    mtime = os.path.getmtime(ext_file)
+    fresh = dt.datetime.fromtimestamp(mtime + 5, dt.timezone.utc)
+    stale = dt.datetime.fromtimestamp(mtime - 5, dt.timezone.utc)
+    with repo.transaction(message="virt") as s:
+        s.create_array("/v", shape=[12], chunk_shape=[4])
+        s.set_virtual_ref("/v", "0", ext_file, offset=4, length=32, checksum=fresh)
+        s.set_virtual_ref("/v", "1", ext_file, offset=4, length=32, checksum=stale)
+        s.set_virtual_ref("/v", "2", ext_file, offset=4, length=32, checksum="some-etag")
+        # buffered read-your-writes path validates too
+        assert s.get_chunk_bytes("/v", "0") is not None
+        with pytest.raises(IcechunkError, match="modified after"):
+            s.get_chunk_bytes("/v", "1")
+
+    auth = type(repo).open(
+        spark, repo.root, authorize_virtual_chunk_access={prefix: None}
+    )
+    ro = auth.readonly_session()
+    # fresh checksum: passes; persisted across commit
+    assert ro.get_chunk_bytes("/v", "0") is not None
+    # stale checksum: the object's mtime is NEWER than recorded -> fail
+    with pytest.raises(IcechunkError, match="modified after"):
+        ro.get_chunk_bytes("/v", "1")
+    # etag checksums round-trip (no etag on local fs -> not verifiable)
+    assert ro.get_chunk_bytes("/v", "2") is not None
+    rows = {
+        r["location"]: r for r in ro.virtual_chunk_locations_df().collect()
+    }
+    assert rows[ext_file]["ref_count"] == 3
+    # the distributed decode path (read_array_df -> mapInPandas) also
+    # verifies: chunk 1's stale ref poisons the full-array read
+    with pytest.raises(Exception, match="modified after"):
+        ro.read_array_df("/v").collect()
+    # a slice touching only the fresh chunk reads clean
+    vals = ro.read_array_df("/v", slices=[(0, 4)]).collect()
+    assert len(vals) == 4
