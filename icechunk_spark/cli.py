@@ -151,6 +151,17 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_vrefs(args) -> int:
+    """Virtual-ref audit (Spark job): per-location ref counts/bytes
+    with vcc:// resolution, via Session.virtual_chunk_locations_df —
+    driver-safe at any ref count (rows stream; only --limit print)."""
+    repo = _repo(args.root, need_spark=True)
+    df = repo.readonly_session().virtual_chunk_locations_df()
+    rows = df.orderBy("location").limit(args.limit).collect()
+    _emit([r.asDict() for r in rows])
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="icechunk-spark",
@@ -186,6 +197,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--dry-run", action="store_true")
     sp = add("compact", cmd_compact, "rewrite manifests into one file (Spark job)")
     sp.add_argument("--branch", default="main")
+    sp = add("vrefs", cmd_vrefs, "audit virtual chunk refs (Spark job)")
+    sp.add_argument("--limit", type=int, default=1000)
     return p
 
 

@@ -104,10 +104,26 @@ class ChunkStore:
         )
 
     def set_virtual_refs(
-        self, array_path: str, refs: list[tuple[str, str, int, int]]
+        self, array_path: str, refs: list
     ) -> None:
+        """Bulk virtual refs: (chunk_key, location, offset, length[,
+        checksum]) tuples, or :class:`~icechunk_spark.types.
+        VirtualChunkSpec` objects (reference store.py:363 signature —
+        index + location + offset + length + etag_checksum /
+        last_updated_at_checksum)."""
         self._require_store_writable()
-        self.session.set_virtual_refs(array_path, refs)
+        norm = []
+        for r in refs:
+            if hasattr(r, "index"):  # VirtualChunkSpec
+                key = ".".join(str(int(x)) for x in r.index)
+                checksum = (
+                    getattr(r, "etag_checksum", None)
+                    or getattr(r, "last_updated_at_checksum", None)
+                )
+                norm.append((key, r.location, r.offset, r.length, checksum))
+            else:
+                norm.append(tuple(r))
+        self.session.set_virtual_refs(array_path, norm)
 
     # --- key codec --------------------------------------------------------
 

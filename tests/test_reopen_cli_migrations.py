@@ -202,3 +202,74 @@ def test_create_with_pinned_spec_version(spark, tmp_path):
     # out-of-range pins are refused
     with pytest.raises(ValueError, match="spec_version"):
         Repository.create(spark, str(tmp_path / "bad"), spec_version=99)
+
+
+def test_cli_vrefs(spark, tmp_path, capsys):
+    import numpy as np
+
+    from icechunk_spark.cli import main
+
+    ext = tmp_path / "ext.bin"
+    with open(ext, "wb") as f:
+        f.write(np.arange(8, dtype="float64").tobytes())
+    prefix = str(tmp_path) + "/"
+    root = str(tmp_path / "vrepo")
+    repo = Repository.create(
+        spark, root, authorize_virtual_chunk_access={prefix: None}
+    )
+    repo.set_virtual_chunk_container("data", prefix)
+    with repo.transaction(message="virt") as s:
+        s.create_array("/v", shape=[8], chunk_shape=[4])
+        s.set_virtual_ref("/v", "0", str(ext), offset=0, length=32)
+        s.set_virtual_ref("/v", "1", "vcc://data/ext.bin", offset=32, length=32)
+
+    assert main(["vrefs", root]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    by_loc = {r["location"]: r for r in rows}
+    assert by_loc[str(ext)]["ref_count"] == 1
+    assert by_loc["vcc://data/ext.bin"]["resolved_location"] == prefix + "ext.bin"
+
+
+def test_store_set_virtual_refs_specs(spark, tmp_path):
+    """store.set_virtual_refs accepts VirtualChunkSpec objects
+    (reference store.py:363) including their checksum fields."""
+    import datetime as dt
+    import os
+
+    import numpy as np
+
+    from icechunk_spark.errors import IcechunkError
+    from icechunk_spark.repo.store import ChunkStore
+    from icechunk_spark.types import VirtualChunkSpec
+
+    ext = tmp_path / "specs.bin"
+    with open(ext, "wb") as f:
+        f.write(np.arange(8, dtype="float64").tobytes())
+    prefix = str(tmp_path) + "/"
+    mtime = os.path.getmtime(ext)
+    stale = dt.datetime.fromtimestamp(mtime - 5, dt.timezone.utc)
+    root = str(tmp_path / "srepo")
+    repo = Repository.create(
+        spark, root, authorize_virtual_chunk_access={prefix: None}
+    )
+    repo.set_virtual_chunk_container("data", prefix)
+    with repo.transaction(message="virt") as s:
+        s.create_array("/v", shape=[8], chunk_shape=[4])
+        store = ChunkStore(s)
+        store.set_virtual_refs(
+            "/v",
+            [
+                VirtualChunkSpec(index=[0], location=str(ext), offset=0, length=32),
+                VirtualChunkSpec(
+                    index=[1],
+                    location=str(ext),
+                    offset=32,
+                    length=32,
+                    last_updated_at_checksum=stale,
+                ),
+            ],
+        )
+    ro = repo.readonly_session()
+    assert ro.get_chunk_bytes("/v", "0") == np.arange(4, dtype="float64").tobytes()
+    with pytest.raises(IcechunkError, match="modified after"):
+        ro.get_chunk_bytes("/v", "1")

@@ -164,3 +164,50 @@ def test_array_codec_roundtrip_matches_numpy(spark, tmp_path_factory, shape, dat
         if all(slices[d][0] <= coord[d] < slices[d][1] for d in range(ndim)):
             if model[coord] != 0.0:
                 assert got_map.get(tuple(coord)) == model[coord]
+
+
+# --- set_partial_values model property --------------------------------------
+
+# ranges: (start, payload) with start 0..40, payloads 1..8 bytes
+range_st = st.tuples(st.integers(min_value=0, max_value=40), st.binary(min_size=1, max_size=8))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(initial=st.binary(max_size=32), ranges=st.lists(range_st, min_size=1, max_size=5))
+def test_set_partial_values_matches_bytearray_model(spark, tmp_path_factory, initial, ranges):
+    """set_partial_values over a buffered chunk behaves exactly like
+    splicing a zero-extended bytearray (reference store.py:587-602) —
+    overlapping inputs must be rejected, non-overlapping ones spliced."""
+    from icechunk_spark.repo.format import RefError
+    from icechunk_spark.repo.store import ChunkStore
+
+    # model: detect overlap and compute expected result
+    srt = sorted(ranges, key=lambda sv: sv[0])
+    overlap = any(
+        srt[i][0] < srt[i - 1][0] + len(srt[i - 1][1]) for i in range(1, len(srt))
+    )
+    root = str(tmp_path_factory.mktemp("spv") / "repo")
+    repo = Repository.create(spark, root)
+    with repo.transaction(message="spv") as s:
+        s.create_array("/a", shape=[64], chunk_shape=[64])
+        if initial:
+            s.set_chunk_bytes("/a", "0", initial)
+        store = ChunkStore(s)
+        triples = [("a/c/0", start, val) for start, val in ranges]
+        if overlap:
+            with pytest.raises(RefError, match="overlap"):
+                store.set_partial_values(triples)
+            return
+        end = max(
+            [len(initial)] + [start + len(val) for start, val in ranges]
+        )
+        model = bytearray(end)
+        model[: len(initial)] = initial
+        for start, val in ranges:
+            model[start : start + len(val)] = val
+        store.set_partial_values(triples)
+        assert store.get("a/c/0") == bytes(model)
