@@ -32,6 +32,7 @@ from icechunk_spark.repo.admin import (
     Update,
     check_flag,
 )
+from icechunk_spark.repo.errbase import IcechunkError
 from icechunk_spark.repo.format import RefError, SnapshotInfo, new_id
 from icechunk_spark.repo.session import ConflictSolver, Diff, Session, VersionSelector
 
@@ -1105,6 +1106,14 @@ class Repository:
     # histories shorter than this read serially — executor round-trips
     # cost more than a handful of driver GETs
     _PARALLEL_SNAPSHOT_READ_MIN = 64
+    # design-doc 011: max reachability recomputations when refs are
+    # created concurrently with GC before the GC aborts
+    _GC_MAX_RETRIES = 3
+
+    def _gc_prevalidate_hook(self) -> None:
+        """Test injection point: runs after reachability is computed and
+        BEFORE the tips are re-verified / anything is deleted (no-op in
+        production)."""
 
     def _reap_paths(self, paths: list[str], cutoff: float, dry_run: bool) -> int:
         """Age-gated delete of a list of files/dirs, counting actual
@@ -1251,37 +1260,60 @@ class Repository:
         # BEFORE the listing (_ref_tips); any id the stale graph does
         # not know resolves with a fresh driver read — reachability is
         # never truncated (truncation would hand live history to GC).
-        tips = self._ref_tips()
-        metas = self._snapshot_meta_parallel(
-            fmt.list_snapshot_ids(self.root), include_manifests=True
-        )
-        if metas is None:
-            live_snaps = self._reachable_snapshots()
-            for sid in live_snaps:
-                snap = fmt.read_snapshot(self.root, sid)
-                live_manifests.update(snap.manifests)
-                pruned_keep.update(snap.pruned_ancestor_tx_logs)
+        #
+        # design-doc 011 (GC/expiration consistency): a branch or tag
+        # CREATED while reachability is computed may point at a
+        # snapshot the computed graph considers dead.  After computing
+        # the live set, re-read every ref tip; if any tip is outside
+        # it, RESTART the computation so the new ref's chain joins the
+        # live set.  Bounded retries; exhausting them aborts the GC
+        # (never delete a snapshot a ref now names).
+        for _attempt in range(self._GC_MAX_RETRIES):
+            live_manifests.clear()
+            pruned_keep.clear()
+            tips = self._ref_tips()
+            metas = self._snapshot_meta_parallel(
+                fmt.list_snapshot_ids(self.root), include_manifests=True
+            )
+            if metas is None:
+                live_snaps = self._reachable_snapshots()
+                for sid in live_snaps:
+                    snap = fmt.read_snapshot(self.root, sid)
+                    live_manifests.update(snap.manifests)
+                    pruned_keep.update(snap.pruned_ancestor_tx_logs)
+            else:
+                info = {
+                    sid: (pid, mans, pruned) for sid, pid, mans, pruned, _w in metas
+                }
+                live_snaps = set()
+                for tip in tips:
+                    cur: str | None = tip
+                    while cur is not None and cur not in live_snaps:
+                        live_snaps.add(cur)
+                        if cur not in info:
+                            s = fmt.read_snapshot(self.root, cur)
+                            info[cur] = (
+                                s.parent_id,
+                                list(s.manifests),
+                                list(s.pruned_ancestor_tx_logs),
+                            )
+                        cur = info[cur][0]
+                for sid in live_snaps:
+                    _pid, mans, pruned = info[sid]
+                    live_manifests.update(mans)
+                    pruned_keep.update(pruned)
+            self._gc_prevalidate_hook()
+            fresh_tips = self._ref_tips()
+            if all(t in live_snaps for t in fresh_tips):
+                break
         else:
-            info = {
-                sid: (pid, mans, pruned) for sid, pid, mans, pruned, _w in metas
-            }
-            live_snaps = set()
-            for tip in tips:
-                cur: str | None = tip
-                while cur is not None and cur not in live_snaps:
-                    live_snaps.add(cur)
-                    if cur not in info:
-                        s = fmt.read_snapshot(self.root, cur)
-                        info[cur] = (
-                            s.parent_id,
-                            list(s.manifests),
-                            list(s.pruned_ancestor_tx_logs),
-                        )
-                    cur = info[cur][0]
-            for sid in live_snaps:
-                _pid, mans, pruned = info[sid]
-                live_manifests.update(mans)
-                pruned_keep.update(pruned)
+            err = IcechunkError(
+                f"garbage_collect aborted: refs moved onto snapshots outside "
+                f"the computed live set in each of {self._GC_MAX_RETRIES} "
+                "attempts; re-run when ref churn settles"
+            )
+            raise err
+
         def _old_snap(sid: str) -> bool:
             try:
                 return fmt.snapshot_mtime(self.root, sid) < cutoff

@@ -413,3 +413,76 @@ def test_write_to_deleted_node_use_ours_resurrects(spark, repo):
     assert "/a" in sess.list_nodes()
     vals = {r["i0"]: r["value"] for r in sess.read_array_df("/a").collect()}
     assert vals[0] == 7.0
+
+
+def test_gc_restarts_when_ref_created_mid_collection(spark, tmp_path):
+    """design-docs/011: a tag created AFTER GC computes reachability but
+    BEFORE it deletes must not be invalidated — GC re-verifies every
+    ref tip against the live set and restarts the computation."""
+    import time as _time
+
+    root = str(tmp_path / "repo")
+    repo = Repository.create(spark, root)
+    with repo.transaction(message="c0") as s:
+        s.create_array("/a", shape=[4], chunk_shape=[4])
+        s.set_chunk_bytes("/a", "0", b"x" * 4096)
+    doomed = repo.lookup_branch("main")
+    with repo.transaction(message="c1") as s:
+        s.set_chunk_bytes("/a", "0", b"y" * 4096)
+
+    # make c0 unreachable: expire everything behind the tip
+    repo.expire_snapshots(older_than_seconds=-1)
+
+    calls = {"n": 0}
+    orig_hook = repo._gc_prevalidate_hook
+
+    def racy_hook():
+        # on the FIRST pass only: a concurrent writer tags the doomed
+        # snapshot between reachability and deletion
+        if calls["n"] == 0:
+            repo.create_tag("rescue", doomed)
+        calls["n"] += 1
+        orig_hook()
+
+    repo._gc_prevalidate_hook = racy_hook
+    summary = repo.garbage_collect(older_than_seconds=0, now=_time.time() + 10)
+    assert calls["n"] >= 2  # restarted at least once
+    # the tagged snapshot SURVIVED and still serves reads
+    assert repo.readonly_session(tag="rescue").get_chunk_bytes("/a", "0") == b"x" * 4096
+    assert summary.snapshots_deleted == 0
+
+
+def test_gc_aborts_after_max_retries_of_ref_churn(spark, tmp_path):
+    """Refs that keep landing on DIFFERENT unreachable snapshots
+    exhaust the retry budget: GC must abort loudly, never delete.
+    (Churn on the SAME snapshot converges — the recomputed live set
+    absorbs it — so each pass here tags a new doomed snapshot.)"""
+    import time as _time
+
+    from icechunk_spark.errors import IcechunkError
+
+    root = str(tmp_path / "repo")
+    repo = Repository.create(spark, root)
+    doomed = []
+    for i in range(4):
+        with repo.transaction(message=f"c{i}") as s:
+            if i == 0:
+                s.create_array("/a", shape=[4], chunk_shape=[4])
+            s.set_chunk_bytes("/a", "0", bytes([i]) * 4096)
+        if i < 3:
+            doomed.append(repo.lookup_branch("main"))
+    repo.expire_snapshots(older_than_seconds=-1)
+
+    calls = {"n": 0}
+
+    def churn_hook():
+        i = calls["n"]
+        repo.create_tag(f"churn{i}", doomed[i])
+        if i > 0:
+            repo.delete_tag(f"churn{i - 1}")
+        calls["n"] += 1
+
+    repo._gc_prevalidate_hook = churn_hook
+    with pytest.raises(IcechunkError, match="aborted"):
+        repo.garbage_collect(older_than_seconds=0, now=_time.time() + 10)
+    assert calls["n"] == repo._GC_MAX_RETRIES
