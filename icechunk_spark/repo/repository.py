@@ -896,7 +896,11 @@ class Repository:
             session.discard_changes()
             raise
         md = {**self.default_commit_metadata(), **(metadata or {})}
-        session.commit(message, metadata=md, rebase_with=rebase_with)
+        # an empty transaction body commits nothing rather than failing
+        # (the explicit commit() API keeps the reference's strict
+        # allow_empty=False default)
+        if session.has_uncommitted_changes():
+            session.commit(message, metadata=md, rebase_with=rebase_with)
 
     # --- diff -------------------------------------------------------------
 

@@ -1245,15 +1245,38 @@ class Session:
         message: str,
         metadata: dict | None = None,
         rebase_with: ConflictSolver | None = None,
+        *,
+        rebase_tries: int = 1_000,
+        allow_empty: bool = False,
     ) -> str:
-        """Commit staged changes; returns the new snapshot id."""
+        """Commit staged changes; returns the new snapshot id.
+
+        Reference parity (session.py:411): ``rebase_with`` retries the
+        commit through ``rebase`` when another session committed first,
+        up to ``rebase_tries`` times; ``allow_empty=False`` (the
+        default, matching the reference) refuses a commit that changes
+        nothing."""
         self._require_writable()
         self._require_repo_online()
         if self._branch is None:
             raise RefError("no branch to commit to")
+        if (
+            not allow_empty
+            and not self._chunk_buffer
+            and not self._staged
+            and not self._node_ops
+        ):
+            err = IcechunkError(
+                "nothing to commit (pass allow_empty=True to create an "
+                "empty commit)"
+            )
+            err._kind = ErrorKind.SESSION_STATE.value
+            raise err
         self._flush_chunk_buffer()
         doc = self._config_doc()
         max_attempts = int((doc or {}).get("repo_update_retries", 10) or 10)
+        if rebase_with is not None:
+            max_attempts = min(max_attempts, max(1, int(rebase_tries)))
         attempts = 0
         while True:
             attempts += 1

@@ -486,3 +486,21 @@ def test_gc_aborts_after_max_retries_of_ref_churn(spark, tmp_path):
     with pytest.raises(IcechunkError, match="aborted"):
         repo.garbage_collect(older_than_seconds=0, now=_time.time() + 10)
     assert calls["n"] == repo._GC_MAX_RETRIES
+
+
+def test_commit_allow_empty(spark, tmp_path):
+    """Reference parity (session.py:411): commit refuses an empty
+    change set unless allow_empty=True; an empty transaction() body is
+    a no-op rather than an error."""
+    from icechunk_spark.errors import IcechunkError
+
+    repo = Repository.create(spark, str(tmp_path / "repo"))
+    s = repo.writable_session()
+    with pytest.raises(IcechunkError, match="nothing to commit"):
+        s.commit("empty")
+    sid = s.commit("empty ok", allow_empty=True)
+    assert repo.lookup_branch("main") == sid
+    tip_before = repo.lookup_branch("main")
+    with repo.transaction(message="noop"):
+        pass
+    assert repo.lookup_branch("main") == tip_before
