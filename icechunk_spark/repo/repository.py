@@ -34,7 +34,31 @@ from icechunk_spark.repo.admin import (
 )
 from icechunk_spark.repo.errbase import IcechunkError
 from icechunk_spark.repo.format import RefError, SnapshotInfo, new_id
+from icechunk_spark.repo.storage import StorageConflict
 from icechunk_spark.repo.session import ConflictSolver, Diff, Session, VersionSelector
+
+
+def _resolve_cutoff(older_than_seconds, older_than, now: float, op: str) -> float:
+    """Epoch cutoff from either a relative age in seconds or the
+    reference's absolute ``datetime`` (naive = UTC).  Exactly one of
+    the two must be given."""
+    import datetime as _dt
+
+    if (older_than_seconds is None) == (older_than is None):
+        raise ValueError(
+            f"{op}: pass exactly one of older_than_seconds (relative age) "
+            "or an absolute datetime cutoff"
+        )
+    if older_than is None:
+        return now - float(older_than_seconds)
+    if isinstance(older_than, _dt.datetime):
+        ts = older_than
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        return ts.timestamp()
+    # a bare number passed positionally in the datetime slot: treat as
+    # relative seconds (ergonomic back-compat)
+    return now - float(older_than)
 
 
 def _dp(root: str, *parts: str) -> str:
@@ -400,12 +424,14 @@ class Repository:
     def create(
         cls,
         spark: SparkSession,
-        root: str,
+        root: "str | None" = None,
         metadata: dict | None = None,
         spec_version: int | None = None,
         *,
         config: "RepositoryConfig | None" = None,
         authorize_virtual_chunk_access: dict[str, Any] | None = None,
+        storage: Any | None = None,
+        check_clean_root: bool = True,
     ) -> "Repository":
         """Create a repository.  ``spec_version`` pins the on-disk
         layout version (reference parity: Repository.create's
@@ -413,11 +439,32 @@ class Repository:
         engines; default = the engine's current spec.  Sessions honor
         the pinned version (a v1 repo keeps the flat chunk layout until
         migrated).  ``config`` is persisted to config.json at create
-        (reference parity: Repository.create's config arg)."""
+        (reference parity: Repository.create's config arg).
+        ``storage=`` is the reference's keyword spelling of the root
+        (any Storage instance works in either slot);
+        ``check_clean_root=False`` skips the leftover-object probe
+        (reference repository.py create kwarg) for roots known to hold
+        unrelated files."""
+        if root is None and storage is not None:
+            root = storage
         if cls.exists(root):
             from icechunk_spark.errors import AlreadyExistsError
 
             raise AlreadyExistsError(f"repository already exists at {root}")
+        if check_clean_root:
+            st = fmt.resolve_storage(root)
+            leftovers = [
+                d for d in ("snapshots", "refs", "chunks", "manifests")
+                if st.list_dir(d)
+            ]
+            if leftovers:
+                from icechunk_spark.errors import AlreadyExistsError
+
+                raise AlreadyExistsError(
+                    f"root at {root} holds leftover repository objects "
+                    f"({', '.join(leftovers)}); pass check_clean_root=False "
+                    "to create anyway"
+                )
         v = SPEC_VERSION if spec_version is None else int(spec_version)
         if not (1 <= v <= SPEC_VERSION):
             raise ValueError(
@@ -453,11 +500,14 @@ class Repository:
     def open(
         cls,
         spark: SparkSession,
-        root: str,
+        root: "str | None" = None,
         authorize_virtual_chunk_access: dict[str, Any] | None = None,
         *,
         config: "RepositoryConfig | None" = None,
+        storage: Any | None = None,
     ) -> "Repository":
+        if root is None and storage is not None:
+            root = storage
         if not cls.exists(root):
             from icechunk_spark.errors import RepositoryNotFoundError
 
@@ -591,9 +641,17 @@ class Repository:
             "metadata": info.get("metadata", {}),
         }
 
-    def inspect_manifest(self, manifest_rel: str) -> dict[str, Any]:
+    def inspect_manifest(
+        self, manifest_rel: str | None = None, *, manifest_id: str | None = None
+    ) -> dict[str, Any]:
         """Per-manifest storage statistics (chunk refs by kind, per
-        array) as one Spark aggregation over the manifest parquet."""
+        array) as one Spark aggregation over the manifest parquet.
+        Accepts the manifest's relative path or (reference signature)
+        its bare id — resolved to ``manifests/<id>.parquet``."""
+        if (manifest_rel is None) == (manifest_id is None):
+            raise ValueError("pass exactly one of manifest_rel or manifest_id")
+        if manifest_rel is None:
+            manifest_rel = f"manifests/{manifest_id}.parquet"
         df = self.spark.read.schema(fmt.MANIFEST_SCHEMA).parquet(
             _dp(self.root, manifest_rel)
         )
@@ -686,10 +744,21 @@ class Repository:
     def lookup_branch(self, branch: str) -> str:
         return fmt.branch_tip(self.root, branch)[1]
 
-    def reset_branch(self, branch: str, snapshot_id: str) -> None:
+    def reset_branch(
+        self, branch: str, snapshot_id: str, *, from_snapshot_id: str | None = None
+    ) -> None:
+        """Point a branch at ``snapshot_id``.  ``from_snapshot_id``
+        (reference repository.py:1235) makes the reset conditional: it
+        fails if the branch tip moved away from that snapshot since the
+        caller read it — the ref-level CAS."""
         self._require_online("reset branch")
         fmt.read_snapshot(self.root, snapshot_id)
-        gen, _ = fmt.branch_tip(self.root, branch)
+        gen, cur = fmt.branch_tip(self.root, branch)
+        if from_snapshot_id is not None and cur != from_snapshot_id:
+            raise StorageConflict(
+                f"branch {branch} tip is {cur}, not the expected "
+                f"{from_snapshot_id}; refusing the conditional reset"
+            )
         fmt.update_branch(self.root, branch, snapshot_id, expected_gen=gen)
         self._log_update(
             {"type": "BranchReset", "name": branch, "to_snap_id": snapshot_id}
@@ -744,14 +813,25 @@ class Repository:
             yield snap
             sid = snap.parent_id
 
-    def ancestry_graph(self, plain: bool = False):
+    def ancestry_graph(
+        self,
+        plain: bool = False,
+        *,
+        branch: str | None = None,
+        tag: str | None = None,
+        snapshot_id: str | None = None,
+    ):
         """Visual commit history (reference parity:
-        Repository.ancestry_graph — display.rs).  ``print()`` the
-        result for a terminal tree; notebooks render SVG.  ``plain``
+        Repository.ancestry_graph — repository.py:1016).  With no ref
+        argument, shows all branches/tags as a tree; with one of
+        branch/tag/snapshot_id, that ref's linear history.  ``print()``
+        the result for a terminal tree; notebooks render SVG; ``plain``
         swaps Unicode bullets for ASCII (CI / log files)."""
         from icechunk_spark.snapshots import AncestryGraph
 
-        return AncestryGraph.from_repository(self, plain=plain)
+        return AncestryGraph.from_repository(
+            self, plain=plain, branch=branch, tag=tag, snapshot_id=snapshot_id
+        )
 
     def _parent_map(self) -> dict[str, str | None]:
         """snapshot_id -> parent_id over all refs' histories."""
@@ -887,6 +967,7 @@ class Repository:
         message: str,
         metadata: dict | None = None,
         rebase_with: ConflictSolver | None = None,
+        rebase_tries: int = 1_000,
     ):
         """Context manager: commit on clean exit, discard on error."""
         session = self.writable_session(branch)
@@ -900,7 +981,9 @@ class Repository:
         # (the explicit commit() API keeps the reference's strict
         # allow_empty=False default)
         if session.has_uncommitted_changes():
-            session.commit(message, metadata=md, rebase_with=rebase_with)
+            session.commit(
+                message, metadata=md, rebase_with=rebase_with, rebase_tries=rebase_tries
+            )
 
     # --- diff -------------------------------------------------------------
 
@@ -982,9 +1065,10 @@ class Repository:
 
     def expire_snapshots(
         self,
-        older_than_seconds: float,
+        older_than_seconds: "float | None" = None,
         now: float | None = None,
         *,
+        older_than=None,
         delete_expired_branches: bool = False,
         delete_expired_tags: bool = False,
     ) -> set[str]:
@@ -993,11 +1077,16 @@ class Repository:
         ids (design-docs/007-basic-expiration.md).  Files are reclaimed
         by garbage_collect.
 
+        The cutoff is either ``older_than_seconds`` (age relative to
+        ``now``) or ``older_than`` — an absolute ``datetime``, the
+        reference's signature (repository.py:1715); naive datetimes are
+        taken as UTC.
+
         With ``delete_expired_branches`` / ``delete_expired_tags`` (the
         reference's flags), refs other than main whose TIP falls behind
         the cutoff are themselves deleted along with their history."""
         now = time.time() if now is None else now
-        cutoff = now - older_than_seconds
+        cutoff = _resolve_cutoff(older_than_seconds, older_than, now, "expire_snapshots")
         # tips are pinned unless their ref is allowed to be deleted
         pinned = {fmt.branch_tip(self.root, MAIN)[1]}
         for b in self.list_branches():
@@ -1227,10 +1316,14 @@ class Repository:
 
     def garbage_collect(
         self,
+        delete_object_older_than=None,
         *,
         dry_run: bool = False,
-        older_than_seconds: float = 24 * 3600.0,
+        older_than_seconds: "float | None" = None,
         now: float | None = None,
+        max_snapshots_in_memory: int = 50,
+        max_compressed_manifest_mem_bytes: int = 512 * 1024 * 1024,
+        max_concurrent_manifest_fetches: int = 500,
     ) -> GCSummary:
         """Delete chunk files, manifests, txlogs and snapshots no longer
         reachable from any ref.  Chunk-file liveness is a Spark
@@ -1238,13 +1331,27 @@ class Repository:
         never a driver-side chunk list (src/ops/gc.rs).  ``dry_run``
         counts what would be deleted without touching anything.
 
-        Only objects *written before* ``now - older_than_seconds`` are
-        touched (default 24h, matching the reference's age cutoff):
+        Only objects *written before* the cutoff are touched —
+        ``delete_object_older_than`` (an absolute ``datetime``, the
+        reference's signature repository.py:1903) or
+        ``older_than_seconds`` relative to ``now`` (default 24h):
         an in-flight write session puts chunk parquet into ``chunks/``
         while its manifest is still staged, so an un-aged GC would
-        delete data a concurrent commit is about to reference."""
+        delete data a concurrent commit is about to reference.
+
+        ``max_snapshots_in_memory`` / ``max_compressed_manifest_mem_bytes``
+        / ``max_concurrent_manifest_fetches`` are accepted for reference
+        signature compatibility but are advisory here: snapshots and
+        manifests stream through Spark executor tasks, so driver memory
+        never holds them regardless of these caps."""
+        del max_snapshots_in_memory, max_compressed_manifest_mem_bytes
+        del max_concurrent_manifest_fetches
         now = time.time() if now is None else now
-        cutoff = now - older_than_seconds
+        if delete_object_older_than is None and older_than_seconds is None:
+            older_than_seconds = 24 * 3600.0
+        cutoff = _resolve_cutoff(
+            older_than_seconds, delete_object_older_than, now, "garbage_collect"
+        )
 
         def _old(path: str) -> bool:
             ts = fsio.mtime(path)
@@ -1500,12 +1607,24 @@ class Repository:
             )
         return summary
 
-    def rewrite_manifests(self, branch: str = MAIN, message: str = "rewrite manifests") -> str:
+    def rewrite_manifests(
+        self,
+        branch: str = MAIN,
+        message: str = "rewrite manifests",
+        *,
+        metadata: dict | None = None,
+        commit_method: str = "new_commit",
+    ) -> str:
         """Compaction: collapse a snapshot's manifest list into one
         sorted, deduplicated manifest file and commit the result
         (src/ops/manifests.rs; design-docs/005).  Sorting by (node_id,
         c0..c3) makes subsequent slice reads scan contiguous row
-        groups."""
+        groups.  ``commit_method="amend"`` (reference
+        repository.py:1819, types.CommitMethod) folds the rewrite into
+        the CURRENT tip commit instead of adding a compaction commit —
+        same history length, compacted layout."""
+        if commit_method not in ("new_commit", "amend"):
+            raise ValueError(f"invalid commit_method {commit_method!r}")
         gen, tip_id = fmt.branch_tip(self.root, branch)
         tip = fmt.read_snapshot(self.root, tip_id)
         resolved = mf.resolve_manifests(self.spark, self.root, tip)
@@ -1527,16 +1646,33 @@ class Repository:
             )
         else:
             rels = [mf.write_manifest(compacted, self.root, n_files=cfg.manifest_split_files)]
-        snap = SnapshotInfo(
-            id=new_id(),
-            parent_id=tip.id,
-            message=message,
-            metadata={"op": "rewrite_manifests"},
-            written_at=time.time(),
-            seq=tip.seq + 1,
-            manifests=rels,
-            nodes=tip.nodes,
-        )
+        if commit_method == "amend" and tip.parent_id is None:
+            raise RefError("cannot amend the root snapshot; use commit_method='new_commit'")
+        if commit_method == "amend":
+            # fold into the tip: same parent/seq/message (unless given),
+            # new manifest list — history length unchanged
+            snap = SnapshotInfo(
+                id=new_id(),
+                parent_id=tip.parent_id,
+                message=message if message != "rewrite manifests" else tip.message,
+                metadata={**tip.metadata, **(metadata or {}), "op": "rewrite_manifests"},
+                written_at=time.time(),
+                seq=tip.seq,
+                manifests=rels,
+                nodes=tip.nodes,
+                pruned_ancestor_tx_logs=list(tip.pruned_ancestor_tx_logs),
+            )
+        else:
+            snap = SnapshotInfo(
+                id=new_id(),
+                parent_id=tip.id,
+                message=message,
+                metadata={**(metadata or {}), "op": "rewrite_manifests"},
+                written_at=time.time(),
+                seq=tip.seq + 1,
+                manifests=rels,
+                nodes=tip.nodes,
+            )
         fmt.write_snapshot(self.root, snap)
         fmt.update_branch(self.root, branch, snap.id, expected_gen=gen)
         self._log_update({"type": "ManifestsRewritten", "branch": branch})

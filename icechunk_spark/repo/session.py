@@ -1384,13 +1384,35 @@ class Session:
         self._drop_manifest_cache()
         return snap_id
 
-    def amend(self, message: str | None = None, metadata: dict | None = None) -> str:
+    def amend(
+        self,
+        message: str | None = None,
+        metadata: dict | None = None,
+        *,
+        allow_empty: bool = False,
+    ) -> str:
         """Replace the tip commit with tip+staged (same parent) —
-        session.py:amend."""
+        session.py:509.  ``allow_empty=False`` (reference default)
+        refuses an amend that changes nothing beyond message/metadata
+        when neither was given."""
         self._require_writable()
         self._require_repo_online()
         if self._branch is None:
             raise RefError("no branch to amend")
+        if (
+            not allow_empty
+            and message is None
+            and metadata is None
+            and not self._chunk_buffer
+            and not self._staged
+            and not self._node_ops
+        ):
+            err = IcechunkError(
+                "nothing to amend (pass allow_empty=True, or a new "
+                "message/metadata)"
+            )
+            err._kind = ErrorKind.SESSION_STATE.value
+            raise err
         self._flush_chunk_buffer()
         gen, tip_id = fmt.branch_tip(self.root, self._branch)
         tip = fmt.read_snapshot(self.root, tip_id)

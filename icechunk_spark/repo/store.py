@@ -104,26 +104,45 @@ class ChunkStore:
         )
 
     def set_virtual_refs(
-        self, array_path: str, refs: list
-    ) -> None:
-        """Bulk virtual refs: (chunk_key, location, offset, length[,
-        checksum]) tuples, or :class:`~icechunk_spark.types.
-        VirtualChunkSpec` objects (reference store.py:363 signature —
-        index + location + offset + length + etag_checksum /
-        last_updated_at_checksum)."""
+        self, array_path: str, chunks: list, *, validate_containers: bool = True
+    ) -> "list[tuple[int, ...]] | None":
+        """Bulk virtual refs (reference store.py:363): a list of
+        :class:`~icechunk_spark.types.VirtualChunkSpec` objects (index
+        + location + offset + length + etag_checksum /
+        last_updated_at_checksum) — or plain (chunk_key, location,
+        offset, length[, checksum]) tuples.  With
+        ``validate_containers=True``, refs whose location matches no
+        configured container are SKIPPED and their grid coordinates
+        returned (the reference's partial-failure contract); with
+        False they are stored unvalidated."""
         self._require_store_writable()
-        norm = []
-        for r in refs:
+        sess = self.session
+        failed: list[tuple[int, ...]] = []
+        for r in chunks:
             if hasattr(r, "index"):  # VirtualChunkSpec
-                key = ".".join(str(int(x)) for x in r.index)
+                index = tuple(int(x) for x in r.index)
+                key = ".".join(str(x) for x in index)
+                loc = r.location
+                offset, length = r.offset, r.length
                 checksum = (
                     getattr(r, "etag_checksum", None)
                     or getattr(r, "last_updated_at_checksum", None)
                 )
-                norm.append((key, r.location, r.offset, r.length, checksum))
             else:
-                norm.append(tuple(r))
-        self.session.set_virtual_refs(array_path, norm)
+                key, loc, offset, length = r[:4]
+                checksum = r[4] if len(r) > 4 else None
+                index = tuple(int(x) for x in key.split("."))
+            if validate_containers and (
+                sess._virtual_containers is not None or loc.startswith("vcc://")
+            ):
+                if not sess._virtual_write_ok(loc):
+                    failed.append(index)
+                    continue
+            sess.set_virtual_ref(
+                array_path, key, loc, offset, length,
+                checksum=checksum, validate_container=False,
+            )
+        return failed or None
 
     # --- key codec --------------------------------------------------------
 
@@ -189,7 +208,32 @@ class ChunkStore:
     def _doc_bytes(self, node: dict) -> bytes:
         return json.dumps(self._zarr_doc(node), separators=(",", ":")).encode()
 
-    def get(self, key: str) -> bytes | None:
+    def get(self, key: str, prototype=None, byte_range=None) -> bytes | None:
+        """Reference-parity extras (store.py:148): ``prototype`` (the
+        zarr BufferPrototype) is accepted and ignored — this store
+        returns plain bytes; ``byte_range`` may be a (start, end)
+        tuple (end exclusive, either side None), an int offset, or an
+        object with ``start``/``end``/``offset``/``suffix`` attributes
+        (zarr's Range/Offset/Suffix byte requests)."""
+        raw = self._get_full(key)
+        if raw is None or byte_range is None:
+            return raw
+        if isinstance(byte_range, int):
+            return raw[byte_range:]
+        if isinstance(byte_range, tuple):
+            start, end = byte_range
+            return raw[start or 0 : end]
+        if hasattr(byte_range, "suffix"):
+            return raw[len(raw) - int(byte_range.suffix) :]
+        if hasattr(byte_range, "start") or hasattr(byte_range, "end"):
+            start = int(getattr(byte_range, "start", 0) or 0)
+            end = getattr(byte_range, "end", None)
+            return raw[start : None if end is None else int(end)]
+        if hasattr(byte_range, "offset"):
+            return raw[int(byte_range.offset) :]
+        raise RefError(f"unsupported byte_range: {byte_range!r}")
+
+    def _get_full(self, key: str) -> bytes | None:
         path, chunk = self._parse(key)
         if chunk is None:
             try:
@@ -306,13 +350,20 @@ class ChunkStore:
     def exists(self, key: str) -> bool:
         return self.get(key) is not None
 
-    def get_partial_values(
-        self, key_ranges: list[tuple[str, tuple[int | None, int | None]]]
-    ) -> list[bytes | None]:
+    def get_partial_values(self, *args) -> list[bytes | None]:
         """Byte-range reads: (key, (offset, length)); None offset = 0,
-        None length = to end (store.py:get_partial_values).  Fans out
-        over a thread pool when the repo config sets
+        None length = to end (store.py:get_partial_values).  Callable
+        either as ``get_partial_values(key_ranges)`` or with the zarr
+        convention ``get_partial_values(prototype, key_ranges)`` (the
+        prototype is ignored — plain bytes come back).  Fans out over
+        a thread pool when the repo config sets
         get_partial_values_concurrency > 1 (the reference's knob)."""
+        if len(args) == 1:
+            key_ranges = args[0]
+        elif len(args) == 2:
+            _prototype, key_ranges = args
+        else:
+            raise TypeError("get_partial_values takes (key_ranges) or (prototype, key_ranges)")
 
         def one(kr):
             key, (offset, length) = kr
@@ -557,14 +608,16 @@ class ChunkStore:
         *,
         validate_containers: bool = True,
         arr_offset: tuple[int, ...] | None = None,
+        checksum=None,
         checksums: list | None = None,
     ) -> list[tuple[int, ...]] | None:
         """Store virtual refs from flat C-order arrays of locations /
-        offsets / lengths (and optional per-ref ``checksums`` — etag
-        str or last-modified datetime, persisted and read-verified).
-        Empty locations are skipped; refs failing container validation
-        are skipped and their grid coordinates returned (reference
-        parity: store.set_virtual_refs_arr)."""
+        offsets / lengths.  ``checksum`` (reference store.py:421: one
+        etag str or last-modified datetime applied to every ref) or
+        per-ref ``checksums`` are persisted and read-verified.  Empty
+        locations are skipped; refs failing container validation are
+        skipped and their grid coordinates returned (reference parity:
+        store.set_virtual_refs_arr)."""
         import itertools
 
         n = 1
@@ -593,7 +646,7 @@ class ChunkStore:
                 loc,
                 int(offsets[i]),
                 int(lengths[i]),
-                checksum=checksums[i] if checksums is not None else None,
+                checksum=checksums[i] if checksums is not None else checksum,
                 validate_container=validate_containers,
             )
         return failed or None

@@ -40,9 +40,33 @@ class AncestryGraph:
                 self._children.setdefault(s.parent_id, []).append(s.id)
 
     @classmethod
-    def from_repository(cls, repo, plain: bool = False) -> "AncestryGraph":
+    def from_repository(
+        cls,
+        repo,
+        plain: bool = False,
+        *,
+        branch: "str | None" = None,
+        tag: "str | None" = None,
+        snapshot_id: "str | None" = None,
+    ) -> "AncestryGraph":
         snaps: dict[str, SnapshotInfo] = {}
         refs: dict[str, str] = {}
+        # scoped view (reference repository.py:1016): one of branch/
+        # tag/snapshot_id limits the graph to that ref's linear history
+        if branch or tag or snapshot_id:
+            chain = list(
+                repo.ancestry(branch=branch, tag=tag, snapshot_id=snapshot_id)
+            )
+            for s in chain:
+                snaps[s.id] = s
+            if chain:
+                label = (
+                    f"branch:{branch}"
+                    if branch
+                    else (f"tag:{tag}" if tag else f"snapshot:{snapshot_id[:8]}")
+                )
+                refs[label] = chain[0].id
+            return cls(snaps, refs, plain=plain)
         for b in sorted(repo.list_branches()):
             for s in repo.ancestry(branch=b):
                 refs.setdefault(f"branch:{b}", s.id)
