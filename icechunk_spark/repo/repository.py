@@ -538,7 +538,25 @@ class Repository:
         return repo
 
     @classmethod
-    def open_or_create(cls, spark: SparkSession, root: str, **kwargs: Any) -> "Repository":
+    def open_or_create(
+        cls,
+        spark: SparkSession,
+        root: "str | None" = None,
+        *,
+        storage: Any | None = None,
+        config: "RepositoryConfig | None" = None,
+        authorize_virtual_chunk_access: dict[str, Any] | None = None,
+        create_version: int | None = None,
+        check_clean_root: bool = True,
+        **kwargs: Any,
+    ) -> "Repository":
+        if root is None and storage is not None:
+            root = storage
+        kwargs.setdefault("config", config)
+        kwargs.setdefault("authorize_virtual_chunk_access", authorize_virtual_chunk_access)
+        if create_version is not None:
+            kwargs.setdefault("spec_version", create_version)
+        kwargs.setdefault("check_clean_root", check_clean_root)
         if cls.exists(root):
             # open honors every kwarg open() understands — silently
             # dropping e.g. authorize_virtual_chunk_access would make
@@ -554,17 +572,19 @@ class Repository:
         return cls.create(spark, root, **kwargs)
 
     @staticmethod
-    def exists(root: str) -> bool:
-        return fmt.repo_exists(root)
+    def exists(root: "str | None" = None, *, storage=None, storage_settings=None) -> bool:
+        del storage_settings  # advisory (reference signature compat)
+        return fmt.repo_exists(root if root is not None else storage)
 
     @staticmethod
-    def fetch_spec_version(root: str) -> int:
+    def fetch_spec_version(root: "str | None" = None, *, storage=None, storage_settings=None) -> int:
         """The spec version recorded at ``root`` WITHOUT opening (and
         without the open gate) — reference parity:
         Repository.fetch_spec_version (repository.py:475)."""
+        del storage_settings  # advisory (reference signature compat)
         from icechunk_spark.repo.migrations import spec_version_of
 
-        return spec_version_of(root)
+        return spec_version_of(root if root is not None else storage)
 
     @property
     def storage(self):
@@ -611,8 +631,8 @@ class Repository:
         return self.fetch_config(self.root) or RepositoryConfig()
 
     @staticmethod
-    def fetch_config(root: str) -> RepositoryConfig | None:
-        doc = fmt.read_config_doc(root)
+    def fetch_config(root: "str | None" = None, *, storage=None) -> RepositoryConfig | None:
+        doc = fmt.read_config_doc(root if root is not None else storage)
         return None if doc is None else RepositoryConfig.from_dict(doc)
 
     def save_config(self, config: RepositoryConfig) -> None:
@@ -1678,9 +1698,20 @@ class Repository:
         self._log_update({"type": "ManifestsRewritten", "branch": branch})
         return snap.id
 
-    def chunk_storage_stats(self, snapshot_id: str | None = None) -> DataFrame:
+    def chunk_storage_stats(
+        self,
+        snapshot_id: str | None = None,
+        *,
+        max_snapshots_in_memory: int = 50,
+        max_compressed_manifest_mem_bytes: int = 512 * 1024 * 1024,
+        max_concurrent_manifest_fetches: int = 500,
+    ) -> DataFrame:
         """Per-node storage stats at a snapshot (Spark agg over the
-        resolved manifest)."""
+        resolved manifest).  The max_* caps are advisory (reference
+        signature compat): manifests stream through executor tasks, so
+        driver memory never depends on them."""
+        del max_snapshots_in_memory, max_compressed_manifest_mem_bytes
+        del max_concurrent_manifest_fetches
         sid = snapshot_id or self.lookup_branch(MAIN)
         snap = fmt.read_snapshot(self.root, sid)
         resolved = mf.resolve_manifests(self.spark, self.root, snap)
@@ -1698,7 +1729,7 @@ class Repository:
             .orderBy("path")
         )
 
-    def total_chunks_storage(self, snapshot_id: str | None = None) -> int:
-        df = self.chunk_storage_stats(snapshot_id)
+    def total_chunks_storage(self, snapshot_id: str | None = None, **advisory: int) -> int:
+        df = self.chunk_storage_stats(snapshot_id, **advisory)
         row = df.agg(F.sum("total_bytes").alias("b")).collect()[0]
         return int(row["b"] or 0)

@@ -350,7 +350,7 @@ class ChunkStore:
     def exists(self, key: str) -> bool:
         return self.get(key) is not None
 
-    def get_partial_values(self, *args) -> list[bytes | None]:
+    def get_partial_values(self, prototype=None, key_ranges=None) -> list[bytes | None]:
         """Byte-range reads: (key, (offset, length)); None offset = 0,
         None length = to end (store.py:get_partial_values).  Callable
         either as ``get_partial_values(key_ranges)`` or with the zarr
@@ -358,12 +358,9 @@ class ChunkStore:
         prototype is ignored — plain bytes come back).  Fans out over
         a thread pool when the repo config sets
         get_partial_values_concurrency > 1 (the reference's knob)."""
-        if len(args) == 1:
-            key_ranges = args[0]
-        elif len(args) == 2:
-            _prototype, key_ranges = args
-        else:
-            raise TypeError("get_partial_values takes (key_ranges) or (prototype, key_ranges)")
+        if key_ranges is None:
+            # single-argument convention: the first positional IS the ranges
+            key_ranges = prototype
 
         def one(kr):
             key, (offset, length) = kr
