@@ -65,3 +65,52 @@ def test_stream_source_stages_single_file_via_copy(spark):
     staged = os.path.join(d, "events.parquet")
     assert os.path.isfile(staged) and not os.path.islink(staged)
     assert os.path.getsize(staged) == os.path.getsize(f"{SF_DIR}/events.parquet")
+
+
+def test_repo_changes_stream(spark, tmp_path):
+    """CDC read-side: the txlog plane IS a file stream — each commit
+    appears as change records with its snapshot id; a later drain picks
+    up only the delta (file-source checkpointing)."""
+    from icechunk_spark.repo import Repository
+    from icechunk_spark.streaming.repo_cdc import repo_changes_stream
+
+    root = str(tmp_path / "repo")
+    repo = Repository.create(spark, root)
+    with repo.transaction(message="c0") as s:
+        s.create_array("/a", shape=[8], chunk_shape=[4])
+        s.set_chunk_bytes("/a", "0", b"x" * 4096)
+    first = repo.lookup_branch("main")
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            repo_changes_stream(spark, root)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    rows = spark.read.parquet(out).collect()
+    assert {r["snapshot_id"] for r in rows} == {first}
+    ops = {r["op"] for r in rows}
+    assert "node_create" in ops and "set" in ops
+    node_id = repo.readonly_session().array_meta("/a").node_id
+    assert any(r["node_id"] == node_id and r["chunk_key"] == "0" for r in rows)
+
+    # two more commits; the SAME checkpoint drains only the delta
+    with repo.transaction(message="c1") as s:
+        s.set_chunk_bytes("/a", "1", b"y" * 4096)
+    with repo.transaction(message="c2") as s:
+        s.delete_chunk("/a", "0")
+    chain = list(repo.ancestry(branch="main"))
+    third, second = chain[0].id, chain[1].id
+    drain()
+    new = [r for r in spark.read.parquet(out).collect() if r["snapshot_id"] != first]
+    assert {r["snapshot_id"] for r in new} == {second, third}
+    assert any(r["op"] == "del" for r in new)
