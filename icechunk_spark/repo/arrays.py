@@ -163,12 +163,19 @@ def decode_chunks_to_rows(
         from icechunk_spark.repo import fsio
         from icechunk_spark.repo.session import check_virtual_checksum, resolve_vcc
 
+        # many refs share one external file: validate each (path,
+        # checksum) pair once per task, not once per chunk row
+        checked: set[tuple[str, str]] = set()
+
         for pdf in batches:
             for _, row in pdf.iterrows():
                 ck = [int(x) for x in row["chunk_key"].split(".")]
                 if row["is_virtual"]:
                     vp = resolve_vcc(row["vpath"], vcc_map)
-                    check_virtual_checksum(vp, row.get("vchecksum"))
+                    vchk = row.get("vchecksum")
+                    if vchk and (vp, vchk) not in checked:
+                        check_virtual_checksum(vp, vchk)
+                        checked.add((vp, vchk))
                     raw = fsio.read_range(vp, int(row["voffset"]), int(row["vlength"]))
                 elif row["inline"] is not None:
                     raw = row["inline"]
