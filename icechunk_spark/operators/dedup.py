@@ -359,24 +359,29 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = t["documents"].select(
         F.col("doc_id"), F.col("doc_id").alias("cluster_id")
     ).persist()
+    cached = labels  # the persisted frame backing the current labels
     for _ in range(64):  # bound: diameter of the near-dup graph
         prop = edges.join(labels, edges.src == labels.doc_id).select(
-            F.col("dst").alias("doc_id"), F.col("cluster_id")
+            F.col("dst").alias("doc_id"), F.col("cluster_id"), F.lit(False).alias("own")
         )
-        new_labels = (
-            labels.unionByName(prop)
+        # one aggregation yields BOTH the new label (min over own +
+        # propagated) and the old one (min over own rows only), so
+        # convergence detection costs a filter on the same cached
+        # frame instead of a second join+shuffle per round
+        agg = (
+            labels.withColumn("own", F.lit(True))
+            .unionByName(prop)
             .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.min(F.when(F.col("own"), F.col("cluster_id"))).alias("old_label"),
+            )
             .persist()
         )
-        changed = (
-            labels.alias("o")
-            .join(new_labels.alias("n"), "doc_id")
-            .filter(F.col("o.cluster_id") != F.col("n.cluster_id"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = agg.filter(F.col("cluster_id") != F.col("old_label")).count()
+        cached.unpersist()
+        cached = agg
+        labels = agg.select("doc_id", "cluster_id")
         if changed == 0:
             break
     edges.unpersist()
