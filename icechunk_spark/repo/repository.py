@@ -833,6 +833,33 @@ class Repository:
             yield snap
             sid = snap.parent_id
 
+    def async_ancestry(
+        self,
+        *,
+        branch: str | None = None,
+        tag: str | None = None,
+        snapshot_id: str | None = None,
+    ):
+        """Async-iterator variant of :meth:`ancestry` (reference
+        repository.py:984) — a genuine async generator so async
+        frameworks can ``async for`` the history; each snapshot read
+        runs in a thread so the event loop is never blocked on
+        object-store IO."""
+
+        async def _gen():
+            import asyncio
+
+            def resolve():
+                return VersionSelector(branch, tag, snapshot_id).resolve(self.root)
+
+            sid = await asyncio.to_thread(resolve)
+            while sid is not None:
+                snap = await asyncio.to_thread(fmt.read_snapshot, self.root, sid)
+                yield snap
+                sid = snap.parent_id
+
+        return _gen()
+
     def ancestry_graph(
         self,
         plain: bool = False,

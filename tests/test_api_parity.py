@@ -216,3 +216,22 @@ def test_r6_signature_parity_surface(spark, tmp_path):
     st = in_memory_storage()
     r2 = Repository.create(spark, storage=st)
     assert Repository.open(spark, storage=st).list_branches() == r2.list_branches()
+
+
+def test_async_ancestry(spark, tmp_path):
+    """async_ancestry is a working async generator matching ancestry
+    (reference repository.py:984)."""
+    import asyncio
+
+    from icechunk_spark.repo import Repository
+
+    repo = Repository.create(spark, str(tmp_path / "repo"))
+    with repo.transaction(message="c0") as s:
+        s.create_array("/a", shape=[4], chunk_shape=[4])
+
+    async def collect():
+        return [s.id async for s in repo.async_ancestry(branch="main")]
+
+    got = asyncio.run(collect())
+    assert got == [s.id for s in repo.ancestry(branch="main")]
+    assert len(got) == 2
