@@ -14,10 +14,14 @@ reference user's imports work unchanged:
         Repository, s3_storage, BasicConflictSolver, VersionSelection,
     )
 
-Out-of-scope reference names (deliberate, documented): the ``async_*``
-method variants (Spark's driver API is synchronous; concurrency lives
-in executors), the JS bindings, and ``xarray``/``dask`` glue
-(``ForkSession`` is the Spark analog of icechunk.distributed).
+The ecosystem glue modules mirror the reference's too:
+``icechunk_spark.distributed`` (merge_sessions / extract_session),
+``icechunk_spark.xarray`` (to_icechunk over coordinate-rows
+DataFrames), ``icechunk_spark.dask`` (store_dask over ForkSessions),
+and the ``*_async`` twin surface on Repository / Session / ChunkStore
+(repo/aio.py — asyncio.to_thread wrappers awaiting to the sync
+results).  Out-of-scope reference names (deliberate, documented): the
+JS bindings and the flatbuffers binary format.
 """
 
 from icechunk_spark.engine import get_spark

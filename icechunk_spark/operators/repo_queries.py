@@ -231,8 +231,124 @@ ORDER BY day_idx
 """
 
 
+def array_store_roundtrip_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB ingest shape (reference session.py:fork,
+    distributed.py:merge_sessions): the day range is split across
+    cooperating ForkSessions, each fork packs and writes its slice's
+    chunks with executor-side Arrow jobs (encode_array_chunks — chunk
+    payloads never touch the driver), then the parent merges the forks'
+    staged manifests and commits ONCE.  Result must equal the
+    single-writer roundtrip read over days [512, 1024)."""
+    root = os.path.join(tempfile.gettempdir(), f"icr_{uuid.uuid4().hex}")
+    try:
+        repo = Repository.create(spark, root)
+        rev = _daily_revenue(spark, sf_dir)
+        with repo.transaction(message="distributed daily revenue") as s:
+            s.create_array("/revenue", shape=[N_DAYS], chunk_shape=[CHUNK])
+            forks = [s.fork() for _ in range(4)]
+            span = N_DAYS // 4
+            for w, f in enumerate(forks):
+                f.write_array_df(
+                    "/revenue",
+                    rev.filter(
+                        (F.col("i0") >= w * span) & (F.col("i0") < (w + 1) * span)
+                    ),
+                )
+            s.merge(*forks)
+        out = (
+            repo.readonly_session()
+            .read_array_df("/revenue", slices=[(512, 1024)])
+            .filter(F.col("value") != 0.0)
+            .select(F.col("i0").alias("day_idx"), F.col("value").alias("revenue"))
+            .orderBy("day_idx")
+        )
+        return _materialize(spark, out, "day_idx bigint, revenue double")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ARRAY_ROUNDTRIP_DISTRIBUTED_SQL = f"""
+SELECT CAST(datediff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) AS BIGINT) AS day_idx,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE datediff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) >= 512
+  AND datediff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) < 1024
+GROUP BY day_idx
+HAVING CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) <> 0.0
+ORDER BY day_idx
+"""
+
+
+def repo_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalence oracle for the CDC source
+    (streaming/repo_cdc.py): two commits (full write, then a rewrite
+    of days [0, 128)), drain ``repo_changes_stream`` with availableNow,
+    and aggregate chunk-level ops per commit.  Chunk op counts are
+    exactly the distinct chunk-grid cells each commit's day set covers
+    — computable by a SQL engine straight from lineitem — so the
+    stream's content (not just its row count) is value-checked."""
+    from icechunk_spark.streaming.repo_cdc import repo_changes_stream
+
+    root = os.path.join(tempfile.gettempdir(), f"icr_{uuid.uuid4().hex}")
+    try:
+        repo = Repository.create(spark, root)
+        rev = _daily_revenue(spark, sf_dir)
+        with repo.transaction(message="v1") as s:
+            s.create_array("/revenue", shape=[N_DAYS], chunk_shape=[CHUNK])
+            s.write_array_df("/revenue", rev)
+        with repo.transaction(message="v2") as s:
+            s.write_array_df(
+                "/revenue",
+                rev.filter(F.col("i0") < 128).withColumn("value", F.col("value") * 2),
+            )
+        # commit order: oldest -> newest (ancestry yields newest first);
+        # the initial create snapshot has no chunk ops and seq 0
+        lineage = [snap.id for snap in repo.ancestry(branch="main")][::-1]
+        seq_map = {sid: i for i, sid in enumerate(lineage)}
+        name = f"cdc_{uuid.uuid4().hex[:8]}"
+        from icechunk_spark.streaming.events import run_to_memory
+
+        run_to_memory(repo_changes_stream(spark, root), name)
+        seq_df = local_df(
+            spark,
+            [{"snapshot_id": k, "commit_seq": v} for k, v in seq_map.items()],
+            "snapshot_id string, commit_seq bigint",
+        )
+        out = (
+            spark.table(name)
+            .filter(F.col("chunk_key") != "")
+            .join(F.broadcast(seq_df), "snapshot_id")
+            .groupBy("commit_seq", "op")
+            .agg(F.countDistinct("chunk_key").alias("n_chunks"))
+            .orderBy("commit_seq", "op")
+        )
+        return _materialize(spark, out, "commit_seq bigint, op string, n_chunks bigint")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+REPO_CDC_SQL = f"""
+WITH days AS (
+  SELECT DISTINCT CAST(datediff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) AS BIGINT) AS day_idx
+  FROM lineitem
+  WHERE datediff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) >= 0
+    AND datediff('day', DATE '{EPOCH}', CAST(l_shipdate AS DATE)) < {N_DAYS}
+)
+SELECT CAST(1 AS BIGINT) AS commit_seq, 'set' AS op,
+       CAST(count(DISTINCT day_idx // {CHUNK}) AS BIGINT) AS n_chunks
+FROM days
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS commit_seq, 'set' AS op,
+       CAST(count(DISTINCT day_idx // {CHUNK}) AS BIGINT) AS n_chunks
+FROM days WHERE day_idx < 128
+ORDER BY commit_seq, op
+"""
+
+
 QUERIES = {
     "array_store_roundtrip": array_store_roundtrip,
+    "array_store_roundtrip_distributed": array_store_roundtrip_distributed,
+    "repo_cdc_changes": repo_cdc_changes,
     "repo_time_travel": repo_time_travel,
     "repo_manifest_stats": repo_manifest_stats,
     "repo_changed_cells": repo_changed_cells,
@@ -240,6 +356,8 @@ QUERIES = {
 
 ORACLES = {
     "array_store_roundtrip": ARRAY_ROUNDTRIP_SQL,
+    "array_store_roundtrip_distributed": ARRAY_ROUNDTRIP_DISTRIBUTED_SQL,
+    "repo_cdc_changes": REPO_CDC_SQL,
     "repo_time_travel": TIME_TRAVEL_SQL,
     "repo_manifest_stats": MANIFEST_STATS_SQL,
     "repo_changed_cells": CHANGED_CELLS_SQL,

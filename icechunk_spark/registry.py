@@ -33,74 +33,17 @@ def _modules():
 # multimodal/repo/streaming block, r4 re-verified the 10 never-green
 # fixes + the 33 stalest r1/r2 greens (50/50 green), r5 re-verified the
 # 44 stale r2/r3 greens + bpe_pair_counts + the 4 new training ops
-# (50/50 green).  Round 6 window = 2 anchors + the 10 late-r5 queries
-# that have never had a driver row + 38 of the 48 r4 greens (now the
-# stalest block: q2-q22, knn_lsh/ivf, streaming, repo_manifest_stats,
-# the dedup family, and 5 window ops).  The 10 remaining r4 greens
-# (topk_per_group .. word_entropy) head the overflow for r7 so nothing
-# ever exceeds 2 rounds stale.
+# (50/50 green), r6 re-verified the 10 late-r5 queries + 38 r4 greens +
+# its 6 new ops (50/50 green).  Round 7 window = 2 anchors + the 16
+# remaining r4 greens (the overflow head the r6 comment promised) + the
+# new r7 queries (new queries always land inside the window) + the 30
+# stalest r5 greens.  The 18 remaining r5 greens head the overflow for
+# r8, followed by the r6/r7 greens.
 PRIORITY: list[str] = [
     # anchors (continuity across every round)
     "q1_pricing_summary",
     "minhash_lsh",
-    # never driver-checked (added late in r5, after that window filled)
-    "pmi_phrases",
-    "event_interarrival_stats",
-    "cluster_size_distribution",
-    "split_leakage_rate",
-    "embedding_outliers",
-    "event_type_markov",
-    "session_paths",
-    "source_kl_divergence",
-    "vocab_coverage",
-    "lsh_quality",
-    # r4 greens, now 2 rounds stale: full TPC-H block
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_class",
-    "q13_order_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_part_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "q22_global_sales",
-    # r4 greens: similarity + streaming + repo
-    "knn_lsh",
-    "knn_ivf",
-    "stream_windowed_agg",
-    "stream_dedup",
-    "stream_interval_join",
-    "stream_sessionize",
-    "repo_manifest_stats",
-    # r4 greens: dedup family
-    "dedup_cluster",
-    "dedup_cluster_star",
-    "dedup_exact",
-    "simhash",
-    # NEW in r6 (curation_ext): inside the window so they get their
-    # first driver row immediately (the r5 lesson: never land a new
-    # query outside the window)
-    "winnowing_fingerprint",
-    "source_mixture_weights",
-    "doc_token_histogram",
-    "retention_cohorts",
-    "embedding_covariance",
-    "stream_topk_users",
-    # ---- window boundary (50) ----
-    # overflow head = r4 greens that did not fit; r7's window starts
-    # with these
+    # r4 greens, now 3 windows old — the r7 must-check block
     "ngram_jaccard",
     "sessionize",
     "asof_join",
@@ -117,7 +60,10 @@ PRIORITY: list[str] = [
     "pack_sequences",
     "mixture_sample",
     "word_entropy",
-    # r5 greens follow (freshest — checked last round)
+    # NEW in r7: first driver row immediately
+    "array_store_roundtrip_distributed",
+    "repo_cdc_changes",
+    # stalest r5 greens (checked r5, skipped r6)
     "bpe_pair_counts",
     "rank_distribution",
     "first_last_in_group",
@@ -148,6 +94,8 @@ PRIORITY: list[str] = [
     "split_train_val",
     "decontaminate",
     "stratified_sample",
+    # ---- window boundary (50) ----
+    # overflow head = remaining r5 greens; r8's window starts here
     "bigram_logprob_score",
     "source_vocab_overlap",
     "length_percentile_filter",
@@ -166,6 +114,55 @@ PRIORITY: list[str] = [
     "zipf_slope",
     "funnel_conversion",
     "label_pair_similarity",
+    # r6 greens follow (freshest full block — checked last round)
+    "pmi_phrases",
+    "event_interarrival_stats",
+    "cluster_size_distribution",
+    "split_leakage_rate",
+    "embedding_outliers",
+    "event_type_markov",
+    "session_paths",
+    "source_kl_divergence",
+    "vocab_coverage",
+    "lsh_quality",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_class",
+    "q13_order_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_part_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q22_global_sales",
+    "knn_lsh",
+    "knn_ivf",
+    "stream_windowed_agg",
+    "stream_dedup",
+    "stream_interval_join",
+    "stream_sessionize",
+    "repo_manifest_stats",
+    "dedup_cluster",
+    "dedup_cluster_star",
+    "dedup_exact",
+    "simhash",
+    "winnowing_fingerprint",
+    "source_mixture_weights",
+    "doc_token_histogram",
+    "retention_cohorts",
+    "embedding_covariance",
+    "stream_topk_users",
 ]
 
 

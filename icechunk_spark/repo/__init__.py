@@ -47,6 +47,14 @@ from icechunk_spark.repo.migrations import (
     migrate_repository,
     spec_version_of,
 )
+from icechunk_spark.repo.store import ChunkStore
+from icechunk_spark.repo import aio as _aio
+
+# reference parity: the *_async twin surface (repository.py:157+,
+# session.py:182+, store.py:116+) — generated once at import
+_aio.install_async_twins(Repository, _aio.REPOSITORY_ASYNC)
+_aio.install_async_twins(Session, _aio.SESSION_ASYNC)
+_aio.install_async_twins(ChunkStore, _aio.STORE_ASYNC)
 
 
 def supported_spec_versions() -> list[int]:

@@ -1812,6 +1812,11 @@ class Session:
     def merge(self, *others: "ForkSession") -> None:
         self._require_writable()
         for o in others:
+            # a fork that wrote through the buffered store API
+            # (set_chunk_bytes / set_virtual_ref) holds those ops in
+            # its chunk buffer, not in staged manifests — flush them
+            # so the merge folds in EVERYTHING the fork wrote
+            o._flush_chunk_buffer()
             self._staged.extend(o._staged)
             self._node_ops.extend(o._node_ops)
 
