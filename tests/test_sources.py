@@ -85,23 +85,61 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert back.count() == expected
 
 
-def test_avro_gate(spark, tmp_path):
-    """Avro is an external Spark module; absent here, the helpers must
-    raise the typed capability error (and would pass through if the
-    jar were deployed)."""
-    import pytest
+def test_avro_roundtrip(spark, tmp_path):
+    """Avro read/write works with OR without the external spark-avro
+    jar: with it, the JVM sink/scan; without, the pure-Python container
+    codec behind binaryFile + mapInPandas (sources/avro_codec.py).
+    Either way the roundtrip must preserve values and types."""
+    from pyspark.sql import functions as F
 
-    from icechunk_spark.sources import FormatUnavailable, read_avro, write_avro, _avro_available
+    from icechunk_spark.sources import read_avro, write_avro
 
-    df = spark.range(3)
-    if _avro_available(spark):
-        write_avro(df, str(tmp_path / "a"))
-        assert read_avro(spark, str(tmp_path / "a")).count() == 3
-    else:
-        with pytest.raises(FormatUnavailable, match="spark-avro"):
-            write_avro(df, str(tmp_path / "a"))
-        with pytest.raises(FormatUnavailable, match="spark-avro"):
-            read_avro(spark, str(tmp_path / "a"))
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("x"),
+        F.concat(F.lit("s"), F.col("id")).alias("name"),
+        (F.col("id") % 2 == 0).alias("even"),
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.col("id").cast("int"))
+        .alias("maybe"),
+        F.array(F.col("id"), F.col("id") + 1).alias("arr"),
+        F.to_date(F.lit("2024-03-01")).alias("d"),
+        F.lit("2024-03-01 12:30:00").cast("timestamp_ntz").alias("ts"),
+    )
+    p = str(tmp_path / "a")
+    write_avro(df, p)
+    back = read_avro(spark, p)
+    assert back.schema == df.schema
+    a = sorted(df.collect(), key=lambda r: r["k"])
+    b = sorted(back.collect(), key=lambda r: r["k"])
+    assert a == b
+
+
+def test_avro_codec_binary_format(tmp_path):
+    """The fallback codec writes SPEC-conformant container files:
+    magic, schema metadata, sync-marker framing, deflate blocks —
+    re-parsed from raw bytes, not via the writer's own state."""
+    from icechunk_spark.sources import avro_codec
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"]},
+            {"name": "m", "type": {"type": "map", "values": "double"}},
+        ],
+    }
+    records = [
+        {"a": -1, "b": "x", "m": {"p": 1.5}},
+        {"a": 2**40, "b": None, "m": {}},
+    ]
+    for codec in ("null", "deflate"):
+        payload = avro_codec.write_container(records, schema, codec=codec)
+        assert payload[:4] == b"Obj\x01"
+        got_schema, got = avro_codec.read_container(payload)
+        assert got == records and got_schema == schema
+        assert avro_codec.read_schema(payload[:4096]) == schema
 
 
 def test_read_text_corpus_lines_and_whole(spark, tmp_path):
