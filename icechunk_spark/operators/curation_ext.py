@@ -325,8 +325,131 @@ FROM pairs ORDER BY i, j
 """
 
 
+DSIR_B = 512  # hashed feature buckets
+DSIR_ALPHA = 0.5  # Laplace smoothing
+DSIR_TARGET = ("src0", "src1", "src2")  # the "target domain" sources
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al.,
+    "Data Selection for Language Models via Importance Resampling"):
+    hashed word-bigram features, per-bucket Laplace-smoothed
+    probabilities under a target domain vs the raw corpus, and a
+    per-document log importance weight sum(n_b * (ln p_t(b) - ln
+    p_r(b))).  Reported per source: docs from target-like sources must
+    surface with higher mean weights — the signal a 100 TB curation
+    pass resamples on.
+
+    Scale shape: one explode to bigrams, ONE groupBy (doc_id, bucket)
+    with map-side combine, a B-row (512) log-ratio table broadcast
+    back, per-doc and per-source aggregations.  No Python, no
+    all-pairs anything; per-term rounding to DECIMAL makes the sums
+    bit-identical under any partitioning (and to the oracle)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(_grams_col(tokenize(F.lower(F.col("text"))), 2)).alias("g"),
+    )
+    feat = grams.select(
+        "doc_id",
+        "source",
+        (F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint") % DSIR_B).alias(
+            "b"
+        ),
+    )
+    dbc = feat.groupBy("doc_id", "source", "b").agg(F.count(F.lit(1)).alias("n"))
+    bc = dbc.groupBy("b").agg(
+        F.sum(F.when(F.col("source").isin(*DSIR_TARGET), F.col("n")).otherwise(0)).alias("ct"),
+        F.sum("n").alias("cr"),
+    )
+    tot = bc.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    lr = bc.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("ct") + DSIR_ALPHA) / (F.col("tt") + DSIR_ALPHA * DSIR_B))
+            - F.log((F.col("cr") + DSIR_ALPHA) / (F.col("tr") + DSIR_ALPHA * DSIR_B))
+        ).alias("lr"),
+    )
+    docw = (
+        dbc.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.round(F.col("n") * F.col("lr"), 8).cast("decimal(28,8)")).alias(
+                "logw"
+            )
+        )
+    )
+    return (
+        docw.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("logw").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_logw"
+            ),
+            F.round(
+                F.sum(F.when(F.col("logw") > 0, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("pos_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+def _dsir_sql() -> str:
+    hex2int = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    targets = ", ".join(f"'{s}'" for s in DSIR_TARGET)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         unnest([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS g
+  FROM toks WHERE len(toks) >= 2
+), feat AS (
+  SELECT doc_id, source, substr(md5(g), 1, 8) AS hh FROM grams
+), featb AS (
+  SELECT doc_id, source, ({hex2int}) % {DSIR_B} AS b FROM feat
+), dbc AS (
+  SELECT doc_id, source, b, count(*) AS n FROM featb GROUP BY 1, 2, 3
+), bc AS (
+  SELECT b,
+         sum(CASE WHEN source IN ({targets}) THEN n ELSE 0 END) AS ct,
+         sum(n) AS cr
+  FROM dbc GROUP BY 1
+), tot AS (
+  SELECT sum(ct) AS tt, sum(cr) AS tr FROM bc
+), lr AS (
+  SELECT b,
+         ln((ct + {DSIR_ALPHA}) / (tt + {DSIR_ALPHA * DSIR_B}))
+         - ln((cr + {DSIR_ALPHA}) / (tr + {DSIR_ALPHA * DSIR_B})) AS lr
+  FROM bc, tot
+), docw AS (
+  SELECT doc_id, source,
+         sum(CAST(round(n * lr, 8) AS DECIMAL(28,8))) AS logw
+  FROM dbc JOIN lr USING (b) GROUP BY 1, 2
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(round(CAST(sum(logw) AS DOUBLE) / count(*), 6) AS DOUBLE) AS mean_logw,
+       CAST(round(CAST(sum(CASE WHEN logw > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*), 6) AS DOUBLE) AS pos_frac
+FROM docw GROUP BY source ORDER BY source
+"""
+
+
+DSIR_SQL = _dsir_sql()
+
+
 QUERIES = {
     "winnowing_fingerprint": winnowing_fingerprint,
+    "dsir_importance": dsir_importance,
     "source_mixture_weights": source_mixture_weights,
     "doc_token_histogram": doc_token_histogram,
     "retention_cohorts": retention_cohorts,
@@ -335,6 +458,7 @@ QUERIES = {
 
 ORACLES = {
     "winnowing_fingerprint": WINNOWING_SQL,
+    "dsir_importance": DSIR_SQL,
     "source_mixture_weights": MIXTURE_WEIGHTS_SQL,
     "doc_token_histogram": DOC_TOKEN_HISTOGRAM_SQL,
     "retention_cohorts": RETENTION_COHORTS_SQL,

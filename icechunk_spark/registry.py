@@ -63,6 +63,7 @@ PRIORITY: list[str] = [
     # NEW in r7: first driver row immediately
     "array_store_roundtrip_distributed",
     "repo_cdc_changes",
+    "dsir_importance",
     # stalest r5 greens (checked r5, skipped r6)
     "bpe_pair_counts",
     "rank_distribution",
@@ -93,9 +94,9 @@ PRIORITY: list[str] = [
     "tfidf_top_terms",
     "split_train_val",
     "decontaminate",
-    "stratified_sample",
     # ---- window boundary (50) ----
     # overflow head = remaining r5 greens; r8's window starts here
+    "stratified_sample",
     "bigram_logprob_score",
     "source_vocab_overlap",
     "length_percentile_filter",

@@ -19,6 +19,7 @@ import time
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from icechunk_spark.repo import Repository
 from icechunk_spark.repo import format as fmt
@@ -147,4 +148,80 @@ def test_maintenance_plane_at_2k_commits_50k_chunks(spark, tmp_path, monkeypatch
     total = sum(n for _, n in driver_lists)
     assert total <= DRIVER_NAME_BUDGET, (
         f"driver materialized {total} names across {len(driver_lists)} lists"
+    )
+
+
+N_VREFS = 100_000
+
+
+@pytest.mark.slow
+def test_virtual_ref_plane_at_100k_refs(spark, tmp_path, monkeypatch):
+    """Virtual-ref-heavy repo (VERDICT r6 #9): 10^5 vcc:// refs in one
+    committed manifest.  The audit surface
+    (virtual_chunk_locations_df), GC, and compaction must treat the
+    ref population as DataFrame rows — the driver never lists or
+    collects anything proportional to the ref count (at SURVEY §4's
+    100 TB sizing this population is ~10^8)."""
+    root = str(tmp_path / "repo")
+    repo = Repository.create(
+        spark, root, authorize_virtual_chunk_access={"file:///lake/": None}
+    )
+    repo.set_virtual_chunk_container("lake", "file:///lake/")
+    n_files = 1_000  # refs per external file: 100 ranges each
+    with repo.transaction(message="bulk vrefs") as s:
+        s.create_array("/v", shape=[N_VREFS], chunk_shape=[1])
+        s.set_virtual_refs(
+            "/v",
+            [
+                (str(i), f"vcc://lake/shard{i % n_files:04d}.bin", (i // n_files) * 64, 64)
+                for i in range(N_VREFS)
+            ],
+        )
+
+    # -- instrument driver-side name listings (as above) ----------------
+    driver_lists: list[tuple[str, int]] = []
+    orig_list = fsio.list_child_names
+    monkeypatch.setattr(
+        fsio,
+        "list_child_names",
+        lambda path: (r := orig_list(path), driver_lists.append((path, len(r))))[0],
+    )
+    # -- and driver-side DataFrame collection sizes ---------------------
+    from pyspark.sql import DataFrame
+
+    collect_sizes: list[int] = []
+    orig_collect = DataFrame.collect
+    monkeypatch.setattr(
+        DataFrame,
+        "collect",
+        lambda self: (r := orig_collect(self), collect_sizes.append(len(r)))[0],
+    )
+
+    # audit surface: per-location aggregate, vcc resolved as a column
+    locs = repo.readonly_session().virtual_chunk_locations_df()
+    agg = locs.agg(
+        F.count(F.lit(1)).alias("n_locations"),
+        F.sum("ref_count").alias("n_refs"),
+        F.count(F.when(F.col("resolved_location").isNull(), 1)).alias("unresolved"),
+    ).collect()[0]
+    assert agg["n_locations"] == n_files
+    assert agg["n_refs"] == N_VREFS
+    assert agg["unresolved"] == 0
+    one = locs.filter(F.col("location") == "vcc://lake/shard0000.bin").collect()[0]
+    assert one["resolved_location"] == "file:///lake/shard0000.bin"
+    assert one["ref_count"] == N_VREFS // n_files
+
+    # compaction + GC parse the 100k-row manifest as executor-side
+    # parquet; nothing driver-side scales with it
+    repo.rewrite_manifests()
+    summary = repo.garbage_collect(older_than_seconds=0, now=time.time() + 10, dry_run=True)
+    assert summary is not None
+
+    # scale assertions: every driver listing is metadata-plane sized,
+    # and no driver collect returned anything near the ref count
+    for path, n in driver_lists:
+        assert n <= 256, f"oversized driver listing: {path} -> {n}"
+    assert sum(n for _, n in driver_lists) <= 2_000
+    assert max(collect_sizes, default=0) <= n_files, (
+        f"a driver collect materialized {max(collect_sizes)} rows"
     )

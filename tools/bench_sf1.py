@@ -85,6 +85,7 @@ def build(spark) -> None:
             shift("c_custkey", C_OFF), "c_name", "c_nationkey", "c_acctbal", "c_mktsegment", "__r"
         ),
         "customer",
+        n_files=4,
     )
     write(
         reps(t["supplier"]).select(
@@ -97,6 +98,7 @@ def build(spark) -> None:
             shift("p_partkey", P_OFF), "p_name", "p_brand", "p_type", "p_size", "p_retailprice", "__r"
         ),
         "part",
+        n_files=4,
     )
     write(
         reps(t["orders"]).select(
@@ -109,6 +111,7 @@ def build(spark) -> None:
             "__r",
         ),
         "orders",
+        n_files=8,
     )
     write(
         reps(t["lineitem"]).select(
@@ -126,6 +129,7 @@ def build(spark) -> None:
             "__r",
         ),
         "lineitem",
+        n_files=16,
     )
     # documents: rot-r substitution cipher keeps length/token structure
     # and preserves dup rates (see module docstring)
@@ -164,7 +168,21 @@ def build(spark) -> None:
             "__r",
         ),
         "events",
+        n_files=8,
     )
+
+
+# round-6 operators measured at sf1 IN ADDITION to the headline set
+# (kept out of spark_total/duckdb_total so the totals stay comparable
+# across rounds)
+SF1_EXTRA = [
+    "winnowing_fingerprint",
+    "source_mixture_weights",
+    "doc_token_histogram",
+    "retention_cohorts",
+    "embedding_covariance",
+    "stream_topk_users",
+]
 
 
 def bench_spark(spark) -> dict[str, float]:
@@ -182,7 +200,7 @@ def bench_spark(spark) -> dict[str, float]:
     warm.mapInPandas(lambda it: it, "id long, g int").count()
 
     out: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES + SF1_EXTRA:
         best = float("inf")
         for _ in range(N_RUNS):
             spark.catalog.clearCache()
@@ -210,8 +228,8 @@ def bench_duckdb() -> dict[str, float]:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{OUT}/{name}.parquet/*.parquet')"
         )
-    for name in BENCH_QUERIES:
-        if name not in oracles:  # array_store_roundtrip has no SQL analog
+    for name in BENCH_QUERIES + SF1_EXTRA:
+        if name not in oracles:
             continue
         best = float("inf")
         for _ in range(N_RUNS):
@@ -242,8 +260,9 @@ def main() -> None:
                 "metric": "sf1_headline_queries",
                 "unit": "sec",
                 "sf": 1.0,
-                "spark_total": round(sum(sp.values()), 3),
-                "duckdb_total": round(sum(dd.values()), 3),
+                "spark_total": round(sum(v for k, v in sp.items() if k not in SF1_EXTRA), 3),
+                "duckdb_total": round(sum(v for k, v in dd.items() if k not in SF1_EXTRA), 3),
+                "extra_queries": SF1_EXTRA,
                 "spark": sp,
                 "duckdb": dd,
             }
