@@ -27,12 +27,12 @@ def test_oracle_parity(spark, duck, name):
     assert not problems, f"{name}: {problems}"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_runs(spark, name):
-    df = QUERIES[name](spark, SF_DIR)
-    rows = df.collect()
-    assert df.columns, name
-    assert rows is not None
+def test_no_rows_only_queries():
+    """Every registered query is value-verified: the set of queries
+    with only the weaker rows-only check is EMPTY.  (If a genuinely
+    non-SQL-expressible op ever lands without an oracle, re-add the
+    parametrized rows-only runner here for it.)"""
+    assert set(QUERIES) == set(ORACLES)
 
 
 def test_every_query_has_inventory_entry():

@@ -200,3 +200,19 @@ def test_curation_ext_plans(spark):
 
     plan = plan_of(embedding_covariance(spark, SF_DIR))
     assert "partial" in plan.lower()  # map-side combine on (i, j)
+
+
+def test_dsir_broadcasts_ratio_table_and_stays_jvm(spark):
+    """dsir_importance: the 512-row log-ratio table and the 1-row
+    totals must broadcast back onto the (doc, bucket) counts — never
+    shuffle the fact side — and the whole pipeline is column
+    expressions (no Python rows)."""
+    from icechunk_spark.operators.curation_ext import dsir_importance
+
+    df = dsir_importance(spark, SF_DIR)
+    df.collect()  # AQE finalizes the physical plan only on execution
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
+    assert "PythonUDF" not in plan
+    assert "partial" in plan.lower()  # map-side combine on the counts
