@@ -13,7 +13,7 @@ never leaves the JVM.  No UDFs, no driver loops, no collect.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -346,6 +346,123 @@ ORDER BY doc_id
 """
 
 
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): score every document with the corpus bigram LM (the same
+    model bigram_logprob_score trains), then split each LANGUAGE into
+    head/middle/tail terciles by LM score — the standard curriculum /
+    quality-stratification step before mixing a pre-training corpus.
+
+    Determinism contract: scores are rounded to 4 decimals BEFORE
+    ranking and ties break on doc_id, so the ntile(3) boundaries are
+    identical on any engine and any partitioning; bucket means then
+    sum the already-rounded scores in DECIMAL.
+
+    Scale shape: identical to bigram_logprob_score (two shuffles for
+    the LM + score), plus one per-language window — partitioned by
+    lang, so parallelism is the language count for the rank stage
+    only; everything upstream stays fully parallel."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    toks = docs.select("doc_id", "lang", tokenize(F.col("text")).alias("toks"))
+    bigrams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.zip_with(
+                    F.slice("toks", 1, F.size("toks") - 1),
+                    F.slice("toks", 2, F.size("toks") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg"),
+    ).select("doc_id", "lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    pair_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        bigrams.select(F.col("w2").alias("w"))
+        .union(bigrams.select(F.col("w1")))
+        .distinct()
+        .count()
+    )
+    logp = F.log(
+        (F.col("c12") + LM_ADD_K) / (F.col("c1") + LM_ADD_K * F.lit(float(vocab)))
+    )
+    scores = (
+        bigrams.join(pair_counts, ["w1", "w2"])
+        .join(ctx_counts, "w1")
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.sum(logp) / F.count(F.lit(1)), 4).alias("score"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    bucketed = scores.withColumn("bucket", F.ntile(3).over(w))
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # the DECIMAL(20,8) intermediate absorbs double
+            # representation error before the 4-digit round: a mean
+            # landing exactly on a .00005 boundary (a 4-decimal sum
+            # over n docs does this often) would otherwise round in
+            # different directions on different engines
+            F.round(
+                (
+                    F.sum(F.col("score").cast("decimal(18,4)")).cast("double")
+                    / F.count(F.lit(1))
+                ).cast("decimal(20,8)"),
+                4,
+            )
+            .cast("double")
+            .alias("mean_score"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+CCNET_BUCKETS_SQL = f"""
+WITH bg AS (
+  SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM (
+    SELECT doc_id, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+    FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+          FROM documents)
+    WHERE len(toks) >= 2)
+), pair_counts AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+), ctx_counts AS (
+  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+), vocab AS (
+  SELECT count(*) AS v FROM (SELECT w2 AS w FROM bg UNION SELECT w1 FROM bg)
+), scores AS (
+  SELECT doc_id, lang,
+         round(sum(ln((c12 + {LM_ADD_K}) / (c1 + {LM_ADD_K} * v))) / count(*), 4)
+           AS score
+  FROM bg
+  JOIN pair_counts USING (w1, w2)
+  JOIN ctx_counts USING (w1)
+  CROSS JOIN vocab
+  JOIN documents USING (doc_id)
+  GROUP BY doc_id, lang
+), bucketed AS (
+  SELECT lang, score,
+         ntile(3) OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS bucket
+  FROM scores
+)
+SELECT lang, bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(round(CAST(CAST(sum(CAST(score AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+                       AS DECIMAL(20,8)), 4)
+            AS DOUBLE) AS mean_score,
+       min(score) AS min_score,
+       max(score) AS max_score
+FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
 # --- cross-source vocabulary overlap --------------------------------------
 
 VOCAB_OVERLAP_MIN = 0.5  # report source pairs with Jaccard >= this
@@ -456,6 +573,7 @@ LIMIT {BPE_TOP_K}
 
 QUERIES = {
     "bpe_pair_counts": bpe_pair_counts,
+    "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "stratified_sample": stratified_sample,
     "bigram_logprob_score": bigram_logprob_score,
     "source_vocab_overlap": source_vocab_overlap,
@@ -467,6 +585,7 @@ QUERIES = {
 
 ORACLES = {
     "bpe_pair_counts": BPE_PAIR_SQL,
+    "ccnet_perplexity_buckets": CCNET_BUCKETS_SQL,
     "stratified_sample": STRATIFIED_SAMPLE_SQL,
     "bigram_logprob_score": BIGRAM_LOGPROB_SQL,
     "source_vocab_overlap": SOURCE_VOCAB_OVERLAP_SQL,

@@ -384,14 +384,26 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         docw.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.sum("logw").cast("double") / F.count(F.lit(1)), 6).alias(
-                "mean_logw"
-            ),
+            # DECIMAL(24,10) intermediate before the 6-digit round:
+            # kills cross-engine disagreement when the mean lands on a
+            # half-point boundary (see ccnet_perplexity_buckets)
             F.round(
-                F.sum(F.when(F.col("logw") > 0, 1).otherwise(0))
-                / F.count(F.lit(1)),
+                (F.sum("logw").cast("double") / F.count(F.lit(1))).cast(
+                    "decimal(24,10)"
+                ),
                 6,
-            ).alias("pos_frac"),
+            )
+            .cast("double")
+            .alias("mean_logw"),
+            F.round(
+                (
+                    F.sum(F.when(F.col("logw") > 0, 1).otherwise(0))
+                    / F.count(F.lit(1))
+                ).cast("decimal(24,10)"),
+                6,
+            )
+            .cast("double")
+            .alias("pos_frac"),
         )
         .orderBy("source")
     )
@@ -437,9 +449,10 @@ WITH toks AS (
 )
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(round(CAST(sum(logw) AS DOUBLE) / count(*), 6) AS DOUBLE) AS mean_logw,
-       CAST(round(CAST(sum(CASE WHEN logw > 0 THEN 1 ELSE 0 END) AS DOUBLE)
-                  / count(*), 6) AS DOUBLE) AS pos_frac
+       CAST(round(CAST(CAST(sum(logw) AS DOUBLE) / count(*) AS DECIMAL(24,10)), 6)
+            AS DOUBLE) AS mean_logw,
+       CAST(round(CAST(CAST(sum(CASE WHEN logw > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*) AS DECIMAL(24,10)), 6) AS DOUBLE) AS pos_frac
 FROM docw GROUP BY source ORDER BY source
 """
 

@@ -64,6 +64,7 @@ PRIORITY: list[str] = [
     "array_store_roundtrip_distributed",
     "repo_cdc_changes",
     "dsir_importance",
+    "ccnet_perplexity_buckets",
     # stalest r5 greens (checked r5, skipped r6)
     "bpe_pair_counts",
     "rank_distribution",
@@ -93,9 +94,9 @@ PRIORITY: list[str] = [
     "gopher_quality_filters",
     "tfidf_top_terms",
     "split_train_val",
-    "decontaminate",
     # ---- window boundary (50) ----
     # overflow head = remaining r5 greens; r8's window starts here
+    "decontaminate",
     "stratified_sample",
     "bigram_logprob_score",
     "source_vocab_overlap",
