@@ -172,7 +172,7 @@ def build(spark) -> None:
     )
 
 
-# round-6 operators measured at sf1 IN ADDITION to the headline set
+# round-6/7 operators measured at sf1 IN ADDITION to the headline set
 # (kept out of spark_total/duckdb_total so the totals stay comparable
 # across rounds)
 SF1_EXTRA = [
@@ -182,6 +182,8 @@ SF1_EXTRA = [
     "retention_cohorts",
     "embedding_covariance",
     "stream_topk_users",
+    "dsir_importance",
+    "ccnet_perplexity_buckets",
 ]
 
 
