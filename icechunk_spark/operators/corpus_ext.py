@@ -296,6 +296,9 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # persist: the bigram explode feeds the pair-count, context-count
+    # and scoring branches — one tokenize+explode pass instead of three
+    bigrams = bigrams.persist()
     pair_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     ctx_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = bigrams.select(F.col("w2").alias("w")).union(
@@ -380,6 +383,9 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("bg"),
     ).select("doc_id", "lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # persist: the bigram explode feeds the pair-count, context-count
+    # and scoring branches — one tokenize+explode pass instead of three
+    bigrams = bigrams.persist()
     pair_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     ctx_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = (

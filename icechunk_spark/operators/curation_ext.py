@@ -358,7 +358,15 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b"
         ),
     )
-    dbc = feat.groupBy("doc_id", "source", "b").agg(F.count(F.lit(1)).alias("n"))
+    # persist: the (doc, bucket) counts feed BOTH the bucket-total
+    # branch and the per-doc weight join — without it the tokenize +
+    # explode + first shuffle run twice (same pattern as minhash's
+    # persisted signatures)
+    dbc = (
+        feat.groupBy("doc_id", "source", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
     bc = dbc.groupBy("b").agg(
         F.sum(F.when(F.col("source").isin(*DSIR_TARGET), F.col("n")).otherwise(0)).alias("ct"),
         F.sum("n").alias("cr"),

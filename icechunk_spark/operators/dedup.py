@@ -131,8 +131,10 @@ def ngram_jaccard_pairs(docs: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFram
         .filter(F.col("df") > df_cap)
         .select("s")
     )
-    # the hot set is tiny by construction — broadcast the anti-join
-    ex = ex_all.join(broadcast(hot), "s", "left_anti")
+    # the hot set is tiny by construction — broadcast the anti-join.
+    # persist: ex feeds sizes AND both join sides — one explode +
+    # anti-join pass instead of three
+    ex = ex_all.join(broadcast(hot), "s", "left_anti").persist()
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = ex.alias("a"), ex.alias("b")
     shared = (
@@ -670,7 +672,9 @@ def cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") > SPAN_DF_CAP)
         .select("gram")
     )
-    ex = ex_all.join(broadcast(hot), "gram", "left_anti")
+    # persist: ex feeds both join sides — one positional-gram explode
+    # + anti-join pass instead of two
+    ex = ex_all.join(broadcast(hot), "gram", "left_anti").persist()
     a = ex.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "gram")
     b = ex.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "gram")
     matches = a.join(b, "gram").filter(F.col("doc_a") < F.col("doc_b"))
@@ -793,8 +797,10 @@ def lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         t["documents"].select("doc_id", shingles_col(F.col("text")).alias("sh")).persist()
     )
-    exact = ngram_jaccard_pairs(docs).select("doc_a", "doc_b")
-    lsh = minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # persist both pair sets: each feeds a count AND the recall join —
+    # without it the full exact/LSH pipelines execute twice
+    exact = ngram_jaccard_pairs(docs).select("doc_a", "doc_b").persist()
+    lsh = minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
     matched = exact.join(lsh, ["doc_a", "doc_b"]).count()
     n_exact = exact.count()
     n_lsh = lsh.count()
