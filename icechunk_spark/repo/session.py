@@ -1114,11 +1114,34 @@ class Session:
                     "vchecksum": c.get("vchecksum"),
                 }
             )
-        if rows:
-            local_df(self.spark, rows, "chunk_id string, payload binary").coalesce(
-                1
-            ).write.parquet(_dp(self.root, rel))
-        self._stage_manifest(local_df(self.spark, refs, MANIFEST_SCHEMA))
+        if self._has_spark:
+            if rows:
+                local_df(self.spark, rows, "chunk_id string, payload binary").coalesce(
+                    1
+                ).write.parquet(_dp(self.root, rel))
+            self._stage_manifest(local_df(self.spark, refs, MANIFEST_SCHEMA))
+        else:
+            # executor-side ForkSession (reference dask.py:store_dask
+            # worker shape): no SparkSession exists in this process, so
+            # payloads and the staged manifest are written as parquet
+            # directly through pyarrow — byte-compatible with the Spark
+            # writer (readers apply MANIFEST_SCHEMA explicitly).  Only
+            # eager staging can ship files; a lazy session has nowhere
+            # to put a DataFrame without a driver.
+            if not self._eager_staging:
+                raise RefError(
+                    "buffered writes without a SparkSession require a "
+                    "ForkSession (eager staging)"
+                )
+            if rows:
+                _write_parquet_rows(
+                    _dp(self.root, rel), rows, _PAYLOAD_ARROW_SCHEMA
+                )
+            mrel = os.path.join(
+                "staging", self.session_id, f"m{len(self._staged):05d}.parquet"
+            )
+            _write_parquet_rows(_dp(self.root, mrel), refs, _manifest_arrow_schema())
+            self._staged.append(("file", mrel))
         self._chunk_buffer.clear()
 
     def _staged_manifest_df(self) -> DataFrame | None:
@@ -1869,6 +1892,11 @@ class ForkSession(Session):
         raise RefError("ForkSession cannot commit; merge into the parent session")
 
     def __getstate__(self):
+        # buffered store-API writes (set_chunk_bytes / set_virtual_ref)
+        # must survive the trip back to the coordinator: flush them to
+        # staged parquet first (works with OR without a SparkSession —
+        # executors take the pyarrow path in _flush_chunk_buffer)
+        self._flush_chunk_buffer()
         return {
             "root": self.root,
             "snapshot_id": self._base.id,
@@ -1893,6 +1921,68 @@ class ForkSession(Session):
         self._virtual_authorized = set()
         self._virtual_container_names = None
         self._config_override = None
+
+
+def _arrow_fs(path: str):
+    import pyarrow.fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def _manifest_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("node_id", pa.string()),
+            ("chunk_key", pa.string()),
+            ("c0", pa.int32()),
+            ("c1", pa.int32()),
+            ("c2", pa.int32()),
+            ("c3", pa.int32()),
+            ("chunk_id", pa.string()),
+            ("file", pa.string()),
+            ("n_bytes", pa.int64()),
+            ("op", pa.string()),
+            ("is_virtual", pa.bool_()),
+            ("vpath", pa.string()),
+            ("voffset", pa.int64()),
+            ("vlength", pa.int64()),
+            ("inline", pa.binary()),
+            ("seq", pa.int64()),
+            ("vchecksum", pa.string()),
+        ]
+    )
+
+
+def _payload_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema([("chunk_id", pa.string()), ("payload", pa.binary())])
+
+
+_PAYLOAD_ARROW_SCHEMA = None  # resolved lazily (pyarrow import cost)
+
+
+def _write_parquet_rows(path: str, rows: list[dict], schema) -> None:
+    """Write rows as a single-part parquet DIRECTORY (the same layout
+    Spark's coalesce(1).write.parquet produces) using only pyarrow —
+    usable inside executors where no SparkSession exists."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if schema is None:
+        schema = _payload_arrow_schema()
+    fs, p = _arrow_fs(path)
+    fs.create_dir(p, recursive=True)
+    keyed = [
+        {k: r.get(k) for k in schema.names} for r in rows
+    ]
+    table = pa.Table.from_pylist(keyed, schema=schema)
+    with fs.open_output_stream(f"{p}/part-00000.parquet") as f:
+        pq.write_table(table, f)
 
 
 def _norm(path: str) -> str:
