@@ -69,3 +69,28 @@ def test_lazy_session_refuses_sparkless_buffered_flush(spark, tmp_path, monkeypa
     monkeypatch.setattr(SparkSession, "getActiveSession", staticmethod(lambda: None))
     with pytest.raises(RefError, match="ForkSession"):
         w._flush_chunk_buffer()
+
+
+def test_fork_merge_overlap_is_merge_order_wins(spark, tmp_path):
+    """Two forks writing the SAME chunk: the changeset merged LAST
+    overlays the earlier one (staging order becomes the intra-commit
+    sub-sequence) — deterministic in the merge call's argument order,
+    like the reference's changeset fold."""
+    root = str(tmp_path / "repo3")
+    repo = Repository.create(spark, root)
+    with repo.transaction(message="init") as s:
+        s.create_array("/a", shape=[4], chunk_shape=[4])
+    w = repo.writable_session("main")
+    f1, f2 = w.fork(), w.fork()
+    f1.set_chunk_bytes("/a", "0", b"F1" * 512)
+    f2.set_chunk_bytes("/a", "0", b"F2" * 512)
+    w.merge(f1, f2)
+    w.commit("overlap")
+    assert repo.readonly_session().get_chunk_bytes("/a", "0") == b"F2" * 512
+    w2 = repo.writable_session("main")
+    g1, g2 = w2.fork(), w2.fork()
+    g1.set_chunk_bytes("/a", "0", b"G1" * 512)
+    g2.set_chunk_bytes("/a", "0", b"G2" * 512)
+    w2.merge(g2, g1)  # reversed order -> g1 wins
+    w2.commit("overlap2")
+    assert repo.readonly_session().get_chunk_bytes("/a", "0") == b"G1" * 512
