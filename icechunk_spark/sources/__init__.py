@@ -333,7 +333,13 @@ def write_avro(df: DataFrame, path: str, *, codec: str = "deflate") -> None:
         yield pd.DataFrame({"partition": [pid], "n_records": [n]})
 
     manifest = df.mapInPandas(encode, schema="partition int, n_records long")
-    manifest.collect()  # bounded: one row per partition
+    rows = manifest.collect()  # bounded: one row per partition
+    if sum(r["n_records"] for r in rows) == 0:
+        # JVM-sink parity: an empty frame still produces a readable
+        # schema-only container file (read_avro returns 0 rows with
+        # the right schema instead of erroring)
+        with fs.open_output_stream(f"{base}/part-empty.avro") as f:
+            f.write(avro_codec.write_container([], avro_schema, codec=codec))
 
 
 def _pandas_to_avro_records(pdf, spark_schema):

@@ -210,3 +210,21 @@ def test_training_shards_roundtrip(spark, tmp_path):
         f"{out}/shard={expected}"
     )
     assert one.filter(f"doc_id = {row['doc_id']}").count() == 1
+
+
+def test_avro_empty_roundtrip(spark, tmp_path):
+    """JVM-sink parity in the fallback: writing an EMPTY frame leaves
+    a schema-only container file, so reading back yields 0 rows with
+    the original schema (not an error)."""
+    from pyspark.sql import functions as F
+
+    from icechunk_spark.sources import read_avro, write_avro
+
+    df = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("x")
+    ).filter(F.col("k") < 0)
+    p = str(tmp_path / "empty")
+    write_avro(df, p)
+    back = read_avro(spark, p)
+    assert back.schema == df.schema
+    assert back.count() == 0
