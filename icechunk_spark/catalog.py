@@ -32,11 +32,28 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# (session id, sf_dir) -> table handles.  Building the 10 DataFrames
+# costs ~0.8s of driver-side parquet footer reads; without the cache
+# EVERY query pays it, while the DuckDB oracle/baseline registers its
+# views once.  Handles are lazy immutable plans over table dirs that
+# are never mutated in place (testdata + generated scale-ups), so
+# reuse is safe; clear_table_cache() exists for anything exotic.
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def clear_table_cache() -> None:
+    _TABLE_CACHE.clear()
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     # events.ts is parquet TIMESTAMP(NANOS): Spark only reads it with
     # nanosAsLong=true (→ raw int64 nanoseconds). Convert back to a naive
     # timestamp; session TZ pinned to UTC so the LTZ→NTZ cast is exact.
     # Set at runtime so it also applies under the driver's own session.
+    key = (id(spark.sparkContext), os.path.normpath(sf_dir))
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return dict(cached)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {name: spark.read.parquet(table_path(sf_dir, name)) for name in TABLES}
@@ -46,6 +63,7 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
             "ts",
             F.expr("CAST(timestamp_micros(CAST(ts DIV 1000 AS BIGINT)) AS TIMESTAMP_NTZ)"),
         )
+    _TABLE_CACHE[key] = dict(out)
     return out
 
 
