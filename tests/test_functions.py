@@ -76,3 +76,25 @@ def test_cms_bounds(spark):
     # (exact <= estimate <= exact + eps*N) and emitted as a boolean
     assert all(r["within_bounds"] for r in rows)
     assert all(r["exact_count"] > 0 for r in rows)
+
+
+def test_load_tables_caches_handles(spark, tmp_path):
+    """Table handles are cached per (session, dir) — the lazy plans
+    come back identical (no footer re-reads) — and clear_table_cache
+    drops them; a different dir gets its own entry."""
+    from icechunk_spark.catalog import clear_table_cache, load_tables
+
+    from .conftest import SF_DIR
+
+    clear_table_cache()
+    a = load_tables(spark, SF_DIR)
+    b = load_tables(spark, SF_DIR)
+    assert a["lineitem"] is b["lineitem"]
+    # the returned dict is a copy: callers may mutate it safely
+    a["lineitem"] = None
+    assert load_tables(spark, SF_DIR)["lineitem"] is b["lineitem"]
+    clear_table_cache()
+    c = load_tables(spark, SF_DIR)
+    assert c["lineitem"] is not b["lineitem"]
+    # results identical either way
+    assert c["lineitem"].count() == b["lineitem"].count()
