@@ -268,10 +268,9 @@ def update_branch(root: "str | Storage", name: str, snapshot_id: str, expected_g
     s = resolve_storage(root)
     gen = expected_gen + 1
     try:
-        s.put_json(
+        s.put_json_cas(
             f"{_branch_prefix(name)}/{gen:010d}.json",
             {"snapshot_id": snapshot_id},
-            if_none_match=True,
         )
     except StorageConflict as e:
         raise RefError(f"branch {name} moved (lost CAS race at gen {gen})") from e
@@ -283,10 +282,9 @@ def create_branch(root: "str | Storage", name: str, snapshot_id: str) -> None:
     if any(f.endswith(".json") for f in s.list_dir(_branch_prefix(name))):
         raise RefError(f"branch {name} already exists")
     try:
-        s.put_json(
+        s.put_json_cas(
             f"{_branch_prefix(name)}/{0:010d}.json",
             {"snapshot_id": snapshot_id},
-            if_none_match=True,
         )
     except StorageConflict as e:
         raise RefError(f"branch {name} already exists") from e
@@ -306,8 +304,8 @@ def list_branches(root: "str | Storage") -> set[str]:
 
 def create_tag(root: "str | Storage", name: str, snapshot_id: str) -> None:
     try:
-        resolve_storage(root).put_json(
-            _tag_key(name), {"snapshot_id": snapshot_id}, if_none_match=True
+        resolve_storage(root).put_json_cas(
+            _tag_key(name), {"snapshot_id": snapshot_id}
         )
     except StorageConflict as e:
         raise RefError(f"tag {name} already exists (tags are immutable)") from e

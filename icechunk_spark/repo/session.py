@@ -710,6 +710,42 @@ class Session:
             {"node_id": meta.node_id, "chunk_key": chunk_key, "payload": None, "op": "del", "is_virtual": False}
         )
 
+    def delete_chunks_prefix(self, path: str, coord_prefix=()) -> None:
+        """Bulk-delete every initialized chunk of ``path`` whose grid
+        coordinates start with ``coord_prefix`` — ONE distributed
+        staging job over the resolved manifest (the reference's
+        delete_chunks fold behind store.delete_dir, store.rs:447-512).
+        Never lists chunk keys on the driver: a 10^8-chunk subtree is
+        a filter + tombstone projection, not a loop."""
+        self._require_data_writable()
+        meta = self.array_meta(path)
+        # buffered sets inside the prefix must be shadowed too: flush
+        # them to a staged manifest first so the tombstones (staged
+        # later = higher index) overlay them
+        self._flush_chunk_buffer()
+        live = self._resolved_manifest(meta.node_id, None)
+        for d, v in enumerate(coord_prefix):
+            live = live.filter(F.col(f"c{d}") == int(v))
+        tombs = live.select(
+            "node_id", "chunk_key", "c0", "c1", "c2", "c3"
+        ).withColumn("op", F.lit("del"))
+        for col, typ in [
+            ("chunk_id", "string"),
+            ("file", "string"),
+            ("n_bytes", "bigint"),
+            ("vpath", "string"),
+            ("voffset", "bigint"),
+            ("vlength", "bigint"),
+            ("inline", "binary"),
+            ("vchecksum", "string"),
+        ]:
+            tombs = tombs.withColumn(col, F.lit(None).cast(typ))
+        tombs = tombs.withColumn("is_virtual", F.lit(False)).withColumn(
+            "seq", F.lit(0).cast("bigint")
+        )
+        cols = [c.strip().split(" ")[0] for c in MANIFEST_SCHEMA.split(",")]
+        self._stage_manifest(tombs.select(*cols))
+
     def set_virtual_ref(
         self,
         path: str,
@@ -1841,6 +1877,22 @@ class Session:
             # so the merge folds in EVERYTHING the fork wrote
             o._flush_chunk_buffer()
             self._staged.extend(o._staged)
+            # fold the fork's node-level ops (create/update/delete/move)
+            # into the parent's node table — commit publishes
+            # ``self._nodes``, so without this a fork's create_array
+            # would leave manifests referencing a node absent from the
+            # snapshot (same fold as the rebase path above; merge
+            # argument order wins on conflicting paths, matching the
+            # chunk-overlap contract)
+            for op in o._node_ops:
+                path = op["path"]
+                if op["op"] == "delete":
+                    self._nodes.pop(path, None)
+                else:
+                    if op["op"] == "move":
+                        self._nodes.pop(op.get("from"), None)
+                    if path in o._nodes:
+                        self._nodes[path] = o._nodes[path]
             self._node_ops.extend(o._node_ops)
 
     # --- pickling (read-scaling across workers) ---------------------------
@@ -1902,6 +1954,7 @@ class ForkSession(Session):
             "snapshot_id": self._base.id,
             "nodes": self._nodes,
             "staged": self._staged,
+            "node_ops": self._node_ops,
             "session_id": self.session_id,
         }
 
@@ -1915,7 +1968,10 @@ class ForkSession(Session):
         self._nodes = state["nodes"]
         self._staged = state["staged"]
         self._eager_staging = True
-        self._node_ops = []
+        # node ops must survive the executor->coordinator trip or a
+        # fork's create_array/delete_node/move is silently dropped by
+        # Session.merge (which folds via the op log)
+        self._node_ops = state.get("node_ops", [])
         self._chunk_buffer = []
         self._virtual_containers = None
         self._virtual_authorized = set()

@@ -102,6 +102,33 @@ class Storage:
     def put_json(self, key: str, doc: dict, *, if_none_match: bool = False) -> None:
         self.put(key, json.dumps(doc).encode(), if_none_match=if_none_match)
 
+    def put_json_cas(self, key: str, doc: dict) -> None:
+        """Conditional create with lost-success recognition (reference
+        PR #2156, design-docs/017-conditional-put-lost-response.md).
+
+        A conditional write whose success response is lost in transit
+        (connection drop, proxy timeout) is transparently retried by
+        the object-store SDK; the retry's precondition then fails
+        against OUR OWN first write and would surface as a spurious
+        conflict ("tag already exists", parent mismatch).  Stamping a
+        unique ``write_id`` into the payload and reading the object
+        back when the precondition fails distinguishes "we actually
+        won" from "someone else got there first"."""
+        import uuid
+
+        stamped = dict(doc)
+        stamped["write_id"] = uuid.uuid4().hex
+        try:
+            self.put(key, json.dumps(stamped).encode(), if_none_match=True)
+        except StorageConflict:
+            try:
+                existing = self.get_json(key)
+            except Exception:  # noqa: BLE001 — unreadable loser stays a conflict
+                raise StorageConflict(key) from None
+            if existing.get("write_id") == stamped["write_id"]:
+                return  # our write landed; only the response was lost
+            raise
+
 
 class LocalFilesystemStorage(Storage):
     def __init__(self, root: str):

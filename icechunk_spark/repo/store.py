@@ -345,6 +345,13 @@ class ChunkStore:
                 # is neither array nor group (store.rs:1684 "zarr")
                 raise RefError(f"invalid zarr.json node_type: {doc.get('node_type')!r}")
             return
+        # writing outside the grid stays rejected (PR #2312: only
+        # DELETES of impossible keys became no-ops)
+        meta = self.session.array_meta(path)
+        if not self._in_grid(meta, self._coords_of(chunk)):
+            raise RefError(
+                f"chunk coordinates {chunk!r} outside the chunk grid of {path}"
+            )
         self.session.set_chunk_bytes(path, chunk, value)
 
     def exists(self, key: str) -> bool:
@@ -428,22 +435,66 @@ class ChunkStore:
     def is_empty(self, prefix: str = "") -> bool:
         return next(iter(self.list_prefix(prefix)), None) is None
 
+    @staticmethod
+    def _coords_of(chunk: str) -> list[int]:
+        try:
+            return [int(x) for x in chunk.split(".")] if chunk else []
+        except ValueError:
+            raise RefError(f"invalid chunk coordinates: {chunk!r}") from None
+
+    @staticmethod
+    def _in_grid(meta, coords: list[int]) -> bool:
+        grid = meta.grid_shape()
+        return len(coords) == len(grid) and all(0 <= c < g for c, g in zip(coords, grid))
+
     def delete(self, key: str) -> None:
+        """Reference parity (store.rs:515-549, PR #2312): deleting a
+        key that CANNOT exist is a no-op, not an error — a missing
+        node's zarr.json, a chunk under a missing node or a group
+        path, or coordinates outside the chunk grid.  Malformed keys
+        still raise, and out-of-grid WRITES stay rejected (see set)."""
         self._require_store_writable()
         path, chunk = self._parse(key)
         if chunk is None:
+            try:
+                self.session._node(path)
+            except RefError:
+                return  # no node at the given key: nothing to do
             self.session.delete_node(path)
-        else:
-            self.session.delete_chunk(path, chunk)
+            return
+        try:
+            meta = self.session.array_meta(path)
+        except RefError:
+            return  # missing node or group path: the chunk cannot exist
+        if not self._in_grid(meta, self._coords_of(chunk)):
+            return  # out-of-grid coordinates: the chunk cannot exist
+        self.session.delete_chunk(path, chunk)
 
     def delete_dir(self, prefix: str) -> None:
+        """Delete every key under a prefix (reference store.rs:447-512):
+        a prefix naming a node short-circuits to ONE delete_node (the
+        subtree's chunk refs become unreachable — no per-chunk-key
+        driver loop); a ``<array>/c[/coords...]`` prefix bulk-deletes
+        the matching chunks distributed; anything else is a no-op."""
         self._require_store_writable()
-        """Delete every key under a prefix (store.py:delete_dir)."""
-        for key in list(self.list_prefix(prefix.rstrip("/") + "/")):
-            try:
-                self.delete(key)
-            except RefError:
-                pass
+        norm = "/" + prefix.strip("/") if prefix.strip("/") else "/"
+        nodes = self.session._nodes
+        if norm in nodes:
+            self.session.delete_node(norm)
+            return
+        parts = [p for p in norm.strip("/").split("/") if p]
+        for i in range(len(parts) - 1, -1, -1):
+            anc = "/" + "/".join(parts[:i]) if i else "/"
+            if anc not in nodes:
+                continue
+            rest = parts[i:]
+            if rest and rest[0] == "c" and nodes[anc].get("kind") == "array":
+                try:
+                    coords = [int(x) for x in rest[1:]]
+                except ValueError:
+                    return  # non-numeric coordinates cannot address chunks
+                self.session.delete_chunks_prefix(anc, coords)
+            return  # closest ancestor is a group / non-chunk remainder: no-op
 
     def sync_clear(self) -> None:
         self._require_store_writable()

@@ -71,6 +71,39 @@ def test_lazy_session_refuses_sparkless_buffered_flush(spark, tmp_path, monkeypa
         w._flush_chunk_buffer()
 
 
+def test_fork_node_ops_survive_pickle_and_merge(spark, tmp_path):
+    """A fork's node-LEVEL ops (create_array / delete_node) must fold
+    into the parent on merge, including across a pickle roundtrip
+    (ADVICE r7: commit publishes the parent's node table, so dropped
+    fork node ops left manifests referencing absent nodes)."""
+    root = str(tmp_path / "repo_nodes")
+    repo = Repository.create(spark, root)
+    with repo.transaction(message="init") as s:
+        s.create_array("/old", shape=[4], chunk_shape=[4])
+    w = repo.writable_session("main")
+    blob = pickle.dumps(w.fork())
+
+    def work(b):
+        import pickle as pkl
+
+        f = pkl.loads(b)
+        f.create_array("/new", shape=[8], chunk_shape=[4])
+        f.set_chunk_bytes("/new", "0", b"N" * 1024)
+        f.delete_node("/old")
+        return pkl.dumps(f)
+
+    returned = spark.sparkContext.parallelize([blob], 1).map(work).collect()
+    fork = pickle.loads(returned[0])
+    assert fork._node_ops  # survived the executor roundtrip
+    w.merge(fork)
+    sid = w.commit("fork node ops")
+
+    ro = repo.readonly_session(snapshot_id=sid)
+    nodes = ro.list_nodes()
+    assert "/new" in nodes and "/old" not in nodes
+    assert ro.get_chunk_bytes("/new", "0") == b"N" * 1024
+
+
 def test_fork_merge_overlap_is_merge_order_wins(spark, tmp_path):
     """Two forks writing the SAME chunk: the changeset merged LAST
     overlays the earlier one (staging order becomes the intra-commit

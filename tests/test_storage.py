@@ -414,3 +414,57 @@ def test_azure_storage_no_longer_requires_single_writer(monkeypatch):
     with pytest.raises(StorageConflict):
         st.put("refs/x.json", b"2", if_none_match=True)
     assert svc.blobs[("cont", "pre/refs/x.json")] == b"1"
+
+
+# ---------------------------------------------------------------------------
+# lost-success conditional writes (reference PR #2156,
+# design-docs/017-conditional-put-lost-response.md): a CAS whose success
+# response is lost in transit must be RECOGNIZED as a success on the
+# retry's precondition failure, not surface as a spurious conflict.
+# ---------------------------------------------------------------------------
+
+
+from icechunk_spark.repo.storage import _DelegatingStorage
+
+
+class _LostResponseStorage(_DelegatingStorage):
+    """Fault injector over any Storage: every conditional put LANDS,
+    but the success response is 'lost' — the caller observes exactly
+    what an SDK-internal retry would surface (a precondition failure
+    against our own write).  LatencyStorage-style delegation."""
+
+    def __init__(self, inner):
+        super().__init__(inner)
+        self.lost = 0
+
+    def put(self, key, data, *, if_none_match=False):
+        self.inner.put(key, data, if_none_match=if_none_match)
+        if if_none_match:
+            self.lost += 1
+            raise StorageConflict(key)
+
+
+def test_put_json_cas_recognizes_lost_success(storage):
+    faulty = _LostResponseStorage(storage)
+    faulty.put_json_cas("refs/tag.v1/ref.json", {"snapshot_id": "abc"})
+    assert faulty.lost == 1  # the conflict fired and was recognized
+    assert storage.get_json("refs/tag.v1/ref.json")["snapshot_id"] == "abc"
+
+    # a REAL conflict (someone else's write id) still raises
+    with pytest.raises(StorageConflict):
+        faulty.put_json_cas("refs/tag.v1/ref.json", {"snapshot_id": "other"})
+    assert storage.get_json("refs/tag.v1/ref.json")["snapshot_id"] == "abc"
+
+
+def test_commit_and_tag_survive_lost_cas_responses(spark, tmp_path):
+    """End-to-end: every ref-plane CAS in a commit + tag + branch
+    create goes through the fault injector and still succeeds."""
+    inner = LocalFilesystemStorage(str(tmp_path / "lostrepo"))
+    faulty = _LostResponseStorage(inner)
+    repo = Repository.create(spark, faulty)
+    with repo.transaction(message="init") as s:
+        s.create_array("/a", shape=[4], chunk_shape=[2])
+    repo.create_tag("v1", repo.lookup_branch("main"))
+    repo.create_branch("dev", repo.lookup_branch("main"))
+    assert faulty.lost >= 3  # create + commit + tag + branch all CAS'd
+    assert repo.lookup_tag("v1") == repo.lookup_branch("main")

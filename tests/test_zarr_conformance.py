@@ -329,3 +329,138 @@ def test_concurrent_metadata_updates_conflict(spark, tmp_path):
     s1.commit("grow to 8")
     with pytest.raises(ConflictError):
         s2.commit("grow to 12")
+
+
+# ---------------------------------------------------------------------------
+# delete of impossible keys is a no-op (reference PR #2312,
+# store.rs:515-549 + test_chunk_delete / test_metadata_delete matrix)
+# ---------------------------------------------------------------------------
+
+
+def test_delete_impossible_chunk_keys_is_noop(repo):
+    s = _w(repo)
+    store = ChunkStore(s)
+    store.set(
+        "zarr.json", b'{"zarr_format":3,"node_type":"group"}'
+    )
+    store.set(
+        "array/zarr.json",
+        json.dumps(
+            {
+                "zarr_format": 3,
+                "node_type": "array",
+                "shape": [2, 2, 2],
+                "data_type": "int32",
+                "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [1, 1, 1]}},
+                "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+                "fill_value": 0,
+                "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+            }
+        ).encode(),
+    )
+    data = b"hello"
+    store.set("array/c/0/1/0", data)
+    store.delete("array/c/0/1/0")
+    store.delete("array/c/0/1/0")  # deleting a deleted chunk is allowed
+    store.delete("array/c/1/1/1")  # deleting a never-written chunk is allowed
+    assert store.get("array/c/0/1/0") is None
+
+    # malformed keys still raise (store.rs: InvalidKey)
+    with pytest.raises(RefError):
+        store.delete("array/foo")
+
+    store.set("array/c/1/1/1", data)
+    store.delete("array/c/10/1/1")  # out of grid: no-op
+    store.delete("no/such/node/c/0/0/0")  # missing node: no-op
+    store.delete("c/0")  # the root is a group, not an array: no-op
+    store.delete("gone/zarr.json")  # missing node metadata: no-op
+    assert store.get("array/c/1/1/1") == data
+
+    # metadata delete stays idempotent
+    store.delete("array/zarr.json")
+    store.delete("array/zarr.json")
+    assert store.get("array/zarr.json") is None
+
+
+def test_set_out_of_grid_chunk_still_rejected(repo):
+    s = _w(repo)
+    s.create_array("/a", shape=[4], chunk_shape=[2])
+    store = ChunkStore(s)
+    store.set("a/c/1", b"ok")
+    with pytest.raises(RefError, match="outside the chunk grid"):
+        store.set("a/c/2", b"nope")
+    with pytest.raises(RefError, match="outside the chunk grid"):
+        store.set("a/c/0/0", b"rank mismatch")
+
+
+def test_delete_dir_matrix(spark, repo):
+    """delete_dir parity with store.rs test_delete_dir: node prefix
+    drops the subtree; <array>/c[/coords] drops matching chunks only;
+    non-node prefixes are no-ops."""
+    s = _w(repo)
+    store = ChunkStore(s)
+    s.create_group("/group")
+    s.create_array("/group/array", shape=[4, 4], chunk_shape=[2, 2])
+    for k in ("0/0", "0/1", "1/0", "1/1"):
+        store.set(f"group/array/c/{k}", b"x" * 8)
+
+    store.delete_dir("group/array")
+    assert store.get("group/array/zarr.json") is None
+
+    s.create_array("/group/array", shape=[4, 4], chunk_shape=[2, 2])
+    for k in ("0/0", "0/1", "1/0", "1/1"):
+        store.set(f"group/array/c/{k}", b"x" * 8)
+    store.delete_dir("group")
+    assert store.get("group/zarr.json") is None
+    assert store.get("group/array/zarr.json") is None
+
+    s.create_group("/group")
+    s.create_array("/group/array", shape=[4, 4], chunk_shape=[2, 2])
+    for k in ("0/0", "0/1", "1/0", "1/1"):
+        store.set(f"group/array/c/{k}", b"x" * 8)
+    store.delete_dir("/group/array/c")  # leading slash intentional
+    assert sorted(store.list_prefix("group/array")) == ["group/array/zarr.json"]
+
+    for k in ("0/0", "0/1", "1/0", "1/1"):
+        store.set(f"group/array/c/{k}", b"x" * 8)
+    store.delete_dir("group/array/c/0")  # coordinate-prefix subtree
+    assert sorted(store.list_prefix("group/array/c")) == [
+        "group/array/c/1/0",
+        "group/array/c/1/1",
+    ]
+
+    store.delete_dir("group/arr")  # not a node, no array ancestor: no-op
+    store.delete_dir("nonexistent")  # no-op
+    assert sorted(store.list_prefix("group/array/c")) == [
+        "group/array/c/1/0",
+        "group/array/c/1/1",
+    ]
+
+
+def test_delete_dir_node_prefix_never_lists_chunks(spark, repo, monkeypatch):
+    """Deleting a whole-array prefix must short-circuit to ONE
+    delete_node — never enumerate chunk keys on the driver (ADVICE r7:
+    a 10^8-chunk array would OOM the driver)."""
+    with repo.transaction(message="init") as s0:
+        s0.create_array("/big", shape=[8], chunk_shape=[2])
+    s = _w(repo)
+    store = ChunkStore(s)
+    for i in range(4):
+        store.set(f"big/c/{i}", b"y" * 8)
+
+    calls = {"delete_chunk": 0, "list": 0}
+    orig_dc = type(s).delete_chunk
+    monkeypatch.setattr(
+        type(s), "delete_chunk",
+        lambda self, *a, **k: (calls.__setitem__("delete_chunk", calls["delete_chunk"] + 1), orig_dc(self, *a, **k))[1],
+    )
+    orig_lp = ChunkStore.list_prefix
+    monkeypatch.setattr(
+        ChunkStore, "list_prefix",
+        lambda self, *a, **k: (calls.__setitem__("list", calls["list"] + 1), orig_lp(self, *a, **k))[1],
+    )
+    store.delete_dir("big")
+    assert calls == {"delete_chunk": 0, "list": 0}
+    assert "/big" not in s.list_nodes()
+    s.commit("dropped /big")
+    assert "/big" not in repo.readonly_session().list_nodes()
