@@ -241,6 +241,7 @@ def print_debug_info() -> None:
 
 
 __all__ = [
+    "__version__",  # the reference exports it from __init__ too
     # engine entry points
     "get_spark",
     "load_tables",

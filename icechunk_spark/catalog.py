@@ -38,7 +38,7 @@ def table_path(sf_dir: str, name: str) -> str:
 # views once.  Handles are lazy immutable plans over table dirs that
 # are never mutated in place (testdata + generated scale-ups), so
 # reuse is safe; clear_table_cache() exists for anything exotic.
-_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_TABLE_CACHE: dict[tuple[str, int, str], dict[str, DataFrame]] = {}
 
 
 def clear_table_cache() -> None:
@@ -50,12 +50,19 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     # nanosAsLong=true (→ raw int64 nanoseconds). Convert back to a naive
     # timestamp; session TZ pinned to UTC so the LTZ→NTZ cast is exact.
     # Set at runtime so it also applies under the driver's own session.
-    key = (id(spark.sparkContext), os.path.normpath(sf_dir))
+    sc = spark.sparkContext
+    # applicationId + startTime is stable for the context's lifetime and
+    # never reused after stop() (ADVICE r7: CPython can hand a NEW
+    # context the same id() as a dead one, resurrecting stale handles)
+    key = (sc.applicationId, sc.startTime, os.path.normpath(sf_dir))
+    # re-assert the session confs even on cache hits: a caller that
+    # mutated the session timeZone between calls would otherwise get a
+    # different LTZ->NTZ cast on events.ts
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return dict(cached)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {name: spark.read.parquet(table_path(sf_dir, name)) for name in TABLES}
     ts_type = dict(out["events"].dtypes).get("ts")
     if ts_type == "bigint":

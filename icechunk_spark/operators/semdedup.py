@@ -1,0 +1,91 @@
+"""SemDeDup-style semantic deduplication (Abbas et al. 2023,
+arXiv:2303.09540 — public method): embeddings are clustered, and
+within each cluster any vector too cosine-similar to an EARLIER
+cluster member is dropped (keep-first, like dedup_exact_keep_first).
+
+Scale design: the pairwise test only runs WITHIN a cluster — the
+label column stands in for the paper's k-means cell (knn_ivf's
+distributed-Lloyd centroids are the production cell assignment).
+That bounds the candidate join exactly like knn_ivf's cell probe:
+cells of size c cost O(c^2) pairs instead of O(n^2), and the join is
+a bucketed shuffle on the cluster key.  Cosine uses the engine's
+deterministic left-fold (functions.cosine) rounded to 4 decimals so
+the DuckDB oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icechunk_spark.catalog import load_tables
+from icechunk_spark.functions import cosine
+
+SEMDEDUP_THRESHOLD = 0.30  # test embeddings are random; real corpora ~0.95+
+
+
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster semantic dedup summary: total vectors, how many are
+    semantic duplicates of an earlier cluster member, how many survive."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", "label", "embedding")
+    a, b = emb.alias("a"), emb.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn(
+            "cos_sim", F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4)
+        )
+        .filter(F.col("cos_sim") >= SEMDEDUP_THRESHOLD)
+        .select(F.col("b.label").alias("label"), F.col("b.vec_id").alias("dup_id"))
+        .distinct()
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+    )
+    return (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .join(dups, "label", "left")
+        .select(
+            "label",
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            F.coalesce(F.col("n_dups"), F.lit(0)).cast("bigint").alias("n_dups"),
+            (F.col("n_vecs") - F.coalesce(F.col("n_dups"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("label")
+    )
+
+
+_COS = (
+    "list_sum(list_transform(list_zip(a.embedding, b.embedding),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+SEMDEDUP_SQL = f"""
+WITH dup_ids AS (
+  SELECT b.label AS label, b.vec_id AS dup_id
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round({_COS}, 4) >= {SEMDEDUP_THRESHOLD}
+  GROUP BY b.label, b.vec_id
+), dups AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_dups FROM dup_ids GROUP BY label
+)
+SELECT e.label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(coalesce(max(d.n_dups), 0) AS BIGINT) AS n_dups,
+       CAST(count(*) - coalesce(max(d.n_dups), 0) AS BIGINT) AS n_kept
+FROM embeddings e LEFT JOIN dups d ON e.label = d.label
+GROUP BY e.label
+ORDER BY e.label
+"""
+
+QUERIES = {"semdedup": semdedup}
+ORACLES = {"semdedup": SEMDEDUP_SQL}

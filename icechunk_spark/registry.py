@@ -19,7 +19,7 @@ def _modules():
     from icechunk_spark.operators import tpch
 
     mods = [tpch]
-    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "profile_ext", "curation_ext", "multimodal", "repo_queries", "streaming_queries"):
+    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "semdedup", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "profile_ext", "curation_ext", "multimodal", "repo_queries", "streaming_queries"):
         try:
             mods.append(__import__(f"icechunk_spark.operators.{name}", fromlist=[name]))
         except ImportError:
@@ -37,65 +37,18 @@ def _modules():
 # its 6 new ops (50/50 green).  Round 7 window = 2 anchors + the 16
 # remaining r4 greens (the overflow head the r6 comment promised) + the
 # new r7 queries (new queries always land inside the window) + the 30
-# stalest r5 greens.  The 18 remaining r5 greens head the overflow for
-# r8, followed by the r6/r7 greens.
+# stalest r5 greens.  Round 8 window = 2 anchors + the new r8 query +
+# ALL 20 remaining r5 greens + the 11 r6 greens whose module changed
+# since their row (check.py --stale) + the 16 stalest clean r6 greens.
+# After r8 no green row is older than r6; the overflow head (r9) is
+# the remaining r6 block (TPC-H q9-q22, knn_lsh/ivf, streaming).
 PRIORITY: list[str] = [
     # anchors (continuity across every round)
     "q1_pricing_summary",
     "minhash_lsh",
-    # r4 greens, now 3 windows old — the r7 must-check block
-    "ngram_jaccard",
-    "sessionize",
-    "asof_join",
-    "range_join",
-    "pivot_events",
-    "window_lead_lag",
-    "topk_per_group",
-    "running_agg",
-    "distinct_count_exact",
-    "distinct_count_approx",
-    "percentiles",
-    "rollup_cube",
-    "json_extract_agg",
-    "pack_sequences",
-    "mixture_sample",
-    "word_entropy",
-    # NEW in r7: first driver row immediately
-    "array_store_roundtrip_distributed",
-    "repo_cdc_changes",
-    "dsir_importance",
-    "ccnet_perplexity_buckets",
-    # stalest r5 greens (checked r5, skipped r6)
-    "bpe_pair_counts",
-    "rank_distribution",
-    "first_last_in_group",
-    "stats_agg",
-    "string_agg_ordered",
-    "histogram_value",
-    "time_resample",
-    "customer_retention_setops",
-    "sketch_event_counts",
-    "hypertable_rollup",
-    "dedup_exact_keep_first",
-    "embedding_neardup",
-    "cross_doc_spans",
-    "knn_brute_force",
-    "pairwise_topk",
-    "label_centroids",
-    "vector_norm_stats",
-    "kmeans_clusters",
-    "lang_id",
-    "token_count",
-    "quality_score",
-    "fingerprint",
-    "ngram_freq",
-    "pipeline_clean_corpus",
-    "dup_span_fraction",
-    "gopher_quality_filters",
-    "tfidf_top_terms",
-    "split_train_val",
-    # ---- window boundary (50) ----
-    # overflow head = remaining r5 greens; r8's window starts here
+    # NEW in r8: first driver row immediately
+    "semdedup",
+    # the 20 r5-stale greens (VERDICT r7 #2: retire every r5 row)
     "decontaminate",
     "stratified_sample",
     "bigram_logprob_score",
@@ -116,7 +69,20 @@ PRIORITY: list[str] = [
     "zipf_slope",
     "funnel_conversion",
     "label_pair_similarity",
-    # r6 greens follow (freshest full block — checked last round)
+    # r6 greens whose defining module changed since their row
+    # (tools/check.py --stale flags these CHANGED)
+    "lsh_quality",
+    "repo_manifest_stats",
+    "dedup_cluster",
+    "dedup_cluster_star",
+    "dedup_exact",
+    "simhash",
+    "winnowing_fingerprint",
+    "source_mixture_weights",
+    "doc_token_histogram",
+    "retention_cohorts",
+    "embedding_covariance",
+    # stalest remaining r6 greens (module-clean, freshness rotation)
     "pmi_phrases",
     "event_interarrival_stats",
     "cluster_size_distribution",
@@ -126,7 +92,6 @@ PRIORITY: list[str] = [
     "session_paths",
     "source_kl_divergence",
     "vocab_coverage",
-    "lsh_quality",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q4_order_priority",
@@ -134,6 +99,8 @@ PRIORITY: list[str] = [
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",
+    # ---- window boundary (50) ----
+    # overflow head = remaining r6 greens; r9's window starts here
     "q9_product_profit",
     "q10_returned_items",
     "q11_important_stock",
@@ -154,16 +121,6 @@ PRIORITY: list[str] = [
     "stream_dedup",
     "stream_interval_join",
     "stream_sessionize",
-    "repo_manifest_stats",
-    "dedup_cluster",
-    "dedup_cluster_star",
-    "dedup_exact",
-    "simhash",
-    "winnowing_fingerprint",
-    "source_mixture_weights",
-    "doc_token_histogram",
-    "retention_cohorts",
-    "embedding_covariance",
     "stream_topk_users",
 ]
 

@@ -51,10 +51,30 @@ def _static_wrapper(func, name: str):
     return twin
 
 
-def _call_wrapper(sync_name: str, name: str):
+def _call_wrapper(sync_name: str, name: str, *, locked: bool = False):
     # dynamic dispatch via getattr(self, ...) so subclass overrides
-    # (e.g. ForkSession.commit) are honored by the twin
+    # (e.g. ForkSession.commit) are honored by the twin.
+    #
+    # locked=True (the WRITE twins): two concurrently awaited write
+    # twins on one session would interleave its _staged/_chunk_buffer
+    # mutations nondeterministically (the sync surface is documented
+    # single-writer; ADVICE r7).  A per-SESSION threading.Lock held
+    # inside the worker thread serializes them — ChunkStore twins lock
+    # the underlying session, so store and session writes serialize
+    # against each other too.
     async def twin(self, *args, **kwargs):
+        if locked:
+            import threading
+
+            owner = getattr(self, "session", self)
+            def call():
+                lock = owner.__dict__.setdefault(
+                    "_async_write_lock", threading.Lock()
+                )
+                with lock:
+                    return getattr(self, sync_name)(*args, **kwargs)
+
+            return await asyncio.to_thread(call)
         return await asyncio.to_thread(getattr(self, sync_name), *args, **kwargs)
 
     twin.__name__ = name
@@ -152,34 +172,34 @@ REPOSITORY_ASYNC: dict[str, str] = {
 SESSION_ASYNC: dict[str, str] = {
     # reference session.py:182, :212, :316, :327, :365, :399, :460,
     # :549, :614, :659
-    "move": "call",
+    "move": "wcall",
     "get_node_id": "call",
     "all_virtual_chunk_locations": "call",
     "chunk_coordinates": "gen",
     "chunk_type": "call",
-    "merge": "call",
-    "commit": "call",
-    "amend": "call",
-    "flush": "call",
-    "rebase": "call",
+    "merge": "wcall",
+    "commit": "wcall",
+    "amend": "wcall",
+    "flush": "wcall",
+    "rebase": "wcall",
 }
 
 STORE_ASYNC: dict[str, str] = {
     # reference store.py:116-:671 (zarr-native async surface) +
     # :331, :391, :491 (virtual-ref *_async)
-    "clear": "call",
+    "clear": "wcall",
     "is_empty": "call",
     "get": "call",
     "get_partial_values": "call",
     "exists": "call",
-    "set": "call",
-    "set_if_not_exists": "call",
-    "set_virtual_ref": "call",
-    "set_virtual_refs": "call",
-    "set_virtual_refs_arr": "call",
-    "delete": "call",
-    "delete_dir": "call",
-    "set_partial_values": "call",
+    "set": "wcall",
+    "set_if_not_exists": "wcall",
+    "set_virtual_ref": "wcall",
+    "set_virtual_refs": "wcall",
+    "set_virtual_refs_arr": "wcall",
+    "delete": "wcall",
+    "delete_dir": "wcall",
+    "set_partial_values": "wcall",
     "getsize": "call",
     "getsize_prefix": "call",
 }
@@ -202,5 +222,7 @@ def install_async_twins(cls, spec: dict[str, str]) -> None:
             setattr(cls, twin_name, staticmethod(_static_wrapper(bound, twin_name)))
         elif kind == "gen":
             setattr(cls, twin_name, _gen_wrapper(name, twin_name))
+        elif kind == "wcall":
+            setattr(cls, twin_name, _call_wrapper(name, twin_name, locked=True))
         else:
             setattr(cls, twin_name, _call_wrapper(name, twin_name))

@@ -1255,6 +1255,32 @@ class Repository:
         BEFORE the tips are re-verified / anything is deleted (no-op in
         production)."""
 
+    def _storage_clock_skew(self) -> float:
+        """Measured ``object-store clock − host clock`` in seconds:
+        write a tiny probe object, read its storage mtime back, and
+        compare against the host timestamp bracketing the put
+        (reference PR #2310).  Storages that share the host clock
+        (local fs, in-memory) measure ~0; a store that cannot take the
+        probe (read-only, no timestamps) reports 0 — the pre-guard
+        behavior, never worse."""
+        import uuid
+
+        st = fmt.resolve_storage(self.root)
+        key = f"gc/clock-probe-{uuid.uuid4().hex}.json"
+        try:
+            t0 = time.time()
+            st.put(key, b"{}")
+            t1 = time.time()
+            skew = st.mtime(key) - (t0 + t1) / 2.0
+        except Exception:  # noqa: BLE001 — any probe failure means "unknown": use 0
+            return 0.0
+        finally:
+            try:
+                st.delete(key)
+            except Exception:  # noqa: BLE001 — a leaked 2-byte probe is harmless
+                pass
+        return skew
+
     def _reap_paths(self, paths: list[str], cutoff: float, dry_run: bool) -> int:
         """Age-gated delete of a list of files/dirs, counting actual
         outcomes.  Large backlogs run per-candidate inside executor
@@ -1399,6 +1425,15 @@ class Repository:
         cutoff = _resolve_cutoff(
             older_than_seconds, delete_object_older_than, now, "garbage_collect"
         )
+        # Clock-skew guard (reference PR #2310): the cutoff above is a
+        # HOST-clock instant, but every age check below compares
+        # OBJECT-STORE mtimes.  A store clock running behind the host
+        # makes freshly written objects look old enough to delete —
+        # silently destroying in-flight chunks or still-referenced
+        # txlogs.  Measure the skew with a probe object and shift the
+        # cutoff into the storage-clock frame, so both sides of every
+        # comparison use the SAME clock (the one that stamps deletes).
+        cutoff += self._storage_clock_skew()
 
         def _old(path: str) -> bool:
             ts = fsio.mtime(path)

@@ -325,10 +325,18 @@ def write_avro(df: DataFrame, path: str, *, codec: str = "deflate") -> None:
             records = _pandas_to_avro_records(pdf, spark_schema)
             payload = avro_codec.write_container(records, avro_schema, codec=codec)
             out_fs, out_base = pafs.FileSystem.from_uri(path)
-            with out_fs.open_output_stream(
-                f"{out_base}/part-{pid:05d}.avro"
-            ) as f:
+            # task-commit safety (ADVICE r7): a speculative duplicate or
+            # a zombie retry racing this task must never interleave on
+            # the final stream.  Write to an ATTEMPT-UNIQUE temp name,
+            # then rename — whichever attempt renames last leaves a
+            # complete file; mid-job failures leave only .tmp litter
+            # that read_avro's *.avro glob never sees.
+            attempt = TaskContext.get().taskAttemptId()
+            tmp = f"{out_base}/.part-{pid:05d}-{attempt}.avro.tmp"
+            final = f"{out_base}/part-{pid:05d}.avro"
+            with out_fs.open_output_stream(tmp) as f:
                 f.write(payload)
+            out_fs.move(tmp, final)
             n = len(records)
         yield pd.DataFrame({"partition": [pid], "n_records": [n]})
 

@@ -66,7 +66,14 @@ def splitting_configs(draw: st.DrawFn, *, arrays: Iterable[tuple[str, Any]]):
                 key: Any = ManifestSplitDimCondition.Axis(axis)
             else:
                 key = ManifestSplitDimCondition.DimensionName(dimname)
-            config_dict[cond] = {key: draw(st.integers(min_value=1, max_value=size + 10))}
+            # setdefault so every drawn dimension's rule is kept (the
+            # reference overwrites here — ADVICE r7 flagged the parity
+            # quirk as narrowing property coverage; keeping all picks
+            # matches the documented 'a split size per randomly-chosen
+            # dimension' intent)
+            config_dict.setdefault(cond, {})[key] = draw(
+                st.integers(min_value=1, max_value=size + 10)
+            )
     return ManifestSplittingConfig.from_dict(config_dict)
 
 

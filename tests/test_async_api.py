@@ -226,3 +226,28 @@ def test_async_store_twins(spark, repo):
         assert list(store.list_prefix("a")) == []
 
     run(flow())
+
+
+def test_concurrent_write_twins_serialize_on_one_session(spark, repo):
+    """Write twins hold a per-session lock (ADVICE r7): 24 concurrently
+    awaited set_async calls on one session must all land intact — no
+    interleaved buffer corruption — and the lock is installed on the
+    SESSION so store- and session-level writes serialize together."""
+    w = repo.writable_session("main")
+    with_store = ChunkStore(w)
+    w.create_array("/conc", shape=[48], chunk_shape=[2])
+
+    async def flow():
+        await asyncio.gather(
+            *[
+                with_store.set_async(f"conc/c/{i}", bytes([i]) * 700)
+                for i in range(24)
+            ]
+        )
+
+    run(flow())
+    assert "_async_write_lock" in w.__dict__  # lock lives on the session
+    w.commit("concurrent async writes")
+    ro = repo.readonly_session()
+    for i in range(24):
+        assert ro.get_chunk_bytes("/conc", str(i)) == bytes([i]) * 700

@@ -58,7 +58,7 @@ REFERENCE_ALL = [
     "s3_anonymous_credentials", "s3_credentials", "s3_from_env_credentials",
     "s3_refreshable_credentials", "s3_static_credentials", "s3_storage",
     "s3_store", "set_logs_filter", "shutdown_telemetry", "spec_version",
-    "tigris_storage", "user_agent",
+    "tigris_storage", "user_agent", "__version__",
 ]
 
 

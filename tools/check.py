@@ -43,7 +43,77 @@ def fingerprint(cols, rows):
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
+def stale_report() -> int:
+    """``check.py --stale``: for every registered query, its last
+    driver-green round and whether its DEFINING MODULE changed since
+    that round's record landed (VERDICT r7 #10: edits after a green
+    row silently invalidate it — this makes the rotation auditable).
+    Exit 1 when any green query has changed since its check."""
+    import glob
+    import json
+    import os
+    import re
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    # query -> (last round with all-green row, ever seen)
+    last_green: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)", path).group(1))
+        for name, row in json.load(open(path)).items():
+            ok = row.get("rows_match") and row.get("schema_match") is not False
+            ok = ok and row.get("hash_match") is not False and not row.get("err")
+            if ok:
+                last_green[name] = max(last_green.get(name, 0), rnd)
+
+    # round -> commit that ADDED its correctness record
+    def record_commit(rnd: int) -> str | None:
+        out = subprocess.run(
+            ["git", "log", "--diff-filter=A", "--format=%H", "--",
+             f"CORRECTNESS_r{rnd:02d}.json", f"CORRECTNESS_r{rnd}.json"],
+            capture_output=True, text=True, cwd=repo,
+        ).stdout.split()
+        return out[0] if out else None
+
+    # query -> defining module file (the module whose QUERIES dict owns it)
+    import __spark_entry__  # noqa: F401 — ensures sys.path set up
+    from icechunk_spark import registry
+
+    owner: dict[str, str] = {}
+    for mod in registry._modules():
+        for name in getattr(mod, "QUERIES", {}):
+            owner[name] = os.path.relpath(mod.__file__, repo)
+
+    n_changed = 0
+    rows = []
+    for name in registry.all_queries():
+        rnd = last_green.get(name)
+        if rnd is None:
+            rows.append((name, "never", "-", owner.get(name, "?")))
+            continue
+        commit = record_commit(rnd)
+        changed = "?"
+        if commit and name in owner:
+            diff = subprocess.run(
+                ["git", "diff", "--name-only", f"{commit}..HEAD", "--", owner[name]],
+                capture_output=True, text=True, cwd=repo,
+            ).stdout.strip()
+            changed = "CHANGED" if diff else "clean"
+            if diff:
+                n_changed += 1
+        rows.append((name, f"r{rnd}", changed, owner.get(name, "?")))
+
+    width = max(len(r[0]) for r in rows)
+    for name, rnd, changed, mod in sorted(rows, key=lambda r: (r[1], r[0])):
+        print(f"{name:<{width}}  {rnd:>5}  {changed:<7}  {mod}")
+    print(f"\n{n_changed} green queries have module edits since their last driver row")
+    return 1 if n_changed else 0
+
+
 def main():
+    if "--stale" in sys.argv:
+        sys.exit(stale_report())
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
