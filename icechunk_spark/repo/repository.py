@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from icechunk_spark.engine import local_df
+from icechunk_spark.tracing import traced as _traced
 
 from icechunk_spark.repo import format as fmt
 from icechunk_spark.repo import fsio
@@ -1110,6 +1111,7 @@ class Repository:
 
     # --- maintenance ops (Spark jobs) -------------------------------------
 
+    @_traced("icechunk.expire_snapshots")
     def expire_snapshots(
         self,
         older_than_seconds: "float | None" = None,
@@ -1387,6 +1389,7 @@ class Repository:
         parent = {sid: pid for sid, pid, _m, _p, _w in metas}
         return self._walk_live(tips, parent)
 
+    @_traced("icechunk.garbage_collect")
     def garbage_collect(
         self,
         delete_object_older_than=None,
@@ -1689,6 +1692,7 @@ class Repository:
             )
         return summary
 
+    @_traced("icechunk.rewrite_manifests")
     def rewrite_manifests(
         self,
         branch: str = MAIN,

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from icechunk_spark.engine import local_df
+from icechunk_spark.tracing import traced as _traced
 
 from icechunk_spark.repo import format as fmt
 from icechunk_spark.repo import fsio
@@ -1315,6 +1316,26 @@ class Session:
         up to ``rebase_tries`` times; ``allow_empty=False`` (the
         default, matching the reference) refuses a commit that changes
         nothing."""
+        from icechunk_spark.tracing import span
+
+        with span("icechunk.commit", branch=self._branch, message=message):
+            return self._commit_impl(
+                message,
+                metadata,
+                rebase_with,
+                rebase_tries=rebase_tries,
+                allow_empty=allow_empty,
+            )
+
+    def _commit_impl(
+        self,
+        message: str,
+        metadata: dict | None = None,
+        rebase_with: ConflictSolver | None = None,
+        *,
+        rebase_tries: int = 1_000,
+        allow_empty: bool = False,
+    ) -> str:
         self._require_writable()
         self._require_repo_online()
         if self._branch is None:
@@ -1393,6 +1414,7 @@ class Session:
             self._drop_manifest_cache()
             return snap_id
 
+    @_traced("icechunk.flush")
     def flush(self, message: str, *, metadata: dict | None = None) -> str:
         """Save staged changes to a new snapshot WITHOUT modifying any
         branch; on success the session becomes read-only, based on the
@@ -1512,6 +1534,7 @@ class Session:
         self._drop_manifest_cache()
         return snap_id
 
+    @_traced("icechunk.rebase")
     def rebase(self, solver: ConflictSolver) -> None:
         """Move the session base to the branch tip, resolving conflicts."""
         self._require_writable()
