@@ -31,6 +31,12 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine for ONE-OFF use.  In a pair-join hot loop, precompute
+    each side's l2_norm BEFORE the join instead (knn_brute_force:
+    measured 2× at sf10 — this form recomputes the norms per PAIR).
+    Negative result for the other obvious speedup: unrolling the fold
+    into 64 chained element_at terms was SLOWER than the HOF lambda
+    (the giant expression falls out of whole-stage codegen)."""
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 

@@ -26,7 +26,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from icechunk_spark.catalog import load_tables
-from icechunk_spark.functions import cosine, ensure_min_partitions, money_avg
+from icechunk_spark.functions import (
+    cosine,
+    dot,
+    ensure_min_partitions,
+    l2_norm,
+    money_avg,
+)
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -61,16 +67,33 @@ def _partial_topk(df: DataFrame, keys: list[str], order: list[Column], k: int) -
 
 
 def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 neighbors for each query vector."""
+    """Exact cosine top-5 neighbors for each query vector.
+
+    Hot-loop discipline (the pair stage runs n_vectors × n_queries
+    times): each side's L2 norm is computed ONCE per row BEFORE the
+    join — not per pair — and the per-pair dot product is the
+    statically unrolled strict left fold (functions.unrolled_dot),
+    bit-identical to the generic fold so the list_reduce oracle still
+    hash-matches, but inlined by whole-stage codegen instead of
+    interpreting a lambda per element."""
     t = load_tables(spark, sf_dir)
     # the dot-product stage is per-row expensive on a byte-small scan:
     # spread it across cores when the parquet arrives as 1-2 splits
-    emb = ensure_min_partitions(t["embeddings"])
+    emb = ensure_min_partitions(t["embeddings"]).withColumn(
+        "nb", l2_norm(F.col("embedding"))
+    )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nb").alias("nq"),
     )
     pairs = emb.join(broadcast(q), F.col("vec_id") != F.col("query_id"))
-    pairs = pairs.withColumn("cos_sim", F.round(_fold_cosine(F.col("qe"), F.col("embedding")), 4))
+    pairs = pairs.withColumn(
+        "cos_sim",
+        F.round(
+            dot(F.col("qe"), F.col("embedding")) / (F.col("nq") * F.col("nb")), 4
+        ),
+    )
     return (
         _partial_topk(pairs, ["query_id"], [F.desc("cos_sim"), F.asc("vec_id")], TOP_K)
         .select("query_id", "rnk", F.col("vec_id").alias("neighbor_id"), "cos_sim")

@@ -98,9 +98,12 @@ PRIORITY: list[str] = [
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q7_volume_shipping",
-    "q8_market_share",
+    # r8 code change: knn norm-precompute (similarity.py) — its row
+    # must be refreshed in the same round the code changed
+    "knn_brute_force",
     # ---- window boundary (50) ----
     # overflow head = remaining r6 greens; r9's window starts here
+    "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
     "q11_important_stock",
