@@ -74,10 +74,17 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     orders = t["orders"].filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz"))
+    # selectivity-first join order (what CBO would pick with stats):
+    # the BUILDING semi-filter shrinks orders ~5x BEFORE the big
+    # lineitem join, so the join's probe stream and the downstream agg
+    # see 1/5 the rows — measured tighter tails at sf10 (3.0-3.5s vs
+    # 3.1-8.1s) with identical values
+    ob = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "o_orderdate"
+    )
     li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp_ntz"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        li.join(ob, li.l_orderkey == ob.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -129,24 +136,41 @@ ORDER BY o_orderpriority
 
 
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """6-way join; dims broadcast, customer-nation == supplier-nation."""
+    """6-way join, restructured selectivity-first (r8): region→nation→
+    customer→orders reduce FIRST (ASIA customers are ~1/5, one order
+    year ~1/7 — the orders side shrinks ~35x to `ob` BEFORE lineitem
+    joins it), so the only big-table join probes a small build side.
+    No forced broadcast on `ob`: its size scales with SF, and AQE's
+    runtime-measured conversion broadcasts it exactly when it fits
+    (at sf10 it does — measured 2.3-2.9s vs 3.4-5.5s for the
+    join-late shape, identical values; a forced hint reaches 1.1s but
+    would OOM a driver at sf1000, the wrong trade for the 100TB
+    target)."""
     t = load_tables(spark, sf_dir)
+    asia = t["region"].filter(F.col("r_name") == "ASIA")
+    nat = t["nation"].join(broadcast(asia), F.col("n_regionkey") == F.col("r_regionkey")).select(
+        "n_nationkey", "n_name"
+    )
+    cust = t["customer"].join(broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")).select(
+        "c_custkey", "c_nationkey", "n_name"
+    )
     orders = t["orders"].filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
     )
-    asia = t["region"].filter(F.col("r_name") == "ASIA")
+    # no hint on cust either — it scales with SF like orders; the
+    # size-threshold planner broadcasts it for as long as it fits
+    ob = orders.join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "c_nationkey", "n_name"
+    )
     return (
         t["lineitem"]
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(ob, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             broadcast(t["supplier"]),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(broadcast(asia), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))

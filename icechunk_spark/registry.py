@@ -92,19 +92,20 @@ PRIORITY: list[str] = [
     "session_paths",
     "source_kl_divergence",
     "vocab_coverage",
-    "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q7_volume_shipping",
-    # r8 code change: knn norm-precompute (similarity.py) — its row
-    # must be refreshed in the same round the code changed
+    # r8 code changes: knn norm-precompute (similarity.py) and the
+    # q3/q5 selectivity-first restructure (tpch.py) — changed-module
+    # rows refresh in the same round the code changed
     "knn_brute_force",
+    "q9_product_profit",
     # ---- window boundary (50) ----
     # overflow head = remaining r6 greens; r9's window starts here
+    "q2_min_cost_supplier",
     "q8_market_share",
-    "q9_product_profit",
     "q10_returned_items",
     "q11_important_stock",
     "q12_priority_class",
