@@ -103,24 +103,32 @@ PRIORITY: list[str] = [
     "knn_brute_force",
     "q9_product_profit",
     # ---- window boundary (50) ----
-    # overflow head = remaining r6 greens; r9's window starts here
+    # r9 overflow head.  FIRST the 11 queries whose modules (tpch.py,
+    # similarity.py) changed in r8 but did not fit the window — all 11
+    # re-gated green via tools/check.py this round; their driver rows
+    # refresh in r9 (check.py --stale lists them until then):
+    "q10_returned_items",
+    "q12_priority_class",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "knn_lsh",
+    "knn_ivf",
+    "pairwise_topk",
+    "label_centroids",
+    "vector_norm_stats",
+    "kmeans_clusters",
+    # then the module-clean remaining r6 greens
     "q2_min_cost_supplier",
     "q8_market_share",
-    "q10_returned_items",
     "q11_important_stock",
-    "q12_priority_class",
     "q13_order_distribution",
-    "q14_promo_effect",
     "q15_top_supplier",
     "q16_part_supplier_cnt",
     "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
     "q22_global_sales",
-    "knn_lsh",
-    "knn_ivf",
     "stream_windowed_agg",
     "stream_dedup",
     "stream_interval_join",
