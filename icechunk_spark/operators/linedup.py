@@ -1,0 +1,328 @@
+"""Line/paragraph-granularity curation operators (SURVEY.md §2e
+extension): C4-style line-level exact dedup, asymmetric n-gram
+containment (subset-duplication detection), IDF novelty scoring, and
+robust (median/MAD) length outlier detection.
+
+These fill the granularity gap between document-level dedup
+(dedup.py: whole-doc hash / MinHash / SimHash) and substring-level
+dedup (cross_doc_spans): real web corpora are deduplicated at the
+LINE level first (the C4 recipe removes any line that occurs more
+than once in the corpus) and screened for documents that are near-
+SUBSETS of other documents — a case symmetric Jaccard misses because
+a small doc contained in a big one has low |A∩B|/|A∪B| but high
+|A∩B|/|A|.
+
+Scale design:
+- line_dedup is one md5-keyed window min + one per-doc aggregate: two
+  shuffles total, both on uniformly-hashed keys, no joins.  The C4
+  recipe at 100 TB is exactly this shape (the line-hash shuffle is
+  the cost; a 10-token line key is ~uniform so no skew salting is
+  needed).
+- ngram_containment reuses the df-capped shared-shingle machinery
+  from dedup.ngram_jaccard_pairs: candidate generation is a bucketed
+  join bounded by the df cap, never O(n²).
+- idf_doc_score shuffles (tok) once for document frequencies and
+  (doc_id) once for the per-doc fold; the fold is array_sort-ordered
+  so the float sum is bit-stable across partitionings (the
+  word_entropy pattern).
+- length_mad_outliers keeps exact per-source medians because the
+  oracle must agree; at 100 TB swap F.median for
+  F.percentile_approx(..) — the plan shape (tiny per-source aggregate
+  broadcast back) is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from icechunk_spark.catalog import load_tables
+from icechunk_spark.functions import tokenize
+from icechunk_spark.operators.dedup import (
+    DUCK_SHINGLES,
+    DUCK_TOKS,
+    NGRAM_DF_CAP,
+    shingles_col,
+)
+
+LINE_TOKENS = 10
+CONTAINMENT_THRESHOLD = 0.8
+
+# --- C4-style line-level dedup ------------------------------------------
+
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level exact dedup statistics per document (the C4 recipe:
+    a line that occurs more than once in the corpus is kept only at
+    its first occurrence).  "Lines" are consecutive LINE_TOKENS-token
+    segments of the whitespace tokenization — the corpus has no
+    newlines, so segmentation is positional, which is also what a
+    tokenized-and-packed corpus looks like in practice.
+
+    First occurrence = lexicographic min of (doc_id, line_idx) within
+    the line's md5 group, resolved with one window min (no join).
+    Output: per-doc line counts and the fraction of lines dropped."""
+    t = load_tables(spark, sf_dir)
+    toks = tokenize(F.col("text"))
+    n_chunks = F.ceil(F.size(toks) / F.lit(LINE_TOKENS)).cast("int")
+    # guard: sequence(0, -1) would yield [0, -1] (negative step), not []
+    lines = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * LINE_TOKENS + 1, LINE_TOKENS), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ln = t["documents"].select(
+        "doc_id", F.posexplode(lines).alias("line_idx", "line")
+    ).withColumn("h", F.md5("line"))
+    w = Window.partitionBy("h")
+    kept = (
+        F.min(F.struct("doc_id", "line_idx")).over(w)
+        == F.struct("doc_id", "line_idx")
+    ).cast("int")
+    return (
+        ln.withColumn("kept", kept)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("kept").alias("kept_lines"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "kept_lines",
+            F.round(1 - F.col("kept_lines") / F.col("n_lines"), 4).alias(
+                "dup_line_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUCK_LINES = f"""
+lines AS (
+  SELECT doc_id, generate_subscripts(ls, 1) - 1 AS line_idx, unnest(ls) AS line
+  FROM (
+    SELECT doc_id,
+           [array_to_string(toks[i*{LINE_TOKENS}+1 : i*{LINE_TOKENS}+{LINE_TOKENS}], ' ')
+            FOR i IN range(0, CAST(ceil(len(toks)/{LINE_TOKENS}.0) AS INT))] AS ls
+    FROM (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents)
+  )
+)
+"""
+
+LINE_DEDUP_SQL = f"""
+WITH {DUCK_LINES},
+marked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY md5(line)
+                                 ORDER BY doc_id, line_idx) = 1 AS INT) AS kept
+  FROM lines
+)
+SELECT doc_id,
+       count(*) AS n_lines,
+       CAST(sum(kept) AS BIGINT) AS kept_lines,
+       round(1 - sum(kept) * 1.0 / count(*), 4) AS dup_line_frac
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# --- asymmetric n-gram containment --------------------------------------
+
+def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed subset-duplication pairs: doc_a whose shingle set is
+    ≥ CONTAINMENT_THRESHOLD contained in doc_b's
+    (|A∩B| / |A| — asymmetric, so a short doc embedded in a long one
+    scores high even when the symmetric Jaccard is low).  Uses the
+    same df-capped shingle universe as ngram_jaccard so hot
+    boilerplate phrases cannot quadratically blow up the join."""
+    t = load_tables(spark, sf_dir)
+    docs = (
+        t["documents"]
+        .select("doc_id", shingles_col(F.col("text")).alias("sh"))
+    )
+    ex_all = docs.select("doc_id", F.explode("sh").alias("s"))
+    hot = (
+        ex_all.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CAP)
+        .select("s")
+    )
+    # ex feeds sizes AND both join sides — persist to run the explode +
+    # anti-join once (the ngram_jaccard_pairs pattern)
+    ex = ex_all.join(broadcast(hot), "s", "left_anti").persist()
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    cont = F.col("shared") / F.col("na")
+    return (
+        shared.join(sa, "doc_a")
+        .filter(cont >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(cont, 3).alias("containment"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NGRAM_CONTAINMENT_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, {DUCK_SHINGLES} AS sh
+  FROM (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents)
+), ex_all AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+hot AS (SELECT s FROM ex_all GROUP BY s HAVING count(*) > {NGRAM_DF_CAP}),
+ex AS (SELECT doc_id, s FROM ex_all ANTI JOIN hot USING (s)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(shared * 1.0 / sa.n_sh, 3) AS containment
+FROM shared
+JOIN sizes sa ON doc_a = sa.doc_id
+WHERE shared * 1.0 / sa.n_sh >= {CONTAINMENT_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --- IDF novelty score ---------------------------------------------------
+
+def idf_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average inverse document frequency over each document's
+    DISTINCT tokens — a rarity/novelty proxy used for diversity-aware
+    selection (documents of common boilerplate score low, documents
+    carrying rare vocabulary score high).  idf = ln(N / df).
+
+    The per-doc sum folds in token order (array_sort then sequential
+    F.aggregate) so the float accumulation is bit-stable — the
+    word_entropy pattern."""
+    t = load_tables(spark, sf_dir)
+    dt = t["documents"].select(
+        "doc_id", F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tok")
+    )
+    dfreq = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
+    pairs = (
+        dt.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("tok", "df"))).alias("pairs"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.size("pairs").alias("n_distinct_toks"),
+            F.round(
+                F.aggregate(
+                    "pairs",
+                    F.lit(0.0),
+                    lambda acc, p: acc + F.log(F.col("n_docs") / p["df"]),
+                )
+                / F.size("pairs"),
+                4,
+            ).alias("avg_idf"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+IDF_DOC_SCORE_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest({DUCK_TOKS}) AS tok FROM documents
+), dfreq AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id,
+       CAST(len(pairs) AS INT) AS n_distinct_toks,
+       round(list_reduce(list_transform(pairs, x -> ln(n_docs * 1.0 / x.df)),
+                         (a, b) -> a + b) / len(pairs), 4) AS avg_idf
+FROM (
+  SELECT doc_id, list_sort(list({{'tok': tok, 'df': df}})) AS pairs
+  FROM dt JOIN dfreq USING (tok)
+  GROUP BY doc_id
+), n
+ORDER BY doc_id
+"""
+
+
+# --- robust length outliers ----------------------------------------------
+
+MAD_K = 3.0
+
+
+def length_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source robust length screening: median(n_chars), the
+    median absolute deviation, and how many documents sit more than
+    MAD_K·MAD from the median — the outlier filter a curation
+    pipeline runs before trusting per-source length statistics
+    (means/stddevs are themselves corrupted by the outliers this
+    catches).  Exact medians for oracle parity; the 100 TB variant
+    swaps in percentile_approx with the same two-pass plan shape."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("source", "n_chars")
+    med = docs.groupBy("source").agg(F.median("n_chars").alias("med_chars"))
+    dev = docs.join(broadcast(med), "source").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("med_chars"))
+    )
+    mad = dev.groupBy("source").agg(
+        F.median("adev").alias("mad_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return (
+        dev.join(broadcast(mad.select("source", "mad_chars")), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                (F.col("adev") > F.lit(MAD_K) * F.col("mad_chars")).cast("int")
+            ).alias("n_outliers")
+        )
+        .join(med, "source")
+        .join(mad, "source")
+        .select("source", "n_docs", "med_chars", "mad_chars", "n_outliers")
+        .orderBy("source")
+    )
+
+
+LENGTH_MAD_SQL = f"""
+WITH med AS (
+  SELECT source, median(n_chars) AS med_chars FROM documents GROUP BY source
+), dev AS (
+  SELECT d.source, abs(d.n_chars - m.med_chars) AS adev, m.med_chars
+  FROM documents d JOIN med m ON d.source = m.source
+), mad AS (
+  SELECT source, median(adev) AS mad_chars, count(*) AS n_docs
+  FROM dev GROUP BY source
+)
+SELECT dev.source, mad.n_docs, dev.med_chars AS med_chars, mad.mad_chars,
+       CAST(sum(CAST(dev.adev > {MAD_K} * mad.mad_chars AS INT)) AS BIGINT) AS n_outliers
+FROM dev JOIN mad ON dev.source = mad.source
+GROUP BY dev.source, mad.n_docs, dev.med_chars, mad.mad_chars
+ORDER BY dev.source
+"""
+
+
+QUERIES = {
+    "line_dedup": line_dedup,
+    "ngram_containment": ngram_containment,
+    "idf_doc_score": idf_doc_score,
+    "length_mad_outliers": length_mad_outliers,
+}
+
+ORACLES = {
+    "line_dedup": LINE_DEDUP_SQL,
+    "ngram_containment": NGRAM_CONTAINMENT_SQL,
+    "idf_doc_score": IDF_DOC_SCORE_SQL,
+    "length_mad_outliers": LENGTH_MAD_SQL,
+}

@@ -19,7 +19,7 @@ def _modules():
     from icechunk_spark.operators import tpch
 
     mods = [tpch]
-    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "semdedup", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "profile_ext", "curation_ext", "multimodal", "repo_queries", "streaming_queries"):
+    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "semdedup", "linedup", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "profile_ext", "curation_ext", "multimodal", "repo_queries", "streaming_queries"):
         try:
             mods.append(__import__(f"icechunk_spark.operators.{name}", fromlist=[name]))
         except ImportError:
@@ -37,17 +37,23 @@ def _modules():
 # its 6 new ops (50/50 green).  Round 7 window = 2 anchors + the 16
 # remaining r4 greens (the overflow head the r6 comment promised) + the
 # new r7 queries (new queries always land inside the window) + the 30
-# stalest r5 greens.  Round 8 window = 2 anchors + the new r8 query +
-# ALL 20 remaining r5 greens + the 11 r6 greens whose module changed
-# since their row (check.py --stale) + the 16 stalest clean r6 greens.
-# After r8 no green row is older than r6; the overflow head (r9) is
-# the remaining r6 block (TPC-H q9-q22, knn_lsh/ivf, streaming).
+# stalest r5 greens.  Round 8 window = 2 anchors + the 5 new r8
+# queries (semdedup + the 4 linedup ops) + ALL 20 remaining r5 greens
+# + the 11 r6 greens whose module changed since their row
+# (check.py --stale) + the 12 stalest clean r6 greens.  After r8 no
+# green row is older than r6; the overflow head (r9) is the 4 bumped
+# clean r6 rows + the remaining r6 block (TPC-H q9-q22, knn_lsh/ivf,
+# streaming).
 PRIORITY: list[str] = [
     # anchors (continuity across every round)
     "q1_pricing_summary",
     "minhash_lsh",
     # NEW in r8: first driver row immediately
     "semdedup",
+    "line_dedup",
+    "ngram_containment",
+    "idf_doc_score",
+    "length_mad_outliers",
     # the 20 r5-stale greens (VERDICT r7 #2: retire every r5 row)
     "decontaminate",
     "stratified_sample",
@@ -88,10 +94,6 @@ PRIORITY: list[str] = [
     "cluster_size_distribution",
     "split_leakage_rate",
     "embedding_outliers",
-    "event_type_markov",
-    "session_paths",
-    "source_kl_divergence",
-    "vocab_coverage",
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier",
@@ -103,10 +105,17 @@ PRIORITY: list[str] = [
     "knn_brute_force",
     "q9_product_profit",
     # ---- window boundary (50) ----
-    # r9 overflow head.  FIRST the 11 queries whose modules (tpch.py,
-    # similarity.py) changed in r8 but did not fit the window — all 11
-    # re-gated green via tools/check.py this round; their driver rows
-    # refresh in r9 (check.py --stale lists them until then):
+    # r9 overflow head.  FIRST the 4 module-clean r6 greens bumped
+    # when the 4 late-r8 linedup queries took their window slots
+    # (re-gated green locally this round):
+    "event_type_markov",
+    "session_paths",
+    "source_kl_divergence",
+    "vocab_coverage",
+    # then the 11 queries whose modules (tpch.py, similarity.py)
+    # changed in r8 but did not fit the window — all 11 re-gated green
+    # via tools/check.py this round; their driver rows refresh in r9
+    # (check.py --stale lists them until then):
     "q10_returned_items",
     "q12_priority_class",
     "q14_promo_effect",

@@ -216,3 +216,32 @@ def test_dsir_broadcasts_ratio_table_and_stays_jvm(spark):
     assert "BatchEvalPython" not in plan
     assert "PythonUDF" not in plan
     assert "partial" in plan.lower()  # map-side combine on the counts
+
+
+def test_linedup_plans(spark):
+    """Line/containment curation ops (r8): all four stay JVM-side;
+    line_dedup's first-occurrence resolution is ONE window over the
+    line-hash shuffle (no join), and ngram_containment's hot-shingle
+    cap is a broadcast anti-join like ngram_jaccard's."""
+    from icechunk_spark.operators.linedup import (
+        idf_doc_score,
+        length_mad_outliers,
+        line_dedup,
+        ngram_containment,
+    )
+
+    for fn in (line_dedup, ngram_containment, idf_doc_score, length_mad_outliers):
+        df = fn(spark, SF_DIR)
+        df.collect()  # AQE finalizes the plan on execution
+        plan = plan_of(df)
+        assert "BatchEvalPython" not in plan, f"{fn.__name__} fell back to Python rows"
+        assert "PythonUDF" not in plan, fn.__name__
+
+    plan = plan_of(line_dedup(spark, SF_DIR))
+    assert "Window" in plan          # first-occurrence via window min
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+    plan = plan_of(ngram_containment(spark, SF_DIR))
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "LeftAnti" in plan and "Broadcast" in plan
+    )
