@@ -38,11 +38,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from icechunk_spark.catalog import load_tables
-from icechunk_spark.functions import tokenize
+from icechunk_spark.functions import normalized_text, tokenize
 from icechunk_spark.operators.dedup import (
     DUCK_SHINGLES,
     DUCK_TOKS,
+    EMBEDDING_NEARDUP_SQL,
     NGRAM_DF_CAP,
+    NGRAM_JACCARD_SQL,
+    embedding_neardup,
+    ngram_jaccard_pairs,
     shingles_col,
 )
 
@@ -313,8 +317,88 @@ ORDER BY dev.source
 """
 
 
+# --- tiered dedup cascade ------------------------------------------------
+
+def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shaped tiered dedup decision: a document is dropped
+    when an EARLIER (smaller doc_id) document matches it under any
+    tier — exact (normalized-text md5), n-gram (shingle Jaccard ≥ 0.5
+    over the df-capped universe), or semantic (embedding cosine over
+    sign-LSH candidates; vec_id is 1:1 with doc_id in the testdata).
+    ``reason`` reports the strongest matching tier (exact > ngram >
+    semantic); kept docs carry reason NULL.
+
+    Greedy, non-cascading: "earlier doc" means earlier in doc_id
+    order, not "earlier KEPT doc" — the standard one-pass
+    approximation (an exact cascade is iterative and data-dependent).
+    Each tier's pair generation is the already-bucketed machinery
+    (hash groupBy / df-capped shingle join / LSH bands), so the
+    cascade inherits their 100 TB shapes; the final combine is one
+    union + one groupBy-min on doc_id."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    h = docs.withColumn("h", F.md5(normalized_text(F.col("text"))))
+    w = Window.partitionBy("h")
+    exact_drop = (
+        h.withColumn("first_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") > F.col("first_id"))
+        .select("doc_id", F.lit(1).alias("pri"))
+    )
+    sh = docs.select("doc_id", shingles_col(F.col("text")).alias("sh"))
+    near_drop = ngram_jaccard_pairs(sh).select(
+        F.col("doc_b").alias("doc_id"), F.lit(2).alias("pri")
+    )
+    sem_drop = embedding_neardup(spark, sf_dir).select(
+        F.col("vec_b").alias("doc_id"), F.lit(3).alias("pri")
+    )
+    dropped = (
+        exact_drop.unionByName(near_drop)
+        .unionByName(sem_drop)
+        .groupBy("doc_id")
+        .agg(F.min("pri").alias("pri"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("pri").isNull().cast("int").alias("keep"),
+            F.when(F.col("pri") == 1, "exact")
+            .when(F.col("pri") == 2, "ngram")
+            .when(F.col("pri") == 3, "semantic")
+            .alias("reason"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CASCADE_SQL = f"""
+WITH drops AS (
+  SELECT doc_id, 1 AS pri
+  FROM (
+    SELECT doc_id,
+           min(doc_id) OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           ) AS first_id
+    FROM documents
+  ) WHERE doc_id > first_id
+  UNION ALL
+  SELECT doc_b AS doc_id, 2 AS pri FROM ({NGRAM_JACCARD_SQL})
+  UNION ALL
+  SELECT vec_b AS doc_id, 3 AS pri FROM ({EMBEDDING_NEARDUP_SQL})
+), m AS (SELECT doc_id, min(pri) AS pri FROM drops GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(m.pri IS NULL AS INT) AS keep,
+       CASE m.pri WHEN 1 THEN 'exact' WHEN 2 THEN 'ngram'
+                  WHEN 3 THEN 'semantic' END AS reason
+FROM documents d LEFT JOIN m USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "line_dedup": line_dedup,
+    "dedup_cascade": dedup_cascade,
     "ngram_containment": ngram_containment,
     "idf_doc_score": idf_doc_score,
     "length_mad_outliers": length_mad_outliers,
@@ -322,6 +406,7 @@ QUERIES = {
 
 ORACLES = {
     "line_dedup": LINE_DEDUP_SQL,
+    "dedup_cascade": DEDUP_CASCADE_SQL,
     "ngram_containment": NGRAM_CONTAINMENT_SQL,
     "idf_doc_score": IDF_DOC_SCORE_SQL,
     "length_mad_outliers": LENGTH_MAD_SQL,

@@ -37,11 +37,11 @@ def _modules():
 # its 6 new ops (50/50 green).  Round 7 window = 2 anchors + the 16
 # remaining r4 greens (the overflow head the r6 comment promised) + the
 # new r7 queries (new queries always land inside the window) + the 30
-# stalest r5 greens.  Round 8 window = 2 anchors + the 5 new r8
-# queries (semdedup + the 4 linedup ops) + ALL 20 remaining r5 greens
+# stalest r5 greens.  Round 8 window = 2 anchors + the 6 new r8
+# queries (semdedup + the 5 linedup ops) + ALL 20 remaining r5 greens
 # + the 11 r6 greens whose module changed since their row
-# (check.py --stale) + the 12 stalest clean r6 greens.  After r8 no
-# green row is older than r6; the overflow head (r9) is the 4 bumped
+# (check.py --stale) + the 11 stalest clean r6 greens.  After r8 no
+# green row is older than r6; the overflow head (r9) is the 5 bumped
 # clean r6 rows + the remaining r6 block (TPC-H q9-q22, knn_lsh/ivf,
 # streaming).
 PRIORITY: list[str] = [
@@ -54,6 +54,7 @@ PRIORITY: list[str] = [
     "ngram_containment",
     "idf_doc_score",
     "length_mad_outliers",
+    "dedup_cascade",
     # the 20 r5-stale greens (VERDICT r7 #2: retire every r5 row)
     "decontaminate",
     "stratified_sample",
@@ -93,7 +94,6 @@ PRIORITY: list[str] = [
     "event_interarrival_stats",
     "cluster_size_distribution",
     "split_leakage_rate",
-    "embedding_outliers",
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier",
@@ -105,13 +105,14 @@ PRIORITY: list[str] = [
     "knn_brute_force",
     "q9_product_profit",
     # ---- window boundary (50) ----
-    # r9 overflow head.  FIRST the 4 module-clean r6 greens bumped
-    # when the 4 late-r8 linedup queries took their window slots
+    # r9 overflow head.  FIRST the 5 module-clean r6 greens bumped
+    # when the 5 late-r8 linedup queries took their window slots
     # (re-gated green locally this round):
     "event_type_markov",
     "session_paths",
     "source_kl_divergence",
     "vocab_coverage",
+    "embedding_outliers",
     # then the 11 queries whose modules (tpch.py, similarity.py)
     # changed in r8 but did not fit the window — all 11 re-gated green
     # via tools/check.py this round; their driver rows refresh in r9

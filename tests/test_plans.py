@@ -224,13 +224,20 @@ def test_linedup_plans(spark):
     line-hash shuffle (no join), and ngram_containment's hot-shingle
     cap is a broadcast anti-join like ngram_jaccard's."""
     from icechunk_spark.operators.linedup import (
+        dedup_cascade,
         idf_doc_score,
         length_mad_outliers,
         line_dedup,
         ngram_containment,
     )
 
-    for fn in (line_dedup, ngram_containment, idf_doc_score, length_mad_outliers):
+    for fn in (
+        line_dedup,
+        ngram_containment,
+        idf_doc_score,
+        length_mad_outliers,
+        dedup_cascade,
+    ):
         df = fn(spark, SF_DIR)
         df.collect()  # AQE finalizes the plan on execution
         plan = plan_of(df)
