@@ -10,7 +10,11 @@ LINE level first (the C4 recipe removes any line that occurs more
 than once in the corpus) and screened for documents that are near-
 SUBSETS of other documents — a case symmetric Jaccard misses because
 a small doc contained in a big one has low |A∩B|/|A∪B| but high
-|A∩B|/|A|.
+|A∩B|/|A|.  The containment pipeline keys its joins on a 16-hex
+(64-bit) md5 prefix of each shingle rather than the raw ~50-char
+string — the hash is computed identically in Spark and DuckDB, so any
+(astronomically rare) collision is shared by both engines and the
+oracle still agrees; shuffle width drops ~3×.
 
 Scale design:
 - line_dedup is one md5-keyed window min + one per-doc aggregate: two
@@ -79,9 +83,15 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    ln = t["documents"].select(
-        "doc_id", F.posexplode(lines).alias("line_idx", "line")
-    ).withColumn("h", F.md5("line"))
+    # project to (doc_id, line_idx, h) BEFORE the window shuffle: the
+    # line text itself (10 tokens, ~6x the md5's bytes) never needs to
+    # move — at sf1 this is the difference between shuffling ~100 and
+    # ~350 bytes per line
+    ln = (
+        t["documents"]
+        .select("doc_id", F.posexplode(lines).alias("line_idx", "line"))
+        .select("doc_id", "line_idx", F.md5("line").alias("h"))
+    )
     w = Window.partitionBy("h")
     kept = (
         F.min(F.struct("doc_id", "line_idx")).over(w)
@@ -146,35 +156,60 @@ def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     same df-capped shingle universe as ngram_jaccard so hot
     boilerplate phrases cannot quadratically blow up the join."""
     t = load_tables(spark, sf_dir)
-    docs = (
+    # persist the HASHED exploded frame (24 bytes/row): it feeds the
+    # hot-shingle count, the anti-join input, and the per-doc sizes —
+    # one tokenize+shingle+md5 pass instead of three
+    ex_all = (
         t["documents"]
-        .select("doc_id", shingles_col(F.col("text")).alias("sh"))
+        .select("doc_id", F.explode(shingles_col(F.col("text"))).alias("s0"))
+        .select("doc_id", F.substring(F.md5("s0"), 1, 16).alias("s"))
+        .persist()
     )
-    ex_all = docs.select("doc_id", F.explode("sh").alias("s"))
+    # hot detection stays a COUNT aggregate (map-side combined, safe
+    # under arbitrarily hot shingles) — folding the cap into the
+    # collect_list bucket below would materialize an unbounded list
+    # for a boilerplate shingle before discarding it
     hot = (
         ex_all.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > NGRAM_DF_CAP)
         .select("s")
     )
-    # ex feeds sizes AND both join sides — persist to run the explode +
-    # anti-join once (the ngram_jaccard_pairs pattern)
-    ex = ex_all.join(broadcast(hot), "s", "left_anti").persist()
+    ex = ex_all.join(broadcast(hot), "s", "left_anti")
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = ex.alias("a"), ex.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+    # bucket-enumerate pairs instead of a self-join: after the df cap
+    # every bucket holds ≤ NGRAM_DF_CAP docs, so collect_list is
+    # bounded and the ordered pairs expand with one higher-order
+    # function — one shuffle leg of the exploded set instead of the
+    # self-join's two
+    buckets = ex.groupBy("s").agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    pair_arr = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice("ds", i + 2, F.size("ds")),
+                lambda y: F.struct(x.alias("lo"), y.alias("hi")),
+            ),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    shared = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.lo").alias("doc_lo"), F.col("p.hi").alias("doc_hi"))
         .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    # |A∩B| is symmetric: count undirected pairs once, then expand
+    # each into its two directed rows
+    directed = shared.select(
+        F.col("doc_lo").alias("doc_a"), F.col("doc_hi").alias("doc_b"), "shared"
+    ).unionByName(
+        shared.select(
+            F.col("doc_hi").alias("doc_a"), F.col("doc_lo").alias("doc_b"), "shared"
+        )
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     cont = F.col("shared") / F.col("na")
     return (
-        shared.join(sa, "doc_a")
+        directed.join(sa, "doc_a")
         .filter(cont >= CONTAINMENT_THRESHOLD)
         .select("doc_a", "doc_b", F.round(cont, 3).alias("containment"))
         .orderBy("doc_a", "doc_b")
@@ -185,7 +220,7 @@ NGRAM_CONTAINMENT_SQL = f"""
 WITH sh AS (
   SELECT doc_id, {DUCK_SHINGLES} AS sh
   FROM (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents)
-), ex_all AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+), ex_all AS (SELECT doc_id, substr(md5(unnest(sh)), 1, 16) AS s FROM sh),
 hot AS (SELECT s FROM ex_all GROUP BY s HAVING count(*) > {NGRAM_DF_CAP}),
 ex AS (SELECT doc_id, s FROM ex_all ANTI JOIN hot USING (s)),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
@@ -344,7 +379,10 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") > F.col("first_id"))
         .select("doc_id", F.lit(1).alias("pri"))
     )
-    sh = docs.select("doc_id", shingles_col(F.col("text")).alias("sh"))
+    # persist: ngram_jaccard_pairs scans its input twice (hot-shingle
+    # aggregate + anti-join) — cache the shingle arrays like the
+    # ngram_jaccard wrapper does
+    sh = docs.select("doc_id", shingles_col(F.col("text")).alias("sh")).persist()
     near_drop = ngram_jaccard_pairs(sh).select(
         F.col("doc_b").alias("doc_id"), F.lit(2).alias("pri")
     )

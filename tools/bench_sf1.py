@@ -172,9 +172,9 @@ def build(spark) -> None:
     )
 
 
-# round-6/7 operators measured at sf1 IN ADDITION to the headline set
-# (kept out of spark_total/duckdb_total so the totals stay comparable
-# across rounds)
+# round-6/7/8 operators measured at sf1 IN ADDITION to the headline
+# set (kept out of spark_total/duckdb_total so the totals stay
+# comparable across rounds)
 SF1_EXTRA = [
     "winnowing_fingerprint",
     "source_mixture_weights",
@@ -184,6 +184,13 @@ SF1_EXTRA = [
     "stream_topk_users",
     "dsir_importance",
     "ccnet_perplexity_buckets",
+    # r8: semantic + line/containment curation ops
+    "semdedup",
+    "line_dedup",
+    "ngram_containment",
+    "idf_doc_score",
+    "length_mad_outliers",
+    "dedup_cascade",
 ]
 
 
