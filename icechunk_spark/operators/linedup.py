@@ -59,6 +59,24 @@ CONTAINMENT_THRESHOLD = 0.8
 
 # --- C4-style line-level dedup ------------------------------------------
 
+def lines_col(text) -> "F.Column":
+    """Positional LINE_TOKENS-token segments of the whitespace
+    tokenization, as an array<string> — the shared "line" definition
+    for line_dedup and refine_ext.clean_reassemble."""
+    toks = tokenize(text)
+    n_chunks = F.ceil(F.size(toks) / F.lit(LINE_TOKENS)).cast("int")
+    # guard: sequence(0, -1) would yield [0, -1] (negative step), not []
+    return F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * LINE_TOKENS + 1, LINE_TOKENS), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-level exact dedup statistics per document (the C4 recipe:
     a line that occurs more than once in the corpus is kept only at
@@ -71,18 +89,7 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the line's md5 group, resolved with one window min (no join).
     Output: per-doc line counts and the fraction of lines dropped."""
     t = load_tables(spark, sf_dir)
-    toks = tokenize(F.col("text"))
-    n_chunks = F.ceil(F.size(toks) / F.lit(LINE_TOKENS)).cast("int")
-    # guard: sequence(0, -1) would yield [0, -1] (negative step), not []
-    lines = F.when(
-        n_chunks > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.array_join(
-                F.slice(toks, i * LINE_TOKENS + 1, LINE_TOKENS), " "
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    lines = lines_col(F.col("text"))
     # project to (doc_id, line_idx, h) BEFORE the window shuffle: the
     # line text itself (10 tokens, ~6x the md5's bytes) never needs to
     # move — at sf1 this is the difference between shuffling ~100 and

@@ -19,7 +19,7 @@ def _modules():
     from icechunk_spark.operators import tpch
 
     mods = [tpch]
-    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "semdedup", "linedup", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "profile_ext", "curation_ext", "multimodal", "repo_queries", "streaming_queries"):
+    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "semdedup", "linedup", "refine_ext", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "profile_ext", "curation_ext", "multimodal", "repo_queries", "streaming_queries"):
         try:
             mods.append(__import__(f"icechunk_spark.operators.{name}", fromlist=[name]))
         except ImportError:
@@ -55,6 +55,15 @@ PRIORITY: list[str] = [
     "idf_doc_score",
     "length_mad_outliers",
     "dedup_cascade",
+    # NEW late-r8 (refine_ext.py): first driver row immediately.  Their
+    # 4 window slots come from the stalest-clean-r6 block below —
+    # pmi_phrases/event_interarrival_stats/cluster_size_distribution/
+    # split_leakage_rate move to the r9 overflow head (all 4 re-gated
+    # green via tools/check.py when these slots were taken)
+    "clean_reassemble",
+    "quality_quantile_norm",
+    "event_decay_score",
+    "mmr_diversify",
     # the 20 r5-stale greens (VERDICT r7 #2: retire every r5 row)
     "decontaminate",
     "stratified_sample",
@@ -90,10 +99,6 @@ PRIORITY: list[str] = [
     "retention_cohorts",
     "embedding_covariance",
     # stalest remaining r6 greens (module-clean, freshness rotation)
-    "pmi_phrases",
-    "event_interarrival_stats",
-    "cluster_size_distribution",
-    "split_leakage_rate",
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier",
@@ -105,9 +110,15 @@ PRIORITY: list[str] = [
     "knn_brute_force",
     "q9_product_profit",
     # ---- window boundary (50) ----
-    # r9 overflow head.  FIRST the 5 module-clean r6 greens bumped
-    # when the 5 late-r8 linedup queries took their window slots
-    # (re-gated green locally this round):
+    # r9 overflow head.  FIRST the 4 module-clean r6 greens bumped when
+    # the 4 late-r8 refine_ext queries took their window slots (all 4
+    # re-gated green via tools/check.py this round):
+    "pmi_phrases",
+    "event_interarrival_stats",
+    "cluster_size_distribution",
+    "split_leakage_rate",
+    # then the 5 module-clean r6 greens bumped when the 5 late-r8
+    # linedup queries took their slots (re-gated green locally):
     "event_type_markov",
     "session_paths",
     "source_kl_divergence",

@@ -252,3 +252,38 @@ def test_linedup_plans(spark):
     assert "BroadcastHashJoin LeftAnti" in plan or (
         "LeftAnti" in plan and "Broadcast" in plan
     )
+
+
+def test_refine_ext_plans(spark):
+    """Refinement/selection ops (late r8): the distributed stages stay
+    JVM-side; clean_reassemble resolves first-occurrence with ONE
+    window (no join); event_decay_score's t_ref is a broadcast 1-row
+    scalar; mmr_diversify's result is a LocalRelation built from the
+    bounded M-row shortlist (only the shortlist ever reached the
+    driver)."""
+    from icechunk_spark.operators.refine_ext import (
+        clean_reassemble,
+        event_decay_score,
+        mmr_diversify,
+        quality_quantile_norm,
+    )
+
+    plans = {}
+    for fn in (clean_reassemble, quality_quantile_norm, event_decay_score):
+        df = fn(spark, SF_DIR)
+        df.collect()  # AQE finalizes the plan on execution
+        plan = plans[fn.__name__] = plan_of(df)
+        assert "BatchEvalPython" not in plan, f"{fn.__name__} fell back to Python rows"
+        assert "PythonUDF" not in plan, fn.__name__
+
+    plan = plans["clean_reassemble"]
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+    # 1-row t_ref scalar stays a broadcast (finalized only on execution)
+    assert "BroadcastNestedLoopJoin" in plans["event_decay_score"]
+
+    # the returned frame is driver-local data (the K-row selection),
+    # proving only the bounded shortlist ever left the executors
+    plan = plan_of(mmr_diversify(spark, SF_DIR))
+    assert "LocalTableScan" in plan or "ExistingRDD" in plan

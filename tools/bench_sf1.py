@@ -191,6 +191,11 @@ SF1_EXTRA = [
     "idf_doc_score",
     "length_mad_outliers",
     "dedup_cascade",
+    # late-r8: refinement/selection ops (refine_ext.py)
+    "clean_reassemble",
+    "quality_quantile_norm",
+    "event_decay_score",
+    "mmr_diversify",
 ]
 
 

@@ -193,6 +193,21 @@ def build(spark) -> None:
 # the two r7 floor-weak queries not already in bench.py's headline set
 SF10_EXTRA = ["dsir_importance"]
 
+# the r8-new operators: measured separately (--new-ops) so the decade
+# curve exists for them too without re-running the 4-hour headline set
+NEW_OPS = [
+    "semdedup",
+    "line_dedup",
+    "ngram_containment",
+    "idf_doc_score",
+    "length_mad_outliers",
+    "dedup_cascade",
+    "clean_reassemble",
+    "quality_quantile_norm",
+    "event_decay_score",
+    "mmr_diversify",
+]
+
 
 def _timed(fn) -> tuple[float, int]:
     t0 = time.perf_counter()
@@ -208,9 +223,15 @@ def _timed(fn) -> tuple[float, int]:
     return round(best, 3), runs
 
 
-def bench_spark(spark) -> tuple[dict[str, float], dict[str, int]]:
+def _query_names() -> list[str]:
     from bench import BENCH_QUERIES
 
+    if "--new-ops" in sys.argv:
+        return NEW_OPS
+    return BENCH_QUERIES + SF10_EXTRA
+
+
+def bench_spark(spark) -> tuple[dict[str, float], dict[str, int]]:
     from icechunk_spark.registry import all_queries
 
     queries = all_queries()
@@ -223,7 +244,7 @@ def bench_spark(spark) -> tuple[dict[str, float], dict[str, int]]:
 
     out: dict[str, float] = {}
     n_runs: dict[str, int] = {}
-    for name in BENCH_QUERIES + SF10_EXTRA:
+    for name in _query_names():
 
         def run(q=queries[name]):
             spark.catalog.clearCache()
@@ -236,8 +257,6 @@ def bench_spark(spark) -> tuple[dict[str, float], dict[str, int]]:
 
 def bench_duckdb() -> tuple[dict[str, float], dict[str, int]]:
     import duckdb
-
-    from bench import BENCH_QUERIES
 
     from icechunk_spark.registry import all_oracles
 
@@ -252,7 +271,7 @@ def bench_duckdb() -> tuple[dict[str, float], dict[str, int]]:
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{OUT}/{name}.parquet/*.parquet')"
         )
-    for name in BENCH_QUERIES + SF10_EXTRA:
+    for name in _query_names():
         if name not in oracles:
             continue
 
@@ -282,7 +301,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "sf10_headline_queries",
+                "metric": "sf10_new_ops"
+                if "--new-ops" in sys.argv
+                else "sf10_headline_queries",
                 "unit": "sec",
                 "sf": 10.0,
                 "adaptive_cutoff_sec": ADAPTIVE_CUTOFF,
