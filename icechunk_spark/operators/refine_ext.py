@@ -392,11 +392,113 @@ ORDER BY rnk
 MMR_DIVERSIFY_SQL = _mmr_sql()
 
 
+# --- farthest-point sampling -------------------------------------------
+
+FPS_K = 10  # samples returned
+
+
+def fps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-point (k-center greedy) sampling over the embedding
+    pool: start from the lowest vec_id, then repeatedly add the vector
+    maximizing its cosine distance to the NEAREST already-chosen
+    vector — the classic 2-approximation coreset / diversity-sampling
+    pass a curation pipeline runs to seed clustering or pick
+    annotation batches (Gonzalez 1985; SemDeDup/SSL-prototypes use the
+    same geometry).
+
+    Unlike mmr_diversify (shortlist → driver greedy), each of the
+    FPS_K-1 selection rounds here is a DISTRIBUTED argmax over the
+    whole pool: the chosen set enters the scan as literal arrays
+    (k·dim constants — broadcast-by-expression), the min-distance is a
+    F.least fold over them, and only the 1-row argmax is collected per
+    round.  O(K) scans, no pairwise join, nothing driver-side grows
+    with the pool."""
+    t = load_tables(spark, sf_dir)
+    emb = ensure_min_partitions(t["embeddings"]).withColumn(
+        "nb", l2_norm(F.col("embedding"))
+    )
+    pool = (
+        emb.filter(F.col("vec_id") >= N_QUERIES)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double") / F.col("nb")).alias(
+                "nv"
+            ),
+        )
+        .persist()
+    )
+    seed = pool.orderBy("vec_id").limit(1).collect()[0]
+    chosen: list[tuple[int, list[float]]] = [
+        (int(seed["vec_id"]), [float(x) for x in seed["nv"]])
+    ]
+    out: list[tuple[int, int, float | None]] = [(1, chosen[0][0], None)]
+    for step in range(2, FPS_K + 1):
+        dists = [
+            F.lit(1.0) - dot(F.col("nv"), F.array(*[F.lit(v) for v in cv]))
+            for _, cv in chosen
+        ]
+        mind = dists[0] if len(dists) == 1 else F.least(*dists)
+        pick = (
+            pool.filter(~F.col("vec_id").isin([cid for cid, _ in chosen]))
+            .select("vec_id", "nv", mind.alias("d"))
+            .orderBy(F.desc(F.round(F.col("d"), 6)), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((int(pick["vec_id"]), [float(x) for x in pick["nv"]]))
+        out.append((step, chosen[-1][0], _dround(float(pick["d"]), 4)))
+    pool.unpersist()
+    return local_df(spark, out, "rnk int, vec_id bigint, min_dist double")
+
+
+def _fps_sql() -> str:
+    self_norm = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "[CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) "
+        f"FOR i IN range(1, {DIM + 1})]), (x, y) -> x + y)"
+    )
+    zdot = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(list_zip(s.nv, c), p -> p[1] * p[2])), (x, y) -> x + y)"
+    )
+    return f"""
+WITH RECURSIVE pool AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nb) AS nv
+  FROM (SELECT vec_id, embedding, sqrt({self_norm}) AS nb
+        FROM embeddings WHERE vec_id >= {N_QUERIES})
+), sel AS (
+  SELECT 1 AS step, [s.vec_id] AS ids, [s.nv] AS vecs,
+         [CAST(NULL AS DOUBLE)] AS dists
+  FROM (SELECT * FROM pool ORDER BY vec_id LIMIT 1) s
+  UNION ALL
+  SELECT step + 1, list_append(ids, pick.vec_id),
+         list_append(vecs, pick.nv), list_append(dists, round(pick.d, 4))
+  FROM sel, LATERAL (
+    SELECT * FROM (
+      SELECT s.vec_id AS vec_id, s.nv AS nv,
+             list_min(list_transform(sel.vecs, c -> 1.0 - {zdot})) AS d
+      FROM pool s
+      WHERE NOT list_contains(sel.ids, s.vec_id)
+    ) ORDER BY round(d, 6) DESC, vec_id LIMIT 1
+  ) pick
+  WHERE sel.step < {FPS_K}
+)
+SELECT CAST(u.rnk AS INT) AS rnk, ids[u.rnk] AS vec_id, dists[u.rnk] AS min_dist
+FROM sel, LATERAL (SELECT unnest(range(1, step + 1)) AS rnk) u
+WHERE step = {FPS_K}
+ORDER BY rnk
+"""
+
+
+FPS_SAMPLE_SQL = _fps_sql()
+
+
 QUERIES = {
     "clean_reassemble": clean_reassemble,
     "quality_quantile_norm": quality_quantile_norm,
     "event_decay_score": event_decay_score,
     "mmr_diversify": mmr_diversify,
+    "fps_sample": fps_sample,
 }
 
 ORACLES = {
@@ -404,4 +506,5 @@ ORACLES = {
     "quality_quantile_norm": QUALITY_QUANTILE_SQL,
     "event_decay_score": EVENT_DECAY_SQL,
     "mmr_diversify": MMR_DIVERSIFY_SQL,
+    "fps_sample": FPS_SAMPLE_SQL,
 }

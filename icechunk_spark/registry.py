@@ -64,6 +64,10 @@ PRIORITY: list[str] = [
     "quality_quantile_norm",
     "event_decay_score",
     "mmr_diversify",
+    # fps_sample's slot comes from q6_forecast_revenue (tpch.py already
+    # has its changed-module block heading the r9 overflow; q6 re-gated
+    # green locally and joins it)
+    "fps_sample",
     # the 20 r5-stale greens (VERDICT r7 #2: retire every r5 row)
     "decontaminate",
     "stratified_sample",
@@ -102,7 +106,6 @@ PRIORITY: list[str] = [
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier",
-    "q6_forecast_revenue",
     "q7_volume_shipping",
     # r8 code changes: knn norm-precompute (similarity.py) and the
     # q3/q5 selectivity-first restructure (tpch.py) — changed-module
@@ -128,6 +131,7 @@ PRIORITY: list[str] = [
     # changed in r8 but did not fit the window — all 11 re-gated green
     # via tools/check.py this round; their driver rows refresh in r9
     # (check.py --stale lists them until then):
+    "q6_forecast_revenue",
     "q10_returned_items",
     "q12_priority_class",
     "q14_promo_effect",

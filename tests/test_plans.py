@@ -244,9 +244,14 @@ def test_linedup_plans(spark):
         assert "BatchEvalPython" not in plan, f"{fn.__name__} fell back to Python rows"
         assert "PythonUDF" not in plan, fn.__name__
 
-    plan = plan_of(line_dedup(spark, SF_DIR))
-    assert "Window" in plan          # first-occurrence via window min
-    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # first-occurrence resolution must stay an AGGREGATE (map-side
+    # combine collapses duplicate lines pre-shuffle), never a window
+    # sort over every line row; the only join is per-doc counts
+    df = line_dedup(spark, SF_DIR)
+    df.collect()
+    plan = plan_of(df)
+    assert "Window" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
 
     plan = plan_of(ngram_containment(spark, SF_DIR))
     assert "BroadcastHashJoin LeftAnti" in plan or (

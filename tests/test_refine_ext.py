@@ -96,3 +96,27 @@ def test_mmr_diversify_invariants(spark):
     # 1e-4 slack for the 4-decimal output rounding
     for a, b in zip(rows[1:], rows[2:]):
         assert b.mmr_score <= a.mmr_score + 1e-4
+
+
+def test_fps_sample_invariants(spark):
+    from icechunk_spark.operators.refine_ext import FPS_K, fps_sample
+    from icechunk_spark.operators.similarity import N_QUERIES
+
+    rows = fps_sample(spark, SF_DIR).collect()
+    assert [r.rnk for r in rows] == list(range(1, FPS_K + 1))
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == len(ids)
+    t = load_tables(spark, SF_DIR)
+    pool_min = (
+        t["embeddings"]
+        .filter(F.col("vec_id") >= N_QUERIES)
+        .agg(F.min("vec_id"))
+        .collect()[0][0]
+    )
+    assert rows[0].vec_id == pool_min and rows[0].min_dist is None
+    # k-center greedy: the min-distance-to-chosen of successive picks
+    # is non-increasing (the chosen set only grows); 1e-4 rounding slack
+    for a, b in zip(rows[1:], rows[2:]):
+        assert b.min_dist <= a.min_dist + 1e-4
+    for r in rows[1:]:
+        assert 0.0 <= r.min_dist <= 2.0 + 1e-9
