@@ -176,12 +176,16 @@ def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hot detection stays a COUNT aggregate (map-side combined, safe
     # under arbitrarily hot shingles) — folding the cap into the
     # collect_list bucket below would materialize an unbounded list
-    # for a boilerplate shingle before discarding it
+    # for a boilerplate shingle before discarding it.  persist: ex is
+    # consumed by both the sizes and buckets branches, and without the
+    # persist each recomputes this aggregate over the cached explode
+    # (AQE does not reuse the exchange across the branches)
     hot = (
         ex_all.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > NGRAM_DF_CAP)
         .select("s")
+        .persist()
     )
     ex = ex_all.join(broadcast(hot), "s", "left_anti")
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -205,21 +209,34 @@ def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.lo").alias("doc_lo"), F.col("p.hi").alias("doc_hi"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    # |A∩B| is symmetric: count undirected pairs once, then expand
-    # each into its two directed rows
-    directed = shared.select(
-        F.col("doc_lo").alias("doc_a"), F.col("doc_hi").alias("doc_b"), "shared"
-    ).unionByName(
-        shared.select(
-            F.col("doc_hi").alias("doc_a"), F.col("doc_lo").alias("doc_b"), "shared"
-        )
+    # |A∩B| is symmetric: count undirected pairs ONCE, join both
+    # endpoint sizes, then explode each pair into its two directed
+    # rows in the same projection.  (The previous union of two
+    # projections of `shared` looked free but was not: AQE compiled
+    # the branches as separate query stages with no exchange reuse,
+    # so the whole buckets→pair-explode→(lo,hi) aggregate pipeline —
+    # the expensive 60 % of the query — ran twice.)
+    sl = sizes.select(F.col("doc_id").alias("doc_lo"), F.col("n_sh").alias("n_lo"))
+    sh = sizes.select(F.col("doc_id").alias("doc_hi"), F.col("n_sh").alias("n_hi"))
+    both = F.array(
+        F.struct(
+            F.col("doc_lo").alias("doc_a"),
+            F.col("doc_hi").alias("doc_b"),
+            (F.col("shared") / F.col("n_lo")).alias("cont"),
+        ),
+        F.struct(
+            F.col("doc_hi").alias("doc_a"),
+            F.col("doc_lo").alias("doc_b"),
+            (F.col("shared") / F.col("n_hi")).alias("cont"),
+        ),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    cont = F.col("shared") / F.col("na")
     return (
-        directed.join(sa, "doc_a")
-        .filter(cont >= CONTAINMENT_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(cont, 3).alias("containment"))
+        shared.join(sl, "doc_lo")
+        .join(sh, "doc_hi")
+        .select(F.explode(both).alias("p"))
+        .select("p.*")
+        .filter(F.col("cont") >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("cont", 3).alias("containment"))
         .orderBy("doc_a", "doc_b")
     )
 
