@@ -352,9 +352,21 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     diameter (near-dup graphs are shallow).  The driver sees only the
     per-round convergence count, never the labels."""
     pairs = minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # symmetrize by exploding both directions from each pair row — a
+    # union of two projections of `pairs` would run the whole LSH
+    # candidate+verify pipeline once PER BRANCH (AQE compiles union
+    # branches as separate query stages, no exchange reuse; the
+    # ngram_containment lesson)
     edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("src", "dst")
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                    F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
         .persist()
     )
     t = load_tables(spark, sf_dir)
@@ -420,8 +432,18 @@ def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
 
     def symmetrize(e: DataFrame) -> DataFrame:
+        # explode both directions from one row (never union two
+        # projections of the input — each branch would recompute it)
         return (
-            e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            e.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u"), F.col("v")),
+                        F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                    )
+                ).alias("p")
+            )
+            .select("p.*")
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
@@ -429,10 +451,17 @@ def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     def star_round(e: DataFrame, large: bool) -> DataFrame:
         mins = e.groupBy("u").agg(F.min("v").alias("mn"))
         wm = e.join(mins, "u").withColumn("m", F.least("u", "mn"))
-        moved = wm.filter(F.col("v") > F.col("u") if large else F.col("v") < F.col("u"))
-        new = moved.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
-            wm.select("u", F.col("m").alias("v"))
-        )
+        # each wm row yields (u, m), plus (v, m) when the star rule
+        # moves v — one pass over the join output instead of a union
+        # whose branches would each recompute the join
+        moved = F.col("v") > F.col("u") if large else F.col("v") < F.col("u")
+        keep = F.struct(F.col("u"), F.col("m").alias("v"))
+        move = F.struct(F.col("v").alias("u"), F.col("m").alias("v"))
+        new = wm.select(
+            F.explode(
+                F.when(moved, F.array(keep, move)).otherwise(F.array(keep))
+            ).alias("p")
+        ).select("p.*")
         return symmetrize(new)
 
     # localCheckpoint truncates lineage each round — without it the
