@@ -265,6 +265,10 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
+    # persist: the self-join's two sides get NO exchange reuse under
+    # AQE (separate query stages), so without this the 16-md5 band-key
+    # projection runs once per side over the cached signatures
+    bands = bands.persist()
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(

@@ -120,3 +120,34 @@ def test_fps_sample_invariants(spark):
         assert b.min_dist <= a.min_dist + 1e-4
     for r in rows[1:]:
         assert 0.0 <= r.min_dist <= 2.0 + 1e-9
+
+
+def test_dround_matches_duckdb_round():
+    """_dround is the oracle-parity contract for driver-side greedy
+    scores: it must equal DuckDB's round(DOUBLE, k) bit-for-bit on
+    arbitrary doubles (Python's built-in round is half-even and
+    diverges on midpoints)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from icechunk_spark.operators.refine_ext import _dround
+
+    con = duckdb.connect()
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        st.integers(min_value=0, max_value=6),
+    )
+    def check(x, d):
+        expected = con.execute("SELECT round(CAST(? AS DOUBLE), ?)", [x, d]).fetchone()[0]
+        assert _dround(x, d) == expected, (x, d)
+
+    check()
+    # explicit midpoints (the cases banker's rounding would flip)
+    for x, d, want in [(0.5, 0, 1.0), (1.5, 0, 2.0), (-0.5, 0, -1.0), (2.5, 0, 3.0), (0.25, 1, 0.3), (-0.25, 1, -0.3)]:
+        got = con.execute(f"SELECT round(CAST({x!r} AS DOUBLE), {d})").fetchone()[0]
+        assert got == want and _dround(x, d) == want, (x, d, got)
