@@ -1,0 +1,90 @@
+"""Bucketed (co-located) join support.
+
+The sf10 decade probe (BASELINE.md round-8) established the one
+structural gap of this engine at single-node scale: the
+lineitem ⋈ orders spine of q3/q5/q9 is a join of two SF-scaled
+tables, so Catalyst must exchange both sides — plans are otherwise
+clean (filters pushed, dims broadcast, partial aggs map-side), the
+shuffle itself is the cost, and no session knob removes it from raw
+parquet.
+
+The storage-level answer — the reason Hive bucketing and Iceberg
+distribution specs exist — is to pay the shuffle ONCE at write time:
+both tables are written bucketed and sorted by the join key, and
+every subsequent join of the pair reads co-located buckets.
+Catalyst then elides both exchanges AND both sorts (one file per
+bucket ⇒ FileSourceScanExec reports outputOrdering), and a groupBy
+whose keys contain the bucket column reuses the same partitioning —
+q3's whole fact pipeline runs with ZERO fact-table shuffles
+(pinned in tests/test_bucketed.py; measured in tools/bench_bucketed.py).
+
+Scale notes:
+- Bucket count: 32 here (matches local cores / shuffle partitions).
+  At 100 TB you size buckets so one bucket ≈ one task's worth of
+  data (e.g. 8192) — the mechanism is identical; one-file-per-bucket
+  then means "one file per bucket per written partition".
+- The write itself repartitions by the bucket key so each bucket is
+  exactly one file — that single shuffle is the amortized cost and
+  replaces the per-query exchange on every future join/agg keyed on
+  the bucket column.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+from icechunk_spark.catalog import load_tables
+
+BUCKETS = 32
+
+#: table -> bucket/sort key written by :func:`bucketed_db`
+BUCKET_KEYS: dict[str, str] = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+}
+
+
+def bucketed_db(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: dict[str, str] | None = None,
+    buckets: int = BUCKETS,
+) -> str:
+    """Materialize bucketed+sorted copies of ``tables`` (default: the
+    q3/q5/q9 fact spine) for ``sf_dir`` into a content-addressed
+    session database; idempotent per (sf_dir, buckets) — repeat calls
+    are catalog lookups.  Returns the database name."""
+    tables = BUCKET_KEYS if tables is None else tables
+    digest = hashlib.md5(
+        f"{os.path.normpath(sf_dir)}|{buckets}".encode()
+    ).hexdigest()[:12]
+    db = f"ic_buckets_{digest}"
+    loc = os.path.join(tempfile.gettempdir(), f"icechunk_spark_buckets_{digest}")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    src = load_tables(spark, sf_dir)
+    for table, key in tables.items():
+        if spark.catalog.tableExists(f"{db}.{table}"):
+            continue
+        # the catalog is in-memory per session: a previous session may
+        # have left the managed location behind without a table entry,
+        # which saveAsTable refuses — drop the stale directory first
+        stale = os.path.join(loc, table)
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+        (
+            src[table]
+            # one file per bucket => scans report per-bucket sortedness
+            # and downstream SortMergeJoins skip the Sort too
+            .repartition(buckets, key)
+            .write.format("parquet")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(f"{db}.{table}")
+        )
+    return db

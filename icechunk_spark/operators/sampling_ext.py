@@ -1,0 +1,159 @@
+"""Sampling/diversity operators (SURVEY.md §2e extension): weighted
+reservoir sampling (A-ES) and distinct-n corpus diversity.
+
+- weighted_sample: Efraimidis–Spirakis A-ES weighted sampling without
+  replacement — each doc draws u ~ U(0,1) and the k largest
+  u^(1/w) win, giving inclusion probability proportional to weight
+  w (here n_chars: longer docs sampled more often, the shape of
+  quality- or importance-weighted corpus subsetting).  Determinism
+  contract: u comes from the top 48 bits of md5(doc_id) — 48 so the
+  integer is exact in a double and (v+0.5)/2^48 is an exact
+  power-of-two scale on BOTH engines; ranking uses ln(u)/w
+  (monotone in u^(1/w)) cast to DECIMAL(24,12) then rounded to 9
+  decimals with doc_id tie-break (the ccnet_perplexity_buckets
+  round-before-rank pattern — a 1-ulp ln() delta between engines
+  cannot reorder).
+- ngram_diversity: distinct-n diversity per source for n=1,2,3
+  (distinct n-grams / total n-grams) — the standard repetitiveness /
+  mode-collapse signal for generated or scraped corpora.
+
+Scale design:
+- weighted_sample is one scan + TakeOrderedAndProject: every
+  partition keeps its local top-k, the driver merges k×partitions
+  rows.  No global sort, no shuffle of the corpus.  At 100 TB the
+  only driver-side data is k rows.
+- ngram_diversity shuffles (source, n, gram) once with map-side
+  partial counts; count(DISTINCT gram) is Spark's two-phase
+  distinct-aggregate (expand + two exchanges on uniform keys).
+  Gram construction is the zip_with shifted-slice form (stays in
+  codegen, O(len·n), no per-index slicing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icechunk_spark.catalog import load_tables
+from icechunk_spark.functions import tokenize
+from icechunk_spark.operators.dedup import DUCK_TOKS
+
+SAMPLE_K = 25
+
+# exact-in-double hash → uniform: top 12 hex chars of md5 = 48 bits
+_HEX12_INT = " + ".join(
+    f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1) * {16 ** (11 - i)}"
+    for i in range(12)
+)
+_TWO48 = float(2**48)
+
+
+def _grams_all(toks, n: int):
+    """All (non-distinct) n-gram strings of a token array via n
+    shifted slices zipped together — total occurrence counts need
+    duplicates, unlike pipeline_ext._ngrams_col."""
+    if n == 1:
+        return toks
+    size = F.size(toks)
+    acc = F.slice(toks, 1, size - (n - 1))
+    for j in range(2, n + 1):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, j, size - (n - 1)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(size >= n, acc).otherwise(F.array().cast("array<string>"))
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-SAMPLE_K docs by the A-ES key ln(u)/n_chars (desc)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    v = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("double")
+    u = (v + F.lit(0.5)) / F.lit(_TWO48)
+    key = (
+        F.round((F.ln(u) / F.col("n_chars")).cast("decimal(24,12)"), 9)
+        .cast("double")
+        .alias("w_key")
+    )
+    return (
+        docs.select("doc_id", "n_chars", key)
+        .orderBy(F.desc("w_key"), "doc_id")
+        .limit(SAMPLE_K)
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, n_chars,
+       CAST(round(CAST(ln(({_HEX12_INT} + 0.5) / {2**48}.0) / n_chars
+                       AS DECIMAL(24,12)), 9) AS DOUBLE) AS w_key
+FROM (SELECT doc_id, n_chars,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS hh
+      FROM documents)
+ORDER BY w_key DESC, doc_id
+LIMIT {SAMPLE_K}
+"""
+
+
+def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct-n / total-n per (source, n) for n = 1, 2, 3."""
+    docs = load_tables(spark, sf_dir)["documents"].withColumn(
+        "toks", tokenize(F.col("text"))
+    )
+    parts = [
+        docs.select(
+            "source",
+            F.lit(n).alias("n"),
+            F.explode(_grams_all(F.col("toks"), n)).alias("g"),
+        )
+        for n in (1, 2, 3)
+    ]
+    grams = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    dn, tn = F.countDistinct("g"), F.count(F.lit(1))
+    return (
+        grams.groupBy("source", "n")
+        .agg(
+            tn.alias("total_ngrams"),
+            dn.alias("distinct_ngrams"),
+            F.round(
+                (F.countDistinct("g") / F.count(F.lit(1))).cast("decimal(18,12)"), 6
+            )
+            .cast("double")
+            .alias("diversity"),
+        )
+        .orderBy("source", "n")
+    )
+
+
+NGRAM_DIVERSITY_SQL = f"""
+WITH toks AS (
+  SELECT source, {DUCK_TOKS} AS toks FROM documents
+), g AS (
+  SELECT source, 1 AS n, unnest(toks) AS g FROM toks
+  UNION ALL
+  SELECT source, 2 AS n,
+         unnest([array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]) AS g
+  FROM toks WHERE len(toks) >= 2
+  UNION ALL
+  SELECT source, 3 AS n,
+         unnest([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) AS g
+  FROM toks WHERE len(toks) >= 3
+)
+SELECT source, n, count(*) AS total_ngrams,
+       count(DISTINCT g) AS distinct_ngrams,
+       CAST(round(CAST(count(DISTINCT g) / CAST(count(*) AS DOUBLE)
+                       AS DECIMAL(18,12)), 6) AS DOUBLE) AS diversity
+FROM g GROUP BY source, n ORDER BY source, n
+"""
+
+
+QUERIES = {
+    "weighted_sample": weighted_sample,
+    "ngram_diversity": ngram_diversity,
+}
+
+ORACLES = {
+    "weighted_sample": WEIGHTED_SAMPLE_SQL,
+    "ngram_diversity": NGRAM_DIVERSITY_SQL,
+}

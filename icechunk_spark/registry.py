@@ -19,7 +19,7 @@ def _modules():
     from icechunk_spark.operators import tpch
 
     mods = [tpch]
-    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "semdedup", "linedup", "refine_ext", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "profile_ext", "curation_ext", "multimodal", "repo_queries", "streaming_queries"):
+    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "semdedup", "linedup", "refine_ext", "sampling_ext", "pii", "bucketed", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "profile_ext", "curation_ext", "multimodal", "repo_queries", "streaming_queries"):
         try:
             mods.append(__import__(f"icechunk_spark.operators.{name}", fromlist=[name]))
         except ImportError:
@@ -68,6 +68,18 @@ PRIORITY: list[str] = [
     # has its changed-module block heading the r9 overflow; q6 re-gated
     # green locally and joins it)
     "fps_sample",
+    # NEW latest-r8 (sampling_ext.py / pii.py / bucketed.py): first
+    # driver row immediately.  Their 5 slots come from the 5
+    # curation_ext.py changed-module rows below (winnowing_fingerprint,
+    # source_mixture_weights, doc_token_histogram, retention_cohorts,
+    # embedding_covariance) — all 5 re-gated green via tools/check.py
+    # at sf0.01 before bumping; they head the r9 overflow and stay
+    # listed by check.py --stale until their r9 driver row.
+    "weighted_sample",
+    "ngram_diversity",
+    "pii_stats",
+    "pii_redact",
+    "q3_bucketed",
     # the 20 r5-stale greens (VERDICT r7 #2: retire every r5 row)
     "decontaminate",
     "stratified_sample",
@@ -97,11 +109,6 @@ PRIORITY: list[str] = [
     "dedup_cluster_star",
     "dedup_exact",
     "simhash",
-    "winnowing_fingerprint",
-    "source_mixture_weights",
-    "doc_token_histogram",
-    "retention_cohorts",
-    "embedding_covariance",
     # stalest remaining r6 greens (module-clean, freshness rotation)
     "q3_shipping_priority",
     "q4_order_priority",
@@ -113,7 +120,16 @@ PRIORITY: list[str] = [
     "knn_brute_force",
     "q9_product_profit",
     # ---- window boundary (50) ----
-    # r9 overflow head.  FIRST the 4 module-clean r6 greens bumped when
+    # r9 overflow head.  FIRST the 5 curation_ext.py changed-module r6
+    # rows bumped when the 5 latest-r8 sampling/pii/bucketed queries
+    # took their window slots (all 5 re-gated green via tools/check.py
+    # at sf0.01 this round; check.py --stale lists them until r9):
+    "winnowing_fingerprint",
+    "source_mixture_weights",
+    "doc_token_histogram",
+    "retention_cohorts",
+    "embedding_covariance",
+    # then the 4 module-clean r6 greens bumped when
     # the 4 late-r8 refine_ext queries took their window slots (all 4
     # re-gated green via tools/check.py this round):
     "pmi_phrases",
