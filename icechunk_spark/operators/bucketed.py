@@ -18,10 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.functions import broadcast
+
 from icechunk_spark.catalog import load_tables
 from icechunk_spark.functions import money_sum
 from icechunk_spark.functions.bucketing import bucketed_db
-from icechunk_spark.operators.tpch import Q3_SQL
+from icechunk_spark.operators.tpch import Q3_SQL, Q5_SQL, Q9_SQL
 
 
 def q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,10 +55,83 @@ def q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q5_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q5 over bucketed facts.  The dimension chain
+    (region→nation→customer) broadcasts onto orders, which PRESERVES
+    orders' bucket partitioning — so the big lineitem ⋈ ob join stays
+    co-located and only the 25-row n_name aggregate exchanges."""
+    db = bucketed_db(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    asia = t["region"].filter(F.col("r_name") == "ASIA")
+    nat = t["nation"].join(
+        broadcast(asia), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    cust = t["customer"].join(
+        broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey", "n_name")
+    orders = spark.table(f"{db}.orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    ob = orders.join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "c_nationkey", "n_name"
+    )
+    return (
+        spark.table(f"{db}.lineitem")
+        .join(ob, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def q9_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q9 over bucketed facts: the lineitem ⋈ orders spine is
+    co-located; the part join still exchanges once its side outgrows
+    the broadcast threshold (partsupp-style key, not the bucket key)
+    — one shuffle instead of three."""
+    db = bucketed_db(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    green = t["part"].filter(F.col("p_name").contains("e")).select(
+        "p_partkey", "p_retailprice"
+    )
+    df = (
+        spark.table(f"{db}.lineitem")
+        .join(spark.table(f"{db}.orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(green, F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+        .withColumn(
+            "amount",
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("p_retailprice") * F.col("l_quantity") * 0.1,
+        )
+    )
+    return (
+        df.groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(money_sum("amount").alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
 QUERIES = {
     "q3_bucketed": q3_bucketed,
+    "q5_bucketed": q5_bucketed,
+    "q9_bucketed": q9_bucketed,
 }
 
 ORACLES = {
     "q3_bucketed": Q3_SQL,
+    "q5_bucketed": Q5_SQL,
+    "q9_bucketed": Q9_SQL,
 }

@@ -175,6 +175,11 @@ PRIORITY: list[str] = [
     "stream_interval_join",
     "stream_sessionize",
     "stream_topk_users",
+    # latest-r8 bucketed variants (q3_bucketed is in-window; these two
+    # share its machinery and oracle pattern — gated green locally,
+    # first driver row whenever the rotation reaches them)
+    "q5_bucketed",
+    "q9_bucketed",
 ]
 
 
