@@ -97,25 +97,32 @@ LIMIT {SAMPLE_K}
 
 
 def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """distinct-n / total-n per (source, n) for n = 1, 2, 3."""
+    """distinct-n / total-n per (source, n) for n = 1, 2, 3.
+
+    All three gram orders are built in ONE projection and exploded
+    from one flattened (n, g) struct array — a union of three
+    explode branches would scan the corpus three times (AQE gives
+    separate query stages no exchange reuse; the ngram_containment
+    union trap, PLANS.md round-8)."""
     docs = load_tables(spark, sf_dir)["documents"].withColumn(
         "toks", tokenize(F.col("text"))
     )
-    parts = [
-        docs.select(
-            "source",
-            F.lit(n).alias("n"),
-            F.explode(_grams_all(F.col("toks"), n)).alias("g"),
+
+    def tagged(n: int):
+        return F.transform(
+            _grams_all(F.col("toks"), n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
         )
-        for n in (1, 2, 3)
-    ]
-    grams = parts[0].unionAll(parts[1]).unionAll(parts[2])
-    dn, tn = F.countDistinct("g"), F.count(F.lit(1))
+
+    grams = docs.select(
+        "source",
+        F.explode(F.flatten(F.array(tagged(1), tagged(2), tagged(3)))).alias("p"),
+    ).select("source", F.col("p.n").alias("n"), F.col("p.g").alias("g"))
     return (
         grams.groupBy("source", "n")
         .agg(
-            tn.alias("total_ngrams"),
-            dn.alias("distinct_ngrams"),
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.countDistinct("g").alias("distinct_ngrams"),
             F.round(
                 (F.countDistinct("g") / F.count(F.lit(1))).cast("decimal(18,12)"), 6
             )
