@@ -19,7 +19,7 @@ def _modules():
     from icechunk_spark.operators import tpch
 
     mods = [tpch]
-    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "semdedup", "linedup", "refine_ext", "sampling_ext", "pii", "bucketed", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "profile_ext", "curation_ext", "multimodal", "repo_queries", "streaming_queries"):
+    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "semdedup", "linedup", "refine_ext", "sampling_ext", "pii", "bucketed", "curate_pipeline", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "profile_ext", "curation_ext", "multimodal", "repo_queries", "streaming_queries"):
         try:
             mods.append(__import__(f"icechunk_spark.operators.{name}", fromlist=[name]))
         except ImportError:
@@ -80,6 +80,11 @@ PRIORITY: list[str] = [
     "pii_stats",
     "pii_redact",
     "q3_bucketed",
+    # NEW latest-r8 capstone (curate_pipeline.py): dedup→quality→
+    # decontaminate→weighted-select in one plan; its slot comes from
+    # simhash (dedup.py changed-module row, re-gated green locally
+    # this round — joins the r9 overflow head)
+    "curate_select",
     # the 20 r5-stale greens (VERDICT r7 #2: retire every r5 row)
     "decontaminate",
     "stratified_sample",
@@ -108,7 +113,6 @@ PRIORITY: list[str] = [
     "dedup_cluster",
     "dedup_cluster_star",
     "dedup_exact",
-    "simhash",
     # stalest remaining r6 greens (module-clean, freshness rotation)
     "q3_shipping_priority",
     "q4_order_priority",
@@ -129,6 +133,9 @@ PRIORITY: list[str] = [
     "doc_token_histogram",
     "retention_cohorts",
     "embedding_covariance",
+    # simhash's slot went to the curate_select capstone (dedup.py
+    # changed-module row, re-gated green locally this round):
+    "simhash",
     # then the 4 module-clean r6 greens bumped when
     # the 4 late-r8 refine_ext queries took their window slots (all 4
     # re-gated green via tools/check.py this round):

@@ -115,3 +115,25 @@ def test_pii_redaction_removes_every_match(spark):
 
     fp = red.filter(red.doc_id == doc.doc_id).collect()[0].redacted_fp
     assert fp == hashlib.md5(expected.encode()).hexdigest()
+
+
+def test_curate_select_single_plan_shape(spark):
+    """The capstone pipeline: broadcast decontamination join, no
+    Python rows, distributed top-k — one declarative plan."""
+    from icechunk_spark.operators.curate_pipeline import CURATE_K, curate_select
+
+    df = curate_select(spark, SF_DIR)
+    df.collect()
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan
+    assert "PythonUDF" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Broadcast" in plan  # eval n-gram set broadcasts
+    rows = df.collect()
+    assert 0 < len(rows) <= CURATE_K
+    # every survivor is train-side and its key is the A-ES key
+    from icechunk_spark.operators.pipeline_ext import EVAL_MAX_ID
+
+    assert all(r.doc_id >= EVAL_MAX_ID for r in rows)
+    keys = [r.w_key for r in rows]
+    assert keys == sorted(keys, reverse=True)
