@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from icechunk_spark.catalog import load_tables
 from icechunk_spark.functions import normalized_text, tokenize
 from icechunk_spark.operators.pipeline_ext import DECON_K, EVAL_MAX_ID, _ngrams_col
-from icechunk_spark.operators.sampling_ext import _HEX12_INT, _TWO48
+from icechunk_spark.operators.sampling_ext import _HEX12_INT, aes_key_col
 from icechunk_spark.operators.textquality import (
     MAX_DUP_BIGRAM_FRAC,
     MAX_MEAN_WORD_LEN,
@@ -109,21 +109,8 @@ def curate_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = kept.join(contaminated, "doc_id", "left_anti")
 
     # stage 4: A-ES weighted selection of the curated pool (∝ n_chars)
-    v = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
-    ).cast("double")
-    key = (
-        F.round(
-            (F.ln((v + F.lit(0.5)) / F.lit(_TWO48)) / F.col("n_chars")).cast(
-                "decimal(24,12)"
-            ),
-            9,
-        )
-        .cast("double")
-        .alias("w_key")
-    )
     return (
-        survivors.select("doc_id", "source", "n_chars", key)
+        survivors.select("doc_id", "source", "n_chars", aes_key_col())
         .orderBy(F.desc("w_key"), "doc_id")
         .limit(CURATE_K)
     )

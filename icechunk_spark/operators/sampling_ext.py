@@ -65,20 +65,28 @@ def _grams_all(toks, n: int):
     return F.when(size >= n, acc).otherwise(F.array().cast("array<string>"))
 
 
-def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-SAMPLE_K docs by the A-ES key ln(u)/n_chars (desc)."""
-    docs = load_tables(spark, sf_dir)["documents"]
-    v = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
-    ).cast("double")
+def aes_key_col(id_col: str = "doc_id", weight_col: str = "n_chars"):
+    """The A-ES ranking key ln(u)/w as a column, u from the top 48
+    md5 bits of the stringified id (exact in a double on both
+    engines), DECIMAL-rounded to 9 so a 1-ulp ln() delta between
+    engines cannot reorder.  Shared by weighted_sample and
+    curate_pipeline.curate_select."""
+    v = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10).cast(
+        "double"
+    )
     u = (v + F.lit(0.5)) / F.lit(_TWO48)
-    key = (
-        F.round((F.ln(u) / F.col("n_chars")).cast("decimal(24,12)"), 9)
+    return (
+        F.round((F.ln(u) / F.col(weight_col)).cast("decimal(24,12)"), 9)
         .cast("double")
         .alias("w_key")
     )
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-SAMPLE_K docs by the A-ES key ln(u)/n_chars (desc)."""
+    docs = load_tables(spark, sf_dir)["documents"]
     return (
-        docs.select("doc_id", "n_chars", key)
+        docs.select("doc_id", "n_chars", aes_key_col())
         .orderBy(F.desc("w_key"), "doc_id")
         .limit(SAMPLE_K)
     )
