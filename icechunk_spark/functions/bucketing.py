@@ -60,8 +60,12 @@ def bucketed_db(
     session database; idempotent per (sf_dir, buckets) — repeat calls
     are catalog lookups.  Returns the database name."""
     tables = BUCKET_KEYS if tables is None else tables
+    # the digest covers the FULL parameter space — a second call with
+    # different bucket/sort keys must get its own database, not a
+    # silent cache hit on tables bucketed by the old key
+    spec = ",".join(f"{t}:{k}" for t, k in sorted(tables.items()))
     digest = hashlib.md5(
-        f"{os.path.normpath(sf_dir)}|{buckets}".encode()
+        f"{os.path.normpath(sf_dir)}|{buckets}|{spec}".encode()
     ).hexdigest()[:12]
     db = f"ic_buckets_{digest}"
     loc = os.path.join(tempfile.gettempdir(), f"icechunk_spark_buckets_{digest}")

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from icechunk_spark.catalog import load_tables
 from icechunk_spark.functions import tokenize
 from icechunk_spark.operators.dedup import DUCK_TOKS
+from icechunk_spark.operators.textquality import _grams_col
 
 SAMPLE_K = 25
 
@@ -49,20 +50,14 @@ _TWO48 = float(2**48)
 
 
 def _grams_all(toks, n: int):
-    """All (non-distinct) n-gram strings of a token array via n
-    shifted slices zipped together — total occurrence counts need
-    duplicates, unlike pipeline_ext._ngrams_col."""
+    """All (non-distinct) n-gram strings of a token array — total
+    occurrence counts need duplicates, unlike pipeline_ext._ngrams_col.
+    Delegates to textquality._grams_col (ONE shared construction; a
+    second copy would silently diverge the oracles that depend on
+    identical gram building)."""
     if n == 1:
         return toks
-    size = F.size(toks)
-    acc = F.slice(toks, 1, size - (n - 1))
-    for j in range(2, n + 1):
-        acc = F.zip_with(
-            acc,
-            F.slice(toks, j, size - (n - 1)),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    return F.when(size >= n, acc).otherwise(F.array().cast("array<string>"))
+    return _grams_col(toks, n)
 
 
 def aes_key_col(id_col: str = "doc_id", weight_col: str = "n_chars"):

@@ -1436,7 +1436,10 @@ class Repository:
         # txlogs.  Measure the skew with a probe object and shift the
         # cutoff into the storage-clock frame, so both sides of every
         # comparison use the SAME clock (the one that stamps deletes).
-        cutoff += self._storage_clock_skew()
+        # dry_run deletes nothing, so it must also WRITE nothing: skip
+        # the probe (an audited/frozen store sees zero mutations).
+        if not dry_run:
+            cutoff += self._storage_clock_skew()
 
         def _old(path: str) -> bool:
             ts = fsio.mtime(path)

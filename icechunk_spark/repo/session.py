@@ -690,10 +690,15 @@ class Session:
         node_id = self.array_meta(path).node_id if path else None
         return self._resolved_manifest(node_id, None)
 
-    def set_chunk_bytes(self, path: str, chunk_key: str, payload: bytes) -> None:
-        """Store-level single-chunk write (buffered; flushed at commit)."""
+    def set_chunk_bytes(
+        self, path: str, chunk_key: str, payload: bytes, _meta=None
+    ) -> None:
+        """Store-level single-chunk write (buffered; flushed at commit).
+        ``_meta`` lets a caller that already resolved the array meta
+        (ChunkStore.set's grid check) skip the second node lookup on
+        the per-chunk hot path."""
         self._require_data_writable()
-        meta = self.array_meta(path)
+        meta = self.array_meta(path) if _meta is None else _meta
         self._chunk_buffer.append(
             {
                 "node_id": meta.node_id,
@@ -720,6 +725,14 @@ class Session:
         a filter + tombstone projection, not a loop."""
         self._require_data_writable()
         meta = self.array_meta(path)
+        grid = meta.grid_shape()
+        # coordinates that cannot address any chunk (rank overflow or
+        # out-of-grid values) ⇒ the subtree is empty: no-op, matching
+        # store.delete's impossible-key contract (reference PR #2312)
+        if len(coord_prefix) > len(grid) or any(
+            int(v) < 0 or int(v) >= g for v, g in zip(coord_prefix, grid)
+        ):
+            return
         # buffered sets inside the prefix must be shadowed too: flush
         # them to a staged manifest first so the tombstones (staged
         # later = higher index) overlay them

@@ -352,7 +352,7 @@ class ChunkStore:
             raise RefError(
                 f"chunk coordinates {chunk!r} outside the chunk grid of {path}"
             )
-        self.session.set_chunk_bytes(path, chunk, value)
+        self.session.set_chunk_bytes(path, chunk, value, _meta=meta)
 
     def exists(self, key: str) -> bool:
         return self.get(key) is not None
@@ -481,6 +481,19 @@ class ChunkStore:
         nodes = self.session._nodes
         if norm in nodes:
             self.session.delete_node(norm)
+            return
+        # descendant nodes under a prefix that is not itself a node
+        # (arrays can be created without materialized parent groups):
+        # each is one metadata delete — the loop is over NODES, never
+        # chunk keys (the sync_clear shape)
+        sub = norm.rstrip("/") + "/"
+        descendants = [p for p in list(nodes) if p.startswith(sub)]
+        if descendants:
+            for p in descendants:
+                try:
+                    self.session.delete_node(p)
+                except RefError:
+                    pass  # an earlier delete may have covered it
             return
         parts = [p for p in norm.strip("/").split("/") if p]
         for i in range(len(parts) - 1, -1, -1):

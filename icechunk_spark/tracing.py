@@ -106,7 +106,7 @@ def span(name: str, **attributes):
         rec["duration_ms"] = round((rec["end"] - rec["start"]) * 1000.0, 3)
         try:
             _emit(rec)
-        except OSError:
+        except Exception:
             pass  # tracing must never fail the traced operation
 
 

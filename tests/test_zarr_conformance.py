@@ -464,3 +464,31 @@ def test_delete_dir_node_prefix_never_lists_chunks(spark, repo, monkeypatch):
     assert "/big" not in s.list_nodes()
     s.commit("dropped /big")
     assert "/big" not in repo.readonly_session().list_nodes()
+
+
+def test_delete_dir_covers_descendants_of_non_node_prefix(spark, repo):
+    """An array created WITHOUT a materialized parent group must still
+    be removed by delete_dir on the parent prefix (review finding:
+    the node short-circuit silently no-opped when the prefix itself
+    was not a node but descendants existed)."""
+    s = _w(repo)
+    store = ChunkStore(s)
+    s.create_array("/orphan/deep/arr", shape=[2], chunk_shape=[2])
+    store.set("orphan/deep/arr/c/0", b"x" * 2)
+    assert "/orphan" not in s._nodes  # precondition: parent not a node
+    store.delete_dir("orphan")
+    assert store.get("orphan/deep/arr/zarr.json") is None
+    assert list(store.list_prefix("orphan")) == []
+
+
+def test_delete_dir_rank_overflow_coords_is_noop(spark, repo):
+    """Deleting a coordinate subtree DEEPER than the array's rank is
+    an impossible key ⇒ no-op, not an AnalysisException (PR #2312
+    contract; review finding on delete_chunks_prefix)."""
+    s = _w(repo)
+    store = ChunkStore(s)
+    s.create_array("/a", shape=[4], chunk_shape=[2])
+    store.set("a/c/0", b"x" * 2)
+    store.delete_dir("a/c/0/0/0/0/0")  # rank overflow: no-op
+    store.delete_dir("a/c/9")  # out-of-grid: no-op
+    assert sorted(store.list_prefix("a/c")) == ["a/c/0"]

@@ -206,6 +206,14 @@ NEW_OPS = [
     "quality_quantile_norm",
     "event_decay_score",
     "mmr_diversify",
+    "fps_sample",
+    # latest-r8 additions (their sf10 rows live in BASELINE.md's
+    # "latest-r8 ops" table; listed here so --new-ops reproduces them)
+    "weighted_sample",
+    "ngram_diversity",
+    "pii_stats",
+    "pii_redact",
+    "curate_select",
 ]
 
 
