@@ -137,3 +137,26 @@ def test_curate_select_single_plan_shape(spark):
     assert all(r.doc_id >= EVAL_MAX_ID for r in rows)
     keys = [r.w_key for r in rows]
     assert keys == sorted(keys, reverse=True)
+
+
+def test_q5_q9_bucketed_fact_exchanges_bounded(spark):
+    """q5_bucketed: both fact scans bucketed, and the ONLY
+    hash-partitioning exchange is the 25-row n_name aggregate.
+    q9_bucketed: at most two (part join + final aggregate) — never an
+    orderkey exchange."""
+    from icechunk_spark.operators.bucketed import q5_bucketed, q9_bucketed
+
+    bucketed_db(spark, SF_DIR)
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        p5 = plan_of(q5_bucketed(spark, SF_DIR))
+        p9 = plan_of(q9_bucketed(spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    for name, plan in (("q5", p5), ("q9", p9)):
+        assert plan.count("SelectedBucketsCount") == 2, name
+        assert "hashpartitioning(l_orderkey" not in plan, name
+        assert "hashpartitioning(o_orderkey" not in plan, name
+    assert p5.count("Exchange hashpartitioning") == 1, p5
+    assert p9.count("Exchange hashpartitioning") <= 2, p9
