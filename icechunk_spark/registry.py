@@ -19,7 +19,7 @@ def _modules():
     from icechunk_spark.operators import tpch
 
     mods = [tpch]
-    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "semdedup", "linedup", "refine_ext", "sampling_ext", "pii", "bucketed", "curate_pipeline", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "profile_ext", "curation_ext", "multimodal", "repo_queries", "streaming_queries"):
+    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "semdedup", "linedup", "refine_ext", "sampling_ext", "pii", "bucketed", "curate_pipeline", "anomaly_ext", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "profile_ext", "curation_ext", "multimodal", "repo_queries", "streaming_queries"):
         try:
             mods.append(__import__(f"icechunk_spark.operators.{name}", fromlist=[name]))
         except ImportError:
@@ -187,6 +187,10 @@ PRIORITY: list[str] = [
     # first driver row whenever the rotation reaches them)
     "q5_bucketed",
     "q9_bucketed",
+    # latest-r8 anomaly/drift pair (anomaly_ext.py) — gated green
+    # locally at sf0.001 and sf0.01; first driver rows in r9
+    "rolling_zscore_anomalies",
+    "value_drift_psi",
 ]
 
 

@@ -160,3 +160,43 @@ def test_q5_q9_bucketed_fact_exchanges_bounded(spark):
         assert "hashpartitioning(o_orderkey" not in plan, name
     assert p5.count("Exchange hashpartitioning") == 1, p5
     assert p9.count("Exchange hashpartitioning") <= 2, p9
+
+
+def test_anomaly_ops_plans_and_contracts(spark):
+    from icechunk_spark.operators.anomaly_ext import (
+        Z_MIN_N,
+        rolling_zscore_anomalies,
+        value_drift_psi,
+    )
+
+    zdf = rolling_zscore_anomalies(spark, SF_DIR)
+    zdf.collect()
+    plan = plan_of(zdf)
+    assert "BatchEvalPython" not in plan
+    assert "PythonUDF" not in plan
+    rows = zdf.collect()
+    assert all(r.n_anomalies <= r.n_scored for r in rows)
+    assert all(r.max_abs_z >= 0 for r in rows)
+
+    pdf = value_drift_psi(spark, SF_DIR)
+    pdf.collect()
+    plan = plan_of(pdf)
+    assert "BatchEvalPython" not in plan
+    prows = pdf.collect()
+    # PSI is a sum of (p2-p1)ln(p2/p1) terms, each individually >= 0
+    assert all(r.psi >= 0 for r in prows)
+    assert len(prows) == 5  # one per event_type
+
+
+def test_events_value_is_cents_quantized(spark):
+    """rolling_zscore_anomalies' integer-cents contract: every
+    events.value is exactly a cent amount (if a future dataset breaks
+    this, the operator must go back to DECIMAL sliding sums)."""
+    from icechunk_spark.catalog import load_tables
+    from pyspark.sql import functions as F
+
+    ev = load_tables(spark, SF_DIR)["events"]
+    off = ev.filter(
+        F.abs(F.col("value") * 100 - F.round(F.col("value") * 100, 0)) > 1e-9
+    ).count()
+    assert off == 0
