@@ -37,13 +37,18 @@ def _modules():
 # its 6 new ops (50/50 green).  Round 7 window = 2 anchors + the 16
 # remaining r4 greens (the overflow head the r6 comment promised) + the
 # new r7 queries (new queries always land inside the window) + the 30
-# stalest r5 greens.  Round 8 window = 2 anchors + the 6 new r8
-# queries (semdedup + the 5 linedup ops) + ALL 20 remaining r5 greens
-# + the 11 r6 greens whose module changed since their row
-# (check.py --stale) + the 11 stalest clean r6 greens.  After r8 no
-# green row is older than r6; the overflow head (r9) is the 5 bumped
-# clean r6 rows + the remaining r6 block (TPC-H q9-q22, knn_lsh/ivf,
-# streaming).
+# stalest r5 greens.  Round 8 window (final) = 2 anchors + 17
+# new-in-r8 queries (semdedup, 5 linedup, 4 refine_ext + fps_sample,
+# weighted_sample, ngram_diversity, pii_stats, pii_redact,
+# q3_bucketed, curate_select) + ALL 20 remaining r5 greens + 5
+# changed-module r6 rows + q3/q4/q5/q7 + knn_brute_force + q9.
+# After r8 no green row is older than r6; the r9 overflow head =
+# the 6 swapped-out changed-module rows (winnowing_fingerprint ..
+# simhash), then the r8-changed tpch/similarity block, the clean r6
+# block, and the 4 latest additions (q5/q9_bucketed,
+# rolling_zscore_anomalies, value_drift_psi) — every swapped or
+# overflow row re-gated green locally this round (per-entry notes
+# below).
 PRIORITY: list[str] = [
     # anchors (continuity across every round)
     "q1_pricing_summary",
