@@ -131,14 +131,23 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.lit(0.2) * punct_ratio
         + F.lit(0.1) * stop_ratio
     )
+    # decimal-cast BEFORE rounding: at sf0.1 one doc's raw score lands
+    # exactly on a 4-decimal half-point (0.23275) and Spark/DuckDB
+    # round the two straddling doubles in different directions — the
+    # DECIMAL(24,8) cast absorbs the double representation error so
+    # both engines round the same exact decimal (the money_sum gotcha,
+    # PLANS.md round-7)
+    def r4(c):
+        return F.round(c.cast("decimal(24,8)"), 4).cast("double")
+
     return (
         df.select(
             "doc_id",
             F.size("toks").cast("bigint").alias("n_tokens"),
-            F.round(rep, 4).alias("repetition"),
-            F.round(punct_ratio, 4).alias("punct_ratio"),
-            F.round(stop_ratio, 4).alias("stopword_ratio"),
-            F.round(score, 4).alias("quality"),
+            r4(rep).alias("repetition"),
+            r4(punct_ratio).alias("punct_ratio"),
+            r4(stop_ratio).alias("stopword_ratio"),
+            r4(score).alias("quality"),
         )
         .orderBy("doc_id")
     )
@@ -161,13 +170,13 @@ WITH tok AS (
 )
 SELECT doc_id,
        CAST(n_tok AS BIGINT) AS n_tokens,
-       round(1.0 - n_uniq / n_tok, 4) AS repetition,
-       round(punct / n_chars, 4) AS punct_ratio,
-       round(stop / n_tok, 4) AS stopword_ratio,
-       round(0.4 * least(n_tok / 100.0, 1.0)
+       CAST(round(CAST(1.0 - n_uniq / n_tok AS DECIMAL(24,8)), 4) AS DOUBLE) AS repetition,
+       CAST(round(CAST(punct / n_chars AS DECIMAL(24,8)), 4) AS DOUBLE) AS punct_ratio,
+       CAST(round(CAST(stop / n_tok AS DECIMAL(24,8)), 4) AS DOUBLE) AS stopword_ratio,
+       CAST(round(CAST(0.4 * least(n_tok / 100.0, 1.0)
              + 0.3 * (1.0 - (1.0 - n_uniq / n_tok))
              - 0.2 * (punct / n_chars)
-             + 0.1 * (stop / n_tok), 4) AS quality
+             + 0.1 * (stop / n_tok) AS DECIMAL(24,8)), 4) AS DOUBLE) AS quality
 FROM m
 ORDER BY doc_id
 """
