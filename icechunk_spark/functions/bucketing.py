@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-import shutil
 import tempfile
 
 from pyspark.sql import SparkSession
@@ -57,15 +56,24 @@ def bucketed_db(
 ) -> str:
     """Materialize bucketed+sorted copies of ``tables`` (default: the
     q3/q5/q9 fact spine) for ``sf_dir`` into a content-addressed
-    session database; idempotent per (sf_dir, buckets) — repeat calls
+    session database; idempotent per (session, sf_dir, buckets, keys) — repeat calls
     are catalog lookups.  Returns the database name."""
     tables = BUCKET_KEYS if tables is None else tables
     # the digest covers the FULL parameter space — a second call with
     # different bucket/sort keys must get its own database, not a
-    # silent cache hit on tables bucketed by the old key
+    # silent cache hit on tables bucketed by the old key.  It ALSO
+    # covers the Spark applicationId: the location is session-unique,
+    # because two concurrent processes sharing one content-addressed
+    # /tmp dir race — one session's stale-dir cleanup deletes parquet
+    # files the other is mid-scan on (observed as FAILED_READ_FILE
+    # when a gate run and the test suite bucketized the same sf_dir
+    # simultaneously).  Orphaned dirs from ended sessions are plain
+    # temp files; re-bucketizing per session is the 1-2 s cost that
+    # buys race freedom.
     spec = ",".join(f"{t}:{k}" for t, k in sorted(tables.items()))
     digest = hashlib.md5(
-        f"{os.path.normpath(sf_dir)}|{buckets}|{spec}".encode()
+        f"{os.path.normpath(sf_dir)}|{buckets}|{spec}|"
+        f"{spark.sparkContext.applicationId}".encode()
     ).hexdigest()[:12]
     db = f"ic_buckets_{digest}"
     loc = os.path.join(tempfile.gettempdir(), f"icechunk_spark_buckets_{digest}")
@@ -74,12 +82,6 @@ def bucketed_db(
     for table, key in tables.items():
         if spark.catalog.tableExists(f"{db}.{table}"):
             continue
-        # the catalog is in-memory per session: a previous session may
-        # have left the managed location behind without a table entry,
-        # which saveAsTable refuses — drop the stale directory first
-        stale = os.path.join(loc, table)
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
         (
             src[table]
             # one file per bucket => scans report per-bucket sortedness
