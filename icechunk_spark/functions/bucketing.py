@@ -31,8 +31,10 @@ Scale notes:
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import SparkSession
@@ -40,6 +42,21 @@ from pyspark.sql import SparkSession
 from icechunk_spark.catalog import load_tables
 
 BUCKETS = 32
+
+#: bucketed-db locations created by THIS process; reaped at exit.
+#: Locations are session-unique (applicationId in the digest) so no
+#: other live process can be scanning them — the atexit reap closes
+#: the unbounded-/tmp-growth leak without reintroducing the
+#: concurrent-process stale-dir race the session-unique naming fixed.
+_OWNED_LOCATIONS: set[str] = set()
+
+
+def _reap_owned_locations() -> None:
+    for loc in _OWNED_LOCATIONS:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+atexit.register(_reap_owned_locations)
 
 #: table -> bucket/sort key written by :func:`bucketed_db`
 BUCKET_KEYS: dict[str, str] = {
@@ -77,6 +94,7 @@ def bucketed_db(
     ).hexdigest()[:12]
     db = f"ic_buckets_{digest}"
     loc = os.path.join(tempfile.gettempdir(), f"icechunk_spark_buckets_{digest}")
+    _OWNED_LOCATIONS.add(loc)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
     src = load_tables(spark, sf_dir)
     for table, key in tables.items():

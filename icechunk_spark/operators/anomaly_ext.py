@@ -116,8 +116,15 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile)."""
     ev = load_tables(spark, sf_dir)["events"]
     tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    # floor the half-range explicitly: cast(double -> bigint) TRUNCATES
+    # in Spark but ROUNDS in DuckDB, so on an odd (max-min) span the
+    # engines' midpoints differ by 1 µs and an event at exactly that
+    # instant lands in different halves.  floor()+integer-// on both
+    # engines pins the same instant (span is non-negative, floor==trunc)
     mid = ev.agg(
-        (F.min(tus) + (F.max(tus) - F.min(tus)) / 2).cast("bigint").alias("mid")
+        (F.min(tus) + F.floor((F.max(tus) - F.min(tus)) / 2))
+        .cast("bigint")
+        .alias("mid")
     )
     b = F.floor(F.col("value") / PSI_BIN_WIDTH).cast("int").alias("bin")
     half = (tus > F.col("mid")).cast("int").alias("half")
@@ -143,7 +150,7 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 VALUE_DRIFT_PSI_SQL = f"""
 WITH mid AS (
-  SELECT CAST(epoch_us(min(ts)) + (epoch_us(max(ts)) - epoch_us(min(ts))) / 2 AS BIGINT) AS mid
+  SELECT CAST(epoch_us(min(ts)) + (epoch_us(max(ts)) - epoch_us(min(ts))) // 2 AS BIGINT) AS mid
   FROM events
 ), binned AS (
   SELECT event_type,

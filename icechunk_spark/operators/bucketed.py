@@ -15,6 +15,8 @@ at write time, not on every query.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -24,6 +26,27 @@ from icechunk_spark.catalog import load_tables
 from icechunk_spark.functions import money_sum
 from icechunk_spark.functions.bucketing import bucketed_db
 from icechunk_spark.operators.tpch import Q3_SQL, Q5_SQL, Q9_SQL
+
+#: on-disk size above which a customer-derived side is NOT force-
+#: broadcast (the hint overrides Spark's size check, so an unbounded
+#: hint on an SF-scaling side is a driver/executor OOM at large SF —
+#: the exact trap raw q5's docstring rejects).  1 GiB of customer
+#: parquet ≈ sf40; the filtered 3-column ASIA projection of that is
+#: ~50 MB serialized — comfortably broadcastable.  Past the cap the
+#: code falls back to an unhinted join and AQE's runtime-measured
+#: conversion makes the broadcast call safely.
+BROADCAST_SRC_CAP_BYTES = 1 << 30
+
+
+def _table_bytes(sf_dir: str, table: str) -> int:
+    """On-disk bytes of a source parquet table (file or directory)."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
 
 
 def q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,7 +89,13 @@ def q5_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     delegation experiment (raw pipeline with the fact frames swapped)
     measured 4.9 s vs 1.2 s at sf10 — without the hint the
     orders ⋈ cust join statically plans an o_custkey exchange that
-    destroys orders' bucketing before lineitem ever joins it."""
+    destroys orders' bucketing before lineitem ever joins it.
+
+    The cust hint is SIZE-GATED (BROADCAST_SRC_CAP_BYTES): cust scales
+    with SF, and a forced hint overrides Spark's own size check — at
+    very large SF the gate drops the hint and the plan degrades to a
+    shuffled cust join (one extra exchange, no OOM), with AQE free to
+    re-promote the broadcast from runtime stats."""
     db = bucketed_db(spark, sf_dir)
     t = load_tables(spark, sf_dir)
     asia = t["region"].filter(F.col("r_name") == "ASIA")
@@ -76,11 +105,13 @@ def q5_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t["customer"].join(
         broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
     ).select("c_custkey", "c_nationkey", "n_name")
+    if _table_bytes(sf_dir, "customer") <= BROADCAST_SRC_CAP_BYTES:
+        cust = broadcast(cust)
     orders = spark.table(f"{db}.orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
     )
-    ob = orders.join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey")).select(
+    ob = orders.join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
         "o_orderkey", "c_nationkey", "n_name"
     )
     return (

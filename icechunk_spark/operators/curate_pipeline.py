@@ -35,6 +35,7 @@ from icechunk_spark.operators.textquality import (
     MAX_SYMBOL_RATIO,
     MIN_MEAN_WORD_LEN,
     _grams_col,
+    _round4,
 )
 
 CURATE_K = 50
@@ -56,27 +57,28 @@ def curate_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subset of gopher_quality_filters — identical expressions/rounding)
     toked = first.withColumn("toks", tokenize(F.lower(F.col("text"))))
     n_tok = F.size("toks").cast("double")
-    mean_wl = F.round(
+    # the threshold predicates compare 4-decimal roundings; _round4's
+    # DECIMAL(24,8) cast makes a half-point landing (a function of the
+    # data — new SFs re-roll the dice) round HALF_UP on both engines
+    # instead of flipping a keep/drop cross-engine
+    mean_wl = _round4(
         F.aggregate(
             F.col("toks"), F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
         ).cast("double")
-        / n_tok,
-        4,
+        / n_tok
     )
-    symbol_ratio = F.round(
+    symbol_ratio = _round4(
         F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9\s]")).cast("double")
-        / F.length("text").cast("double"),
-        4,
+        / F.length("text").cast("double")
     )
     bigrams = _grams_col(F.col("toks"), 2)
-    dup_bigram = F.round(
+    dup_bigram = _round4(
         F.coalesce(
             1.0
             - F.size(F.array_distinct(bigrams)).cast("double")
             / F.size(bigrams).cast("double"),
             F.lit(0.0),
-        ),
-        4,
+        )
     )
     kept = toked.filter(
         (mean_wl >= MIN_MEAN_WORD_LEN)
@@ -132,15 +134,16 @@ WITH norm AS (
 ), kept AS (
   SELECT doc_id, source, n_chars, text
   FROM tokd
-  WHERE round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-              / len(toks), 4) >= {MIN_MEAN_WORD_LEN}
-    AND round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-              / len(toks), 4) <= {MAX_MEAN_WORD_LEN}
-    AND round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
-              / length(text), 4) <= {MAX_SYMBOL_RATIO}
-    AND round(COALESCE(1.0 - CAST(len(list_distinct(
+  WHERE CAST(round(CAST(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+              / len(toks) AS DECIMAL(24,8)), 4) AS DOUBLE) >= {MIN_MEAN_WORD_LEN}
+    AND CAST(round(CAST(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+              / len(toks) AS DECIMAL(24,8)), 4) AS DOUBLE) <= {MAX_MEAN_WORD_LEN}
+    AND CAST(round(CAST(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+              / length(text) AS DECIMAL(24,8)), 4) AS DOUBLE) <= {MAX_SYMBOL_RATIO}
+    AND CAST(round(CAST(COALESCE(1.0 - CAST(len(list_distinct(
           [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]
-        )) AS DOUBLE) / (len(toks) - 1), 0.0), 4) <= {MAX_DUP_BIGRAM_FRAC}
+        )) AS DOUBLE) / (len(toks) - 1), 0.0) AS DECIMAL(24,8)), 4) AS DOUBLE)
+        <= {MAX_DUP_BIGRAM_FRAC}
     AND doc_id >= {EVAL_MAX_ID}
 ), raw_ngs AS (
   SELECT doc_id,

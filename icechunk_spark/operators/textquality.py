@@ -31,6 +31,18 @@ MAX_MEAN_WORD_LEN = 10.0
 MAX_SYMBOL_RATIO = 0.10
 
 
+def _round4(c: Column) -> Column:
+    """Round a ratio to 4 decimals via a DECIMAL(24,8) cast (exact
+    HALF_UP on both engines).  round(double, 4) directly is a latent
+    cross-engine divergence: a ratio landing EXACTLY on a 4-decimal
+    half-point (a function of the DATA — sf0.1 produced one for
+    quality_score in r8) straddles two doubles that Spark and DuckDB
+    round in opposite directions, and here a half-point landing flips
+    a keep/drop predicate.  SQL mirror:
+    ``CAST(round(CAST(x AS DECIMAL(24,8)), 4) AS DOUBLE)``."""
+    return F.round(c.cast("decimal(24,8)"), 4).cast("double")
+
+
 def _grams_col(toks: Column, k: int) -> Column:
     """All k-token grams (with multiplicity, order-preserving) by
     zipping k shifted slices — O(n·k), stays inside codegen."""
@@ -153,13 +165,12 @@ def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(top_mass, "doc_id", "left")
         .select(
             "doc_id",
-            F.round(mean_wl, 4).alias("mean_word_len"),
-            F.round(symbol_ratio, 4).alias("symbol_ratio"),
-            F.round(
-                F.coalesce(F.col("top_token_count").cast("double") / n_tok, F.lit(0.0)),
-                4,
+            _round4(mean_wl).alias("mean_word_len"),
+            _round4(symbol_ratio).alias("symbol_ratio"),
+            _round4(
+                F.coalesce(F.col("top_token_count").cast("double") / n_tok, F.lit(0.0))
             ).alias("top_token_frac"),
-            F.round(F.coalesce(dup_bigram, F.lit(0.0)), 4).alias("dup_bigram_frac"),
+            _round4(F.coalesce(dup_bigram, F.lit(0.0))).alias("dup_bigram_frac"),
         )
     )
     keep = (
@@ -185,15 +196,16 @@ WITH tok AS (
   GROUP BY doc_id
 ), m AS (
   SELECT tok.doc_id,
-         round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-               / len(toks), 4) AS mean_word_len,
-         round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
-               / length(text), 4) AS symbol_ratio,
-         round(COALESCE(CAST(top_token_count AS DOUBLE) / len(toks), 0.0), 4)
-           AS top_token_frac,
-         round(COALESCE(1.0 - CAST(len(list_distinct(
+         CAST(round(CAST(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / len(toks) AS DECIMAL(24,8)), 4) AS DOUBLE) AS mean_word_len,
+         CAST(round(CAST(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+               / length(text) AS DECIMAL(24,8)), 4) AS DOUBLE) AS symbol_ratio,
+         CAST(round(CAST(COALESCE(CAST(top_token_count AS DOUBLE) / len(toks), 0.0)
+               AS DECIMAL(24,8)), 4) AS DOUBLE) AS top_token_frac,
+         CAST(round(CAST(COALESCE(1.0 - CAST(len(list_distinct(
                  [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))]
-               )) AS DOUBLE) / (len(toks) - 1), 0.0), 4) AS dup_bigram_frac
+               )) AS DOUBLE) / (len(toks) - 1), 0.0) AS DECIMAL(24,8)), 4) AS DOUBLE)
+           AS dup_bigram_frac
   FROM tok JOIN top ON tok.doc_id = top.doc_id
 )
 SELECT doc_id, mean_word_len, symbol_ratio, top_token_frac, dup_bigram_frac,

@@ -1407,6 +1407,14 @@ class Repository:
         never a driver-side chunk list (src/ops/gc.rs).  ``dry_run``
         counts what would be deleted without touching anything.
 
+        Dry-run fidelity caveat: a real run shifts the age cutoff by a
+        measured storage-clock skew (probe object, PR #2310), but
+        ``dry_run`` must write nothing, so it evaluates ages against
+        the UNSKEWED cutoff — on a store whose clock diverges from the
+        host's, the preview counts can differ from what a real run
+        would delete (candidates within ``|skew|`` of the cutoff flip).
+        NTP-synced stores see ~0 divergence.
+
         Only objects *written before* the cutoff are touched —
         ``delete_object_older_than`` (an absolute ``datetime``, the
         reference's signature repository.py:1903) or

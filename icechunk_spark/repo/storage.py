@@ -308,6 +308,14 @@ class ArrowFsStorage(Storage):
         # targets the SAME endpoint pyarrow reads/writes (MinIO / R2 /
         # Tigris); populated by the s3_storage factory
         self._s3_opts: dict[str, str] = {}
+        # extra HTTP headers for auth proxies / CDN fronting (reference
+        # storage.py read_headers/write_headers, 2.1.1 #2246) —
+        # populated by the factories; injected on the SDK (boto3) CAS
+        # plane per request method.  pyarrow's filesystems expose no
+        # per-request header hook, so the bulk plane cannot carry them
+        # — documented in s3_storage.
+        self._read_headers: dict[str, str] = {}
+        self._write_headers: dict[str, str] = {}
         if fs is not None:
             # pre-built filesystem (factory helpers: custom region /
             # endpoint / anonymous S3)
@@ -352,6 +360,7 @@ class ArrowFsStorage(Storage):
             if cred.session_token:
                 opts["aws_session_token"] = cred.session_token
         client = boto3.client("s3", **opts)
+        self._register_header_injection(client)
         try:
             client.put_object(Bucket=bucket, Key=obj, Body=data, IfNoneMatch="*")
         except botocore.exceptions.ClientError as e:
@@ -362,6 +371,23 @@ class ArrowFsStorage(Storage):
                 raise StorageConflict(key) from e
             raise
         return True
+
+    def _register_header_injection(self, client) -> None:
+        """Attach the factory-configured read/write headers to every
+        request the boto3 client sends: write_headers on mutating
+        methods (PUT/POST/DELETE), read_headers otherwise (GET/HEAD) —
+        the reference's per-request-kind split (#2246)."""
+        rh = dict(getattr(self, "_read_headers", {}) or {})
+        wh = dict(getattr(self, "_write_headers", {}) or {})
+        if not rh and not wh:
+            return
+
+        def _inject(request, **_kw):
+            extra = wh if request.method in ("PUT", "POST", "DELETE") else rh
+            for k, v in extra.items():
+                request.headers[k] = v
+
+        client.meta.events.register("before-send.s3", _inject)
 
     def _az_blob_client(self, container: str, blob: str):
         """A BlobClient for the CAS plane, or None when
@@ -629,6 +655,9 @@ def s3_storage(
     credentials: object | None = None,
     allow_http: bool = False,
     force_path_style: bool = False,
+    read_headers: dict[str, str] | None = None,
+    write_headers: dict[str, str] | None = None,
+    headers: dict[str, str] | None = None,
 ) -> Storage:
     """S3 (or any S3-compatible endpoint) metadata-plane storage.
     Credentials default to the environment/instance profile, matching
@@ -637,7 +666,16 @@ def s3_storage(
     ``credentials.S3Credentials.*`` object.  The same keys feed both
     pyarrow's S3FileSystem (bulk plane) and the boto3 conditional-put
     client (branch-CAS plane) so the two planes can never target
-    different identities."""
+    different identities.
+
+    ``read_headers`` / ``write_headers`` / ``headers`` (reference
+    storage.py:202-343, 2.1.1 #2246): extra HTTP headers for
+    deployments fronting the bucket with an auth proxy or CDN —
+    ``headers`` applies to both kinds, the read/write variants take
+    precedence per key.  They are injected per-request on the SDK
+    (boto3) CAS plane; pyarrow's S3FileSystem exposes no per-request
+    header hook, so the bulk plane cannot carry them (a proxy that
+    REQUIRES them on reads needs the http_storage front instead)."""
     refreshable = None
     if credentials is not None:
         from icechunk_spark.credentials import S3Credentials
@@ -671,8 +709,12 @@ def s3_storage(
         s3_opts["aws_secret_access_key"] = secret_access_key
     if session_token:
         s3_opts["aws_session_token"] = session_token
+    eff_read = {**(headers or {}), **(read_headers or {})}
+    eff_write = {**(headers or {}), **(write_headers or {})}
     if not s3_opts and not anonymous and not allow_http and not force_path_style:
-        return ArrowFsStorage(root, single_writer=single_writer)
+        st = ArrowFsStorage(root, single_writer=single_writer)
+        st._read_headers, st._write_headers = eff_read, eff_write
+        return st
     from pyarrow import fs as pafs
 
     fs = pafs.S3FileSystem(
@@ -688,6 +730,7 @@ def s3_storage(
     st = ArrowFsStorage(root, single_writer=single_writer, fs=fs)
     st._s3_opts = s3_opts
     st._s3_refresh = refreshable
+    st._read_headers, st._write_headers = eff_read, eff_write
     return st
 
 
@@ -707,9 +750,24 @@ def r2_storage(
     return s3_storage(bucket, prefix, **kw)
 
 
-def gcs_storage(bucket: str, prefix: str = "", *, single_writer: bool = False) -> Storage:
+def gcs_storage(
+    bucket: str,
+    prefix: str = "",
+    *,
+    single_writer: bool = False,
+    read_headers: dict[str, str] | None = None,
+    write_headers: dict[str, str] | None = None,
+    headers: dict[str, str] | None = None,
+) -> Storage:
+    """GCS metadata-plane storage.  ``read_headers`` / ``write_headers``
+    / ``headers`` follow the reference's semantics (#2246, see
+    s3_storage) and apply to SDK-plane requests; pyarrow's GcsFileSystem
+    has no per-request header hook (same bulk-plane limitation)."""
     root = f"gs://{bucket}" + (f"/{prefix.strip('/')}" if prefix else "")
-    return ArrowFsStorage(root, single_writer=single_writer)
+    st = ArrowFsStorage(root, single_writer=single_writer)
+    st._read_headers = {**(headers or {}), **(read_headers or {})}
+    st._write_headers = {**(headers or {}), **(write_headers or {})}
+    return st
 
 
 def azure_storage(
