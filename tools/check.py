@@ -43,6 +43,46 @@ def fingerprint(cols, rows):
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
 
 
+def _file_md5(path: str) -> str | None:
+    import hashlib
+
+    try:
+        with open(path, "rb") as f:
+            return hashlib.md5(f.read()).hexdigest()
+    except OSError:
+        return None
+
+
+def _gates_path(repo: str) -> str:
+    import os
+
+    return os.path.join(repo, "LOCALGATES.json")
+
+
+def _load_local_gates(repo: str) -> dict:
+    import json
+
+    try:
+        with open(_gates_path(repo)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _record_local_gates(repo: str, passed: dict[str, dict]) -> None:
+    """Merge this run's oracle passes into LOCALGATES.json: each entry
+    pins the defining module's CONTENT hash at gate time, so
+    ``--stale`` can tell 'module unchanged since it last passed the
+    full gate locally' without trusting timestamps or clean trees."""
+    import json
+
+    gates = _load_local_gates(repo)
+    gates.update(passed)
+    with open(_gates_path(repo), "w") as f:
+        json.dump(gates, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+
 def stale_report() -> int:
     """``check.py --stale``: for every registered query, its last
     driver-green round and whether its DEFINING MODULE changed since
@@ -108,7 +148,48 @@ def stale_report() -> int:
     for name, rnd, changed, mod in sorted(rows, key=lambda r: (r[1], r[0])):
         print(f"{name:<{width}}  {rnd:>5}  {changed:<7}  {mod}")
     print(f"\n{n_changed} green queries have module edits since their last driver row")
-    return 1 if n_changed else 0
+
+    # Staleness-budget gate (VERDICT r8 #9): with 140 queries and a
+    # 50-row driver window, a green row can silently age for rounds.
+    # Budget: any row that is CHANGED since its check, OR whose last
+    # green would age past r-3 by the time the NEXT round's record
+    # lands, MUST be either inside the upcoming driver window (the
+    # first 50 of registry PRIORITY) or covered by a LOCAL re-gate
+    # (LOCALGATES.json, written by this tool on every oracle pass)
+    # whose recorded module hash still matches — i.e. the module has
+    # not been edited since the query last passed the full
+    # rows+schema+hash gate locally.
+    gates = _load_local_gates(repo)
+    latest = max(last_green.values(), default=0)
+    window = list(registry.all_queries())[:50]
+    overdue = []
+    n_local = 0
+    for name, rnd, changed, _mod in rows:
+        if name in window:
+            continue
+        why = None
+        if rnd == "never" or changed == "CHANGED":
+            why = changed if changed == "CHANGED" else "never"
+        elif int(rnd[1:]) <= latest - 2:  # next record makes it r-3 stale
+            why = "aging"
+        if why is None:
+            continue
+        rec = gates.get(name)
+        if rec and name in owner and rec.get("module_md5") == _file_md5(
+            os.path.join(repo, owner[name])
+        ) and rec.get("kind") == "oracle":
+            n_local += 1
+            continue  # locally re-gated on the exact current module
+        overdue.append((name, rnd, why))
+    if n_local:
+        print(f"{n_local} out-of-window rows covered by current local re-gates")
+    if overdue:
+        print(f"\nSTALENESS BUDGET VIOLATED — {len(overdue)} rows need a window slot or a local re-gate:")
+        for name, rnd, why in overdue:
+            print(f"  {name}  {rnd}  {why}")
+    else:
+        print("\nstaleness budget OK: every changed/aging row is in the next window or locally re-gated")
+    return 1 if overdue else 0
 
 
 def main():
@@ -131,6 +212,7 @@ def main():
         )
 
     n_pass = n_fail = n_rows_only = 0
+    passed_now: dict[str, str] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -145,6 +227,7 @@ def main():
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows (no oracle)")
             n_rows_only += 1
+            passed_now[name] = "rows"
             continue
         try:
             rel = con.sql(oracles[name])
@@ -188,7 +271,32 @@ def main():
         else:
             print(f"ok    {name}: {len(srows)} rows")
             n_pass += 1
+            passed_now[name] = "oracle"
     print(f"\n{n_pass} ok, {n_fail} fail, {n_rows_only} rows-only")
+    # record this run's oracle passes so --stale can credit local
+    # re-gates against the staleness budget (module-hash pinned)
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from icechunk_spark import registry
+
+    owner = {}
+    for mod in registry._modules():
+        for qname in getattr(mod, "QUERIES", {}):
+            owner[qname] = mod.__file__
+    if passed_now:
+        _record_local_gates(
+            repo,
+            {
+                qname: {
+                    "module_md5": _file_md5(owner[qname]),
+                    "sf_dir": sf_dir,
+                    "kind": kind,
+                }
+                for qname, kind in passed_now.items()
+                if qname in owner
+            },
+        )
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
