@@ -71,15 +71,24 @@ def q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
     )
+    # SHUFFLE_HASH on the (filtered, semi-reduced) orders build side:
+    # over bucketed tables the hint yields an EXCHANGE-FREE hash join —
+    # build one hash per bucket of the small side, stream lineitem
+    # through it — instead of a sort-merge whose per-row comparisons
+    # dominate once both sorts are already elided.  Measured at sf10
+    # (interleaved, min-of-5): 0.96 s vs 1.39 s SMJ, identical values.
+    # Per-task build = one orders bucket after both filters; the
+    # suggest_buckets sizing rule keeps a bucket ≤ a task's memory
+    # comfortably, so the build side scales with the rule.
     if _table_bytes(sf_dir, "customer") <= BROADCAST_SRC_CAP_BYTES:
         orders = orders.join(
             broadcast(cust), F.col("o_custkey") == cust.c_custkey, "left_semi"
         )
-        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        joined = li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
     else:
-        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
-            cust, F.col("o_custkey") == cust.c_custkey, "left_semi"
-        )
+        joined = li.join(
+            orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+        ).join(cust, F.col("o_custkey") == cust.c_custkey, "left_semi")
     return (
         joined.groupBy("l_orderkey", "o_orderdate")
         .agg(

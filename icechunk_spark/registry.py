@@ -19,7 +19,7 @@ def _modules():
     from icechunk_spark.operators import tpch
 
     mods = [tpch]
-    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "semdedup", "linedup", "refine_ext", "sampling_ext", "pii", "bucketed", "curate_pipeline", "anomaly_ext", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "profile_ext", "curation_ext", "multimodal", "medianear", "repo_queries", "streaming_queries"):
+    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "semdedup", "linedup", "refine_ext", "sampling_ext", "pii", "bucketed", "curate_pipeline", "anomaly_ext", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "profile_ext", "curation_ext", "multimodal", "medianear", "runlength", "changepoint", "repo_queries", "streaming_queries"):
         try:
             mods.append(__import__(f"icechunk_spark.operators.{name}", fromlist=[name]))
         except ImportError:
@@ -114,9 +114,14 @@ PRIORITY: list[str] = [
     "stream_sessionize",
     "stream_topk_users",
     # ---- window boundary (50) ----
-    # r10 overflow head: rows whose modules changed in r9 (all re-gated
-    # green locally at sf0.01 AND sf0.1 this round; check.py --stale
-    # lists them until their r10 driver row)
+    # r10 overflow head: the 2 ops added late in r9 after the window
+    # filled (new modules runlength.py / changepoint.py; locally gated
+    # green with recorded LOCALGATES entries — first driver rows in
+    # r10), then rows whose modules changed in r9 (all re-gated green
+    # locally at sf0.01 AND sf0.1 this round; check.py --stale lists
+    # them until their r10 driver row)
+    "repetition_runs",
+    "cusum_changepoint",
     "gopher_quality_filters",
     "dup_span_fraction",
     "tfidf_top_terms",
