@@ -20,6 +20,7 @@ from icechunk_spark.streaming.events import (
     running_totals_stream,
     sessionize_stream,
     windowed_agg_stream,
+    zscore_alerts_stream,
 )
 
 
@@ -241,6 +242,30 @@ ORDER BY event_type, rnk
 """
 
 
+def stream_zscore_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming anomaly census: the trailing-window z-score
+    alert counter maintained per user by applyInPandasWithState (state
+    = a bounded 10-value deque per user), drained and compared against
+    the BATCH rolling-z oracle — the stream twin of
+    operators/anomaly_ext.rolling_zscore_anomalies, value-identical
+    after the drain.  The latest state row per user wins (n_scored is
+    monotone); users that never accumulated a scoreable frame are
+    absent from both sides."""
+    from icechunk_spark.operators.anomaly_ext import ROLLING_ZSCORE_SQL  # noqa: F401 — shared oracle
+
+    name = f"zal_{uuid.uuid4().hex[:8]}"
+    ev = read_event_stream(spark, sf_dir)
+    run_to_memory(zscore_alerts_stream(ev), name, output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_scored"))
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("n_scored") > 0))
+        .select("user_id", "n_scored", "n_anomalies", "max_abs_z")
+        .orderBy("user_id")
+    )
+
+
 QUERIES = {
     "stream_windowed_agg": stream_windowed_agg,
     "stream_topk_users": stream_topk_users,
@@ -249,7 +274,15 @@ QUERIES = {
     "stream_running_totals": stream_running_totals,
     "stream_interval_join": stream_interval_join,
     "stream_static_enrich": stream_static_enrich,
+    "stream_zscore_alerts": stream_zscore_alerts,
 }
+
+
+def _rolling_zscore_oracle() -> str:
+    from icechunk_spark.operators.anomaly_ext import ROLLING_ZSCORE_SQL
+
+    return ROLLING_ZSCORE_SQL
+
 
 ORACLES = {
     "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
@@ -259,4 +292,5 @@ ORACLES = {
     "stream_sessionize": STREAM_SESSIONIZE_SQL,
     "stream_running_totals": STREAM_RUNNING_TOTALS_SQL,
     "stream_interval_join": STREAM_INTERVAL_JOIN_SQL,
+    "stream_zscore_alerts": _rolling_zscore_oracle(),
 }

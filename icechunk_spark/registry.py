@@ -122,6 +122,7 @@ PRIORITY: list[str] = [
     # them until their r10 driver row)
     "repetition_runs",
     "cusum_changepoint",
+    "stream_zscore_alerts",
     "gopher_quality_filters",
     "dup_span_fraction",
     "tfidf_top_terms",

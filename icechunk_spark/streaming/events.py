@@ -195,6 +195,89 @@ def running_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def zscore_alerts_stream(events: DataFrame) -> DataFrame:
+    """Stateful streaming twin of the batch rolling_zscore_anomalies
+    (operators/anomaly_ext.py): per-user trailing-10 z-score alert
+    census maintained by ``applyInPandasWithState``.  State per user =
+    the last Z_WINDOW cents values (a bounded deque — O(users·10)
+    state-store size) plus the running census; each micro-batch's rows
+    are sorted by (ts, event_id) before folding, so with time-ordered
+    file arrival the drained result equals the batch operator exactly.
+
+    Determinism mirrors the batch op expression-for-expression:
+    integer-cents frame sums (exact), IEEE double mean/var/z (numpy —
+    Python's ``float/0.0`` raises where Spark's double division yields
+    ±Inf), non-finite z skipped exactly as Spark's
+    ``cast(decimal(24,12))`` nulls ±Inf/NaN out, and HALF_UP rounding
+    replicated with ``decimal.Decimal`` quantization (12 digits, then
+    6 — the cast-then-round pair)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from icechunk_spark.operators.anomaly_ext import Z_MIN_N, Z_THRESHOLD, Z_WINDOW
+
+    out_schema = (
+        "user_id bigint, n_scored bigint, n_anomalies bigint, max_abs_z double"
+    )
+    state_schema = (
+        "hist array<bigint>, n_scored bigint, n_anomalies bigint, max_abs_z double"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+
+        if state.exists:
+            hist, n_scored, n_anom, max_z = state.get
+            hist = list(hist)
+        else:
+            hist, n_scored, n_anom, max_z = [], 0, 0, None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        cents_col = (batch["value"] * 100).round().astype("int64")
+        q12, q6 = Decimal("1e-12"), Decimal("1e-6")
+        for cents in cents_col:
+            cents = int(cents)
+            fn = len(hist)
+            if fn >= Z_MIN_N:
+                s1 = sum(hist)
+                s2 = sum(c * c for c in hist)
+                mean = float(s1) / fn
+                var = max((float(s2) - fn * mean * mean) / (fn - 1), 0.0)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    z_raw = float(
+                        np.float64(cents - mean) / np.float64(math.sqrt(var))
+                    )
+                if math.isfinite(z_raw):
+                    z = float(
+                        Decimal(z_raw)
+                        .quantize(q12, ROUND_HALF_UP)
+                        .quantize(q6, ROUND_HALF_UP)
+                    )
+                    n_scored += 1
+                    if abs(z) > Z_THRESHOLD:
+                        n_anom += 1
+                    max_z = abs(z) if max_z is None else max(max_z, abs(z))
+            hist.append(cents)
+            if len(hist) > Z_WINDOW:
+                hist = hist[-Z_WINDOW:]
+        state.update((hist, int(n_scored), int(n_anom), max_z))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_scored": [n_scored],
+                "n_anomalies": [n_anom],
+                "max_abs_z": [max_z],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drain a bounded stream into an in-memory table (availableNow)."""
     q = (
