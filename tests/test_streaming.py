@@ -114,3 +114,55 @@ def test_repo_changes_stream(spark, tmp_path):
     new = [r for r in spark.read.parquet(out).collect() if r["snapshot_id"] != first]
     assert {r["snapshot_id"] for r in new} == {second, third}
     assert any(r["op"] == "del" for r in new)
+
+
+def test_zscore_alerts_state_carries_across_batches(spark, tmp_path):
+    """stream_zscore_alerts with the events split into THREE
+    time-ordered files and maxFilesPerTrigger=1 (three micro-batches):
+    the per-user deque state must carry across batches, so the drained
+    census equals the single-batch (and batch-operator) result."""
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    from icechunk_spark.operators.anomaly_ext import rolling_zscore_anomalies
+    from icechunk_spark.streaming.events import run_to_memory, zscore_alerts_stream
+
+    # stage time-ordered thirds (global ts order; in-stream arrival
+    # order then matches event time, the contract the op documents)
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n = src.count()
+    ordered = src.orderBy("ts", "event_id").withColumn(
+        "__rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
+    d = tmp_path / "ev_split"
+    for i in range(3):
+        (
+            ordered.filter(
+                (F.col("__rn") > i * n / 3) & (F.col("__rn") <= (i + 1) * n / 3)
+            )
+            .drop("__rn")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(d))
+        )
+    raw = (
+        spark.readStream.schema(spark.read.parquet(str(d)).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    name = f"zal_t_{uuid.uuid4().hex[:8]}"
+    run_to_memory(zscore_alerts_stream(raw), name, output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_scored"))
+    drained = (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("n_scored") > 0))
+        .select("user_id", "n_scored", "n_anomalies", "max_abs_z")
+        .orderBy("user_id")
+        .collect()
+    )
+    batch = rolling_zscore_anomalies(spark, SF_DIR).collect()
+    assert [tuple(r) for r in drained] == [tuple(r) for r in batch]
