@@ -78,6 +78,19 @@ BUCKET_KEYS: dict[str, str] = {
 }
 
 
+def table_bytes(sf_dir: str, table: str) -> int:
+    """On-disk bytes of a source parquet table (file or directory) —
+    the size probe behind suggest_buckets and the operators'
+    broadcast-hint gates."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
 def suggest_buckets(
     total_bytes: int,
     min_buckets: int = BUCKETS,
@@ -109,17 +122,7 @@ def bucketed_db(
     on-disk bytes).  Returns the database name."""
     tables = BUCKET_KEYS if tables is None else tables
     if buckets is None:
-        def _sz(t: str) -> int:
-            p = os.path.join(sf_dir, f"{t}.parquet")
-            if os.path.isfile(p):
-                return os.path.getsize(p)
-            return sum(
-                os.path.getsize(os.path.join(r, f))
-                for r, _d, fs in os.walk(p)
-                for f in fs
-            )
-
-        buckets = suggest_buckets(max(_sz(t) for t in tables))
+        buckets = suggest_buckets(max(table_bytes(sf_dir, t) for t in tables))
     # the digest covers the FULL parameter space — a second call with
     # different bucket/sort keys must get its own database, not a
     # silent cache hit on tables bucketed by the old key.  It ALSO

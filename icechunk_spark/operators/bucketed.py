@@ -15,8 +15,6 @@ at write time, not on every query.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -24,7 +22,7 @@ from pyspark.sql.functions import broadcast
 
 from icechunk_spark.catalog import load_tables
 from icechunk_spark.functions import money_sum
-from icechunk_spark.functions.bucketing import bucketed_db
+from icechunk_spark.functions.bucketing import bucketed_db, table_bytes as _table_bytes
 from icechunk_spark.operators.tpch import Q3_SQL, Q5_SQL, Q9_SQL
 
 #: on-disk size above which a customer-derived side is NOT force-
@@ -36,17 +34,6 @@ from icechunk_spark.operators.tpch import Q3_SQL, Q5_SQL, Q9_SQL
 #: code falls back to an unhinted join and AQE's runtime-measured
 #: conversion makes the broadcast call safely.
 BROADCAST_SRC_CAP_BYTES = 1 << 30
-
-
-def _table_bytes(sf_dir: str, table: str) -> int:
-    """On-disk bytes of a source parquet table (file or directory)."""
-    path = os.path.join(sf_dir, f"{table}.parquet")
-    if os.path.isfile(path):
-        return os.path.getsize(path)
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
-    return total
 
 
 def q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:

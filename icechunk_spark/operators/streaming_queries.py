@@ -250,11 +250,18 @@ def stream_zscore_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/anomaly_ext.rolling_zscore_anomalies, value-identical
     after the drain.  The latest state row per user wins (n_scored is
     monotone); users that never accumulated a scoreable frame are
-    absent from both sides."""
-    from icechunk_spark.operators.anomaly_ext import ROLLING_ZSCORE_SQL  # noqa: F401 — shared oracle
+    absent from both sides.
 
+    The reader is UNTHROTTLED (no maxFilesPerTrigger): the availableNow
+    drain processes the whole bounded replay in one micro-batch, so the
+    in-batch (ts, event_id) sort establishes event order for ANY file
+    layout — a throttled multi-file source delivers files in mod-time
+    order, which need not be event-time order, and a trailing-window
+    statistic is order-sensitive.  Cross-batch state correctness (a
+    production stream delivering time-ordered batches) is pinned
+    separately in tests/test_streaming.py."""
     name = f"zal_{uuid.uuid4().hex[:8]}"
-    ev = read_event_stream(spark, sf_dir)
+    ev = read_event_stream(spark, sf_dir, max_files_per_trigger=None)
     run_to_memory(zscore_alerts_stream(ev), name, output_mode="update")
     w = Window.partitionBy("user_id").orderBy(F.desc("n_scored"))
     return (
@@ -278,11 +285,9 @@ QUERIES = {
 }
 
 
-def _rolling_zscore_oracle() -> str:
-    from icechunk_spark.operators.anomaly_ext import ROLLING_ZSCORE_SQL
-
-    return ROLLING_ZSCORE_SQL
-
+from icechunk_spark.operators.anomaly_ext import (  # noqa: E402 — shared oracle
+    ROLLING_ZSCORE_SQL as _ROLLING_ZSCORE_SQL,
+)
 
 ORACLES = {
     "stream_static_enrich": STREAM_STATIC_ENRICH_SQL,
@@ -292,5 +297,5 @@ ORACLES = {
     "stream_sessionize": STREAM_SESSIONIZE_SQL,
     "stream_running_totals": STREAM_RUNNING_TOTALS_SQL,
     "stream_interval_join": STREAM_INTERVAL_JOIN_SQL,
-    "stream_zscore_alerts": _rolling_zscore_oracle(),
+    "stream_zscore_alerts": _ROLLING_ZSCORE_SQL,
 }

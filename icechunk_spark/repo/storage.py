@@ -327,8 +327,28 @@ class ArrowFsStorage(Storage):
         return f"{self._base.rstrip('/')}/{key}" if key else self._base
 
     def get(self, key: str) -> bytes:
+        # when read headers are configured on an s3 root, metadata-plane
+        # GETs route through the SDK (boto3) so the headers are actually
+        # SENT — pyarrow has no per-request header hook, and a header-
+        # requiring proxy would otherwise reject every read (#2246)
+        if getattr(self, "_read_headers", None) and self._scheme == "s3":
+            data = self._sdk_get(key)
+            if data is not None:
+                return data
         with self._fs.open_input_file(self._p(key)) as f:
             return f.read()
+
+    def _sdk_get(self, key: str) -> "bytes | None":
+        """boto3 GET with the configured header injection; None when
+        boto3 is unavailable (caller falls back to pyarrow)."""
+        try:
+            import boto3
+        except ImportError:
+            return None
+        bucket, obj = self._bucket_and_key(key)
+        client = boto3.client("s3", **dict(self._s3_opts))
+        self._register_header_injection(client)
+        return client.get_object(Bucket=bucket, Key=obj)["Body"].read()
 
     # -- conditional put, per scheme --------------------------------------
 
@@ -441,7 +461,19 @@ class ArrowFsStorage(Storage):
         except ImportError:
             return False
         bucket, obj = self._bucket_and_key(key)
-        blob = gcs.Client().bucket(bucket).blob(obj)
+        client = gcs.Client()
+        # best-effort write-header injection (#2246): the GCS SDK has no
+        # public per-request hook, but its transport is a requests
+        # Session whose default headers apply to every call this client
+        # makes (writes only here — this client exists solely for the
+        # conditional put)
+        wh = dict(getattr(self, "_write_headers", {}) or {})
+        if wh:
+            try:
+                client._http.headers.update(wh)
+            except Exception:  # noqa: BLE001 — transport without a Session: headers skipped
+                pass
+        blob = client.bucket(bucket).blob(obj)
         try:
             blob.upload_from_string(data, if_generation_match=0)
         except gexc.PreconditionFailed as e:
@@ -761,8 +793,11 @@ def gcs_storage(
 ) -> Storage:
     """GCS metadata-plane storage.  ``read_headers`` / ``write_headers``
     / ``headers`` follow the reference's semantics (#2246, see
-    s3_storage) and apply to SDK-plane requests; pyarrow's GcsFileSystem
-    has no per-request header hook (same bulk-plane limitation)."""
+    s3_storage).  Honest scope: write headers are injected best-effort
+    on the google-cloud-storage CAS client's transport session; read
+    headers have no SDK read path on gs:// today, and pyarrow's
+    GcsFileSystem has no per-request header hook — a read-proxied GCS
+    deployment needs the http_storage front."""
     root = f"gs://{bucket}" + (f"/{prefix.strip('/')}" if prefix else "")
     st = ArrowFsStorage(root, single_writer=single_writer)
     st._read_headers = {**(headers or {}), **(read_headers or {})}

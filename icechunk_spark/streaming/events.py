@@ -55,7 +55,9 @@ def _stream_dir(sf_dir: str) -> str:
     return d
 
 
-def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     d = _stream_dir(sf_dir)
@@ -65,11 +67,16 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # type.  Testdata stores ts as parquet timestamp[us] (reads as a
     # timestamp directly); legacy TIMESTAMP(NANOS) files surface as
     # bigint nanoseconds under nanosAsLong and need the manual convert.
-    raw = (
-        spark.readStream.schema(spark.read.parquet(d).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
-    )
+    # ``max_files_per_trigger=None`` removes the throttle: an
+    # availableNow drain then processes every available file in ONE
+    # micro-batch — required by order-sensitive stateful ops whose
+    # in-batch sort must see the whole bounded replay (files in a
+    # multi-file directory arrive in mod-time order, which need not be
+    # event-time order).
+    reader = spark.readStream.schema(spark.read.parquet(d).schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(d)
     # Watermarks require TIMESTAMP (with local tz): normalize whatever
     # the footer gave (timestamp_ntz for timestamp[us] parquet, bigint
     # nanos for legacy NANOS) to LTZ.  Session tz is pinned to UTC so
@@ -236,10 +243,14 @@ def zscore_alerts_stream(events: DataFrame) -> DataFrame:
             hist, n_scored, n_anom, max_z = [], 0, 0, None
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
-        cents_col = (batch["value"] * 100).round().astype("int64")
         q12, q6 = Decimal("1e-12"), Decimal("1e-6")
-        for cents in cents_col:
-            cents = int(cents)
+        one = Decimal(1)
+        for v in batch["value"]:
+            # HALF_UP like the batch op's F.round(value*100, 0) —
+            # pandas .round() is half-to-even and diverges on exact
+            # .5 cents (the cross-engine rounding class this repo
+            # standardizes on Decimal quantization for)
+            cents = int(Decimal(float(v) * 100).quantize(one, ROUND_HALF_UP))
             fn = len(hist)
             if fn >= Z_MIN_N:
                 s1 = sum(hist)
