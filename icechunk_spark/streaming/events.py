@@ -231,7 +231,6 @@ def zscore_alerts_stream(events: DataFrame) -> DataFrame:
     )
 
     def update(key, pdfs, state: GroupState):
-        import math
         from decimal import ROUND_HALF_UP, Decimal
 
         import numpy as np
@@ -245,35 +244,42 @@ def zscore_alerts_stream(events: DataFrame) -> DataFrame:
         batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
         q12, q6 = Decimal("1e-12"), Decimal("1e-6")
         one = Decimal(1)
-        for v in batch["value"]:
-            # HALF_UP like the batch op's F.round(value*100, 0) —
-            # pandas .round() is half-to-even and diverges on exact
-            # .5 cents (the cross-engine rounding class this repo
-            # standardizes on Decimal quantization for)
-            cents = int(Decimal(float(v) * 100).quantize(one, ROUND_HALF_UP))
-            fn = len(hist)
-            if fn >= Z_MIN_N:
-                s1 = sum(hist)
-                s2 = sum(c * c for c in hist)
-                mean = float(s1) / fn
-                var = max((float(s2) - fn * mean * mean) / (fn - 1), 0.0)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    z_raw = float(
-                        np.float64(cents - mean) / np.float64(math.sqrt(var))
-                    )
-                if math.isfinite(z_raw):
-                    z = float(
-                        Decimal(z_raw)
-                        .quantize(q12, ROUND_HALF_UP)
-                        .quantize(q6, ROUND_HALF_UP)
-                    )
-                    n_scored += 1
-                    if abs(z) > Z_THRESHOLD:
-                        n_anom += 1
-                    max_z = abs(z) if max_z is None else max(max_z, abs(z))
-            hist.append(cents)
-            if len(hist) > Z_WINDOW:
-                hist = hist[-Z_WINDOW:]
+        # HALF_UP like the batch op's F.round(value*100, 0) — pandas
+        # .round() is half-to-even and diverges on exact .5 cents (the
+        # cross-engine rounding class this repo standardizes on
+        # Decimal quantization for)
+        cents_list = [
+            int(Decimal(float(v) * 100).quantize(one, ROUND_HALF_UP))
+            for v in batch["value"]
+        ]
+        # vectorized trailing-frame sums: prefix sums over hist+batch
+        # replace the O(W) per-row fold (9.6 s → see PLANS r9 note)
+        h = len(hist)
+        seq = np.asarray(hist + cents_list, dtype=np.int64)
+        c1 = np.concatenate([[0], np.cumsum(seq)])
+        c2 = np.concatenate([[0], np.cumsum(seq * seq)])
+        pos = np.arange(h, h + len(cents_list))  # current-row position
+        lo = np.maximum(pos - Z_WINDOW, 0)
+        fn = pos - lo
+        with np.errstate(divide="ignore", invalid="ignore"):
+            s1 = (c1[pos] - c1[lo]).astype(np.float64)
+            s2 = (c2[pos] - c2[lo]).astype(np.float64)
+            fnf = fn.astype(np.float64)
+            mean = s1 / fnf
+            var = np.maximum((s2 - fnf * mean * mean) / (fnf - 1), 0.0)
+            z_raw = (seq[pos].astype(np.float64) - mean) / np.sqrt(var)
+        scoreable = (fn >= Z_MIN_N) & np.isfinite(z_raw)
+        for zr in z_raw[scoreable]:
+            z = float(
+                Decimal(float(zr))
+                .quantize(q12, ROUND_HALF_UP)
+                .quantize(q6, ROUND_HALF_UP)
+            )
+            n_scored += 1
+            if abs(z) > Z_THRESHOLD:
+                n_anom += 1
+            max_z = abs(z) if max_z is None else max(max_z, abs(z))
+        hist = (hist + cents_list)[-Z_WINDOW:]
         state.update((hist, int(n_scored), int(n_anom), max_z))
         yield pd.DataFrame(
             {
