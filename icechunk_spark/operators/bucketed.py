@@ -124,9 +124,14 @@ def q5_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ob = orders.join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
         "o_orderkey", "c_nationkey", "n_name"
     )
+    # SHUFFLE_HASH on ob (same rationale as q3: exchange-free hash join
+    # over buckets beats the merge's per-row comparisons; the r9
+    # global-conf probe said SHJ was worse for q5 — that toggle also
+    # changed OTHER joins; the per-join hint measured 0.84 s vs 1.13 s
+    # SMJ interleaved at sf10, identical values)
     return (
         spark.table(f"{db}.lineitem")
-        .join(ob, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(ob.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             broadcast(t["supplier"]),
             (F.col("l_suppkey") == F.col("s_suppkey"))
@@ -160,7 +165,12 @@ def q9_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = (
         spark.table(f"{db}.lineitem")
-        .join(spark.table(f"{db}.orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        # per-join SHUFFLE_HASH (see q3/q5): 2.1-2.3 s vs 2.3-3.3 s SMJ
+        # interleaved at sf10, identical values
+        .join(
+            spark.table(f"{db}.orders").hint("shuffle_hash"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .join(green, F.col("l_partkey") == F.col("p_partkey"))
         .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
