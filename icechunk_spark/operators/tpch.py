@@ -25,6 +25,25 @@ from pyspark.sql.functions import broadcast
 
 from icechunk_spark.catalog import load_tables
 from icechunk_spark.functions import money_avg, money_sum
+from icechunk_spark.functions.bucketing import table_bytes
+
+#: SHUFFLE_HASH-hint gate for the q3/q5/q9 fact⋈fact joins.  After the
+#: orderkey exchange, a hash join skips the two sorts SMJ pays —
+#: measured ~30% on raw q3 at sf10 (2.4-2.6 s vs 3.5-3.7 s, identical
+#: values; same per-join-hint lesson as the bucketed variants).  But a
+#: SHJ build is an in-memory map of one shuffle partition with no sort
+#: fallback, so an unbounded hint is an executor-OOM risk at extreme
+#: SF: gate on orders' on-disk bytes (64 GiB ≈ sf300; the filtered
+#: per-partition build there is still ~100 MB at 32+ partitions, and
+#: past the cap the hint drops and the planner keeps SMJ).  At true
+#: 100 TB the bucketed variants are the answer anyway.
+SHJ_SRC_CAP_BYTES = 64 << 30
+
+
+def _maybe_shj(df: DataFrame, sf_dir: str, table: str = "orders") -> DataFrame:
+    if table_bytes(sf_dir, table) <= SHJ_SRC_CAP_BYTES:
+        return df.hint("shuffle_hash")
+    return df
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,7 +103,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = t["lineitem"].filter(F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp_ntz"))
     return (
-        li.join(ob, li.l_orderkey == ob.o_orderkey)
+        li.join(_maybe_shj(ob, sf_dir), li.l_orderkey == ob.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -165,7 +184,7 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(ob, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(_maybe_shj(ob, sf_dir), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             broadcast(t["supplier"]),
             (F.col("l_suppkey") == F.col("s_suppkey"))
@@ -281,7 +300,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(green, F.col("l_partkey") == F.col("p_partkey"))
         .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            _maybe_shj(t["orders"], sf_dir),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
         .withColumn(
             "amount",
