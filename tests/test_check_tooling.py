@@ -61,3 +61,23 @@ def test_file_md5_missing_is_none(tmp_path):
     h1 = check._file_md5(str(p))
     p.write_text("x = 2\n")
     assert check._file_md5(str(p)) != h1
+
+
+def test_smaller_sf_run_does_not_downgrade_credit(tmp_path):
+    check = _load_check()
+    repo = str(tmp_path)
+    check._record_local_gates(
+        repo, {"q": {"module_md5": "m", "sf_dir": "/t/sf0.1", "kind": "oracle"}}
+    )
+    # later smoke pass at sf0.001, same module: the sf0.1 credit stays
+    check._record_local_gates(
+        repo, {"q": {"module_md5": "m", "sf_dir": "/t/sf0.001", "kind": "oracle"}}
+    )
+    gates = json.load(open(tmp_path / "LOCALGATES.json"))
+    assert gates["q"]["sf_dir"] == "/t/sf0.1"
+    # but a CHANGED module takes the new record whatever its sf
+    check._record_local_gates(
+        repo, {"q": {"module_md5": "m2", "sf_dir": "/t/sf0.001", "kind": "oracle"}}
+    )
+    gates = json.load(open(tmp_path / "LOCALGATES.json"))
+    assert gates["q"]["module_md5"] == "m2"

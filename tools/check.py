@@ -87,7 +87,19 @@ def _record_local_gates(
     gates = _load_local_gates(repo)
     for name in failed or ():
         gates.pop(name, None)
-    gates.update(passed)
+    for name, rec in passed.items():
+        old = gates.get(name)
+        # same module content, older entry at a LARGER sf: keep the
+        # stronger credit — a later sf0.001 smoke pass must not
+        # downgrade a standing sf0.01+ gate (the budget requires
+        # driver-scale evidence)
+        if (
+            old
+            and old.get("module_md5") == rec.get("module_md5")
+            and _sf_of(old.get("sf_dir", "")) > _sf_of(rec.get("sf_dir", ""))
+        ):
+            continue
+        gates[name] = rec
     with open(_gates_path(repo), "w") as f:
         json.dump(gates, f, indent=1, sort_keys=True)
         f.write("\n")
