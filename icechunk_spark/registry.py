@@ -53,128 +53,123 @@ def _modules():
 # tfidf_top_terms; bucketed.py broadcast gate: q3_bucketed — all
 # re-gated green locally at sf0.01 and sf0.1 this round), then the
 # bumped r8 greens.
+#
+# Round 10 window (VERDICT r9 #1+#2): 2 anchors + the 4 queries that
+# have never had a driver row (repetition_runs, cusum_changepoint,
+# stream_zscore_alerts, incremental_dedup — judge-verified green at
+# sf0.01 in the r9 VERDICT and carrying triple-SF LOCALGATES credits)
+# + ALL 43 r7-stale rows (changed-modules first: dedup.py/textstats.py/
+# textquality.py edits since their r7 driver row) + q3_shipping_priority
+# (tpch.py changed in r9: the size-gated SHUFFLE_HASH hints).  After
+# r10 no green row is older than r8.  The r11 overflow head = any new
+# r10 queries, then the remaining changed-module r8 rows (q4/q5/q7/q9
+# raw, q3_bucketed, stream_static_enrich — all carrying current
+# LOCALGATES credits), then the r8 clean rows, then the r9 rows.
 PRIORITY: list[str] = [
-    # anchors (continuity across every round)
+    # ---- r10 window (first 50): anchors ----
     "q1_pricing_summary",
     "minhash_lsh",
-    # first-ever driver rows (VERDICT r8 #1)
-    "q5_bucketed",
-    "q9_bucketed",
-    "rolling_zscore_anomalies",
-    "value_drift_psi",
-    # NEW in r9 (medianear.py): perceptual media near-dup
-    "media_neardup",
-    # changed-module r8 row (curate_pipeline.py decimal-round fix)
-    "curate_select",
-    # the 42 r6-stale rows (VERDICT r8 #2), changed-modules first:
-    # 5 curation_ext.py rows whose module changed in r8
-    "winnowing_fingerprint",
-    "source_mixture_weights",
-    "doc_token_histogram",
-    "retention_cohorts",
-    "embedding_covariance",
-    # dedup.py changed in r8
-    "simhash",
-    # tpch.py / similarity.py changed in r8
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q12_priority_class",
-    "q14_promo_effect",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "knn_lsh",
-    "knn_ivf",
-    "pairwise_topk",
-    "label_centroids",
-    "vector_norm_stats",
-    "kmeans_clusters",
-    # module-clean r6 greens (freshness rotation)
-    "pmi_phrases",
-    "event_interarrival_stats",
-    "cluster_size_distribution",
-    "split_leakage_rate",
-    "event_type_markov",
-    "session_paths",
-    "source_kl_divergence",
-    "vocab_coverage",
-    "embedding_outliers",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q11_important_stock",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_part_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "q22_global_sales",
-    "stream_windowed_agg",
-    "stream_dedup",
-    "stream_interval_join",
-    "stream_sessionize",
-    "stream_topk_users",
-    # ---- window boundary (50) ----
-    # r10 overflow head: the 2 ops added late in r9 after the window
-    # filled (new modules runlength.py / changepoint.py; locally gated
-    # green with recorded LOCALGATES entries — first driver rows in
-    # r10), then rows whose modules changed in r9 (all re-gated green
-    # locally at sf0.01 AND sf0.1 this round; check.py --stale lists
-    # them until their r10 driver row)
+    # first-ever driver rows (VERDICT r9 #1)
     "repetition_runs",
     "cusum_changepoint",
     "stream_zscore_alerts",
     "incremental_dedup",
-    "gopher_quality_filters",
+    # r7-stale, module CHANGED since their driver row
+    "cross_doc_spans",
+    "dedup_exact_keep_first",
     "dup_span_fraction",
+    "embedding_neardup",
+    "fingerprint",
+    "gopher_quality_filters",
+    "lang_id",
+    "ngram_freq",
+    "ngram_jaccard",
+    "pipeline_clean_corpus",
+    "quality_score",
     "tfidf_top_terms",
-    "q3_bucketed",
-    # then the bumped r8 greens (driver rows from CORRECTNESS_r08)
-    "semdedup",
-    "line_dedup",
-    "ngram_containment",
-    "idf_doc_score",
-    "length_mad_outliers",
-    "dedup_cascade",
-    "clean_reassemble",
-    "quality_quantile_norm",
-    "event_decay_score",
-    "mmr_diversify",
-    "fps_sample",
-    "weighted_sample",
-    "ngram_diversity",
-    "pii_stats",
-    "pii_redact",
-    "decontaminate",
-    "stratified_sample",
-    "bigram_logprob_score",
-    "source_vocab_overlap",
-    "length_percentile_filter",
-    "vector_quantize_error",
-    "shard_assign",
-    "multimodal_features",
-    "media_dedup",
-    "frame_sample",
-    "media_resize",
-    "array_store_roundtrip",
-    "repo_time_travel",
-    "repo_changed_cells",
-    "stream_running_totals",
-    "stream_static_enrich",
-    "ttr_stats",
-    "zipf_slope",
-    "funnel_conversion",
-    "label_pair_similarity",
-    "lsh_quality",
-    "repo_manifest_stats",
-    "dedup_cluster",
-    "dedup_cluster_star",
-    "dedup_exact",
+    "token_count",
+    # r7-stale, module clean
+    "array_store_roundtrip_distributed",
+    "asof_join",
+    "bpe_pair_counts",
+    "ccnet_perplexity_buckets",
+    "customer_retention_setops",
+    "distinct_count_approx",
+    "distinct_count_exact",
+    "dsir_importance",
+    "first_last_in_group",
+    "histogram_value",
+    "hypertable_rollup",
+    "json_extract_agg",
+    "mixture_sample",
+    "pack_sequences",
+    "percentiles",
+    "pivot_events",
+    "range_join",
+    "rank_distribution",
+    "repo_cdc_changes",
+    "rollup_cube",
+    "running_agg",
+    "sessionize",
+    "sketch_event_counts",
+    "split_train_val",
+    "stats_agg",
+    "string_agg_ordered",
+    "time_resample",
+    "topk_per_group",
+    "window_lead_lag",
+    "word_entropy",
+    # changed-module r8 row (tpch.py SHJ hints, r9)
     "q3_shipping_priority",
+    # ---- window boundary (50) ----
+    # r11 overflow head: remaining changed-module r8 rows
     "q4_order_priority",
     "q5_local_supplier",
     "q7_volume_shipping",
-    "knn_brute_force",
     "q9_product_profit",
+    "q3_bucketed",
+    "stream_static_enrich",
+    # then the r8 clean rows (driver rows from CORRECTNESS_r08)
+    "array_store_roundtrip",
+    "bigram_logprob_score",
+    "clean_reassemble",
+    "decontaminate",
+    "dedup_cascade",
+    "dedup_cluster",
+    "dedup_cluster_star",
+    "dedup_exact",
+    "event_decay_score",
+    "fps_sample",
+    "frame_sample",
+    "funnel_conversion",
+    "idf_doc_score",
+    "knn_brute_force",
+    "label_pair_similarity",
+    "length_mad_outliers",
+    "length_percentile_filter",
+    "line_dedup",
+    "lsh_quality",
+    "media_dedup",
+    "media_resize",
+    "mmr_diversify",
+    "multimodal_features",
+    "ngram_containment",
+    "ngram_diversity",
+    "pii_redact",
+    "pii_stats",
+    "quality_quantile_norm",
+    "repo_changed_cells",
+    "repo_manifest_stats",
+    "repo_time_travel",
+    "semdedup",
+    "shard_assign",
+    "source_vocab_overlap",
+    "stratified_sample",
+    "stream_running_totals",
+    "ttr_stats",
+    "vector_quantize_error",
+    "weighted_sample",
+    "zipf_slope",
 ]
 
 
