@@ -433,6 +433,56 @@ def azure_credentials(
     raise ValueError("invalid credential combination")
 
 
+def _none_credential_replacement(scheme: str) -> tuple[str, str]:
+    """Suggested explicit credential expression (and an S3 security
+    note) for a container scheme whose credential was passed as
+    ``None`` (reference parity: icechunk-python repository.py:27-52)."""
+    if scheme in ("s3", "tigris"):
+        return "Credentials.S3(S3Credentials.FromEnv())", (
+            " Note: `None` currently reads credentials from the environment"
+            " (or falls back to anonymous access), which can expose private"
+            " credentials."
+        )
+    if scheme in ("gs", "gcs"):
+        return "Credentials.Gcs(GcsCredentials.Anonymous())", ""
+    if scheme in ("az", "azure", "abfs"):
+        return "Credentials.Azure(AzureCredentials.FromEnv())", ""
+    if scheme == "file":
+        return "LocalFileSystemAccess", ""
+    if scheme in ("http", "https"):
+        return "HttpAccess", ""
+    return "...", ""
+
+
+def warn_on_none_virtual_chunk_credentials(
+    authorize_virtual_chunk_access: Mapping[str, Any] | None,
+) -> None:
+    """DeprecationWarning for every ``None`` value in an
+    ``authorize_virtual_chunk_access`` map: ``None`` is overloaded and
+    silently permissive; the explicit per-backend sentinels replace it
+    and ``None`` will be rejected in a future release (reference
+    parity: icechunk-python repository.py:55-84, icechunk#2194)."""
+    import warnings
+
+    if not authorize_virtual_chunk_access:
+        return
+    for url_prefix, cred in authorize_virtual_chunk_access.items():
+        if cred is not None:
+            continue
+        scheme = url_prefix.split("://", 1)[0]
+        replacement, security_note = _none_credential_replacement(scheme)
+        warnings.warn(
+            f"Passing `None` in `authorize_virtual_chunk_access` for container "
+            f"`{url_prefix}` is deprecated and will be unsupported in a future "
+            f"release; pass an explicit credential or no-auth sentinel instead. "
+            f"For example:\n    authorize_virtual_chunk_access="
+            f'{{"{url_prefix}": {replacement}}}{security_note} '
+            f"See icechunk issue #2194 for details.",
+            DeprecationWarning,
+            stacklevel=3,
+        )
+
+
 def containers_credentials(
     m: Mapping[str, Any] | None = None, **kwargs: Any
 ) -> dict[str, Any]:

@@ -256,6 +256,9 @@ class Repository:
         self.root = root
         # url_prefix -> credential (opaque; local/None for file paths),
         # mirroring Repository.open(..., authorize_virtual_chunk_access)
+        from icechunk_spark.credentials import warn_on_none_virtual_chunk_credentials
+
+        warn_on_none_virtual_chunk_credentials(authorize_virtual_chunk_access)
         self._virtual_auth = dict(authorize_virtual_chunk_access or {})
         # runtime RepositoryConfig override (reopen(config=...)): takes
         # effect for this handle and its sessions WITHOUT persisting —

@@ -977,11 +977,40 @@ def http_storage(
     return HttpReadOnlyStorage(base_url, opts, headers)
 
 
+#: Terminal redirect schemes that mean "serve this URL over plain
+#: HTTP(S)": the ``+icechunk``/``+ic`` tag exists so a redirect
+#: service can mark an http(s) Location as FINAL (plain http(s)
+#: Locations keep being followed).  Reference parity:
+#: icechunk/src/storage/redirect.rs:46-55 HANDLED_SCHEMES and the
+#: scheme-stripping arm at redirect.rs:211-221 (#2262).
+_HTTP_TAGGED_SCHEMES = (
+    "http+icechunk://",
+    "http+ic://",
+    "https+icechunk://",
+    "https+ic://",
+)
+
+
+def _strip_icechunk_scheme(url: str) -> str | None:
+    """``http+icechunk://host/p`` -> ``http://host/p`` (None if the
+    URL carries no +icechunk/+ic tag)."""
+    for tagged in _HTTP_TAGGED_SCHEMES:
+        if url.startswith(tagged):
+            base = tagged.split("+", 1)[0]
+            return base + "://" + url[len(tagged):]
+    return None
+
+
 def redirect_storage(base_url: str) -> Storage:
     """Follow HTTP redirects from ``base_url`` until a recognized
     storage scheme appears, then open THAT as the real backend
     (reference parity: icechunk.redirect_storage — a service decides
-    where the repo lives; clients just hold one stable URL)."""
+    where the repo lives; clients just hold one stable URL).
+
+    ``http+icechunk://`` / ``http+ic://`` (and https twins) mark a
+    TERMINAL http(s) location: the tag is stripped and the result
+    served read-only over HTTP — both as the ``base_url`` itself and
+    as a redirect target (redirect.rs:211-221, #2262)."""
     import urllib.request
 
     class _NoRedirect(urllib.request.HTTPRedirectHandler):
@@ -991,6 +1020,9 @@ def redirect_storage(base_url: str) -> Storage:
     opener = urllib.request.build_opener(_NoRedirect)
     url = base_url
     for _ in range(10):  # redirect-chain bound
+        stripped = _strip_icechunk_scheme(url)
+        if stripped is not None:
+            return http_storage(stripped)
         if not url.startswith(("http://", "https://")):
             return resolve_storage(url)
         try:

@@ -265,6 +265,14 @@ def http_repo_server(tmp_path):
             super().__init__(*a, directory=str(root), **kw)
 
         def do_HEAD(self):  # noqa: N802
+            if self.path.startswith("/redirect-ic"):
+                # a redirect service marking an http Location TERMINAL
+                # via the +icechunk scheme tag (#2262)
+                host, port = self.server.server_address
+                self.send_response(302)
+                self.send_header("Location", f"http+icechunk://{host}:{port}/")
+                self.end_headers()
+                return
             if self.path.startswith("/redirect"):
                 self.send_response(302)
                 self.send_header("Location", "memory://redirect-target")
@@ -301,6 +309,21 @@ def test_redirect_storage_follows_to_scheme(http_repo_server, tmp_path):
     st = ics.redirect_storage(f"{url}/redirect")
     # the 302 Location names a storage scheme -> resolves to that backend
     assert isinstance(st, ics.InMemoryObjectStorage)
+
+
+@pytest.mark.parametrize("tag", ["http+icechunk", "http+ic"])
+def test_redirect_storage_strips_icechunk_scheme(http_repo_server, tag):
+    """A Location of ``http+icechunk://…`` is TERMINAL http storage
+    with the scheme tag stripped — not a resolve_storage failure
+    (reference redirect.rs:211-221, #2262)."""
+    url, _ = http_repo_server
+    st = ics.redirect_storage(f"{url}/redirect-ic")
+    assert json.loads(st.get("repo.json"))["format_version"] == 2
+    assert st.data_root.startswith("http://")
+    # the documented user flow: pasting the tagged URL as base_url
+    direct = ics.redirect_storage(url.replace("http://", f"{tag}://"))
+    assert json.loads(direct.get("repo.json"))["format_version"] == 2
+    assert "+ic" not in direct.data_root
 
 
 def test_store_config_helpers():

@@ -236,3 +236,27 @@ def test_virtual_ref_checksum_validation(spark, tmp_path, ext_file):
     # a slice touching only the fresh chunk reads clean
     vals = ro.read_array_df("/v", slices=[(0, 4)]).collect()
     assert len(vals) == 4
+
+
+def test_none_credential_deprecation_warning(spark, tmp_path):
+    """`None` in authorize_virtual_chunk_access warns (icechunk#2194,
+    reference repository.py:55-84); the explicit sentinels do not."""
+    import warnings
+
+    from icechunk_spark import HttpAccess, LocalFileSystemAccess
+
+    repo = Repository.create(spark, str(tmp_path / "repo"))
+    with pytest.warns(DeprecationWarning, match=r"file://ext/.*LocalFileSystemAccess"):
+        Repository.open(spark, repo.root, authorize_virtual_chunk_access={"file://ext/": None})
+    with pytest.warns(DeprecationWarning, match=r"s3://bkt/.*FromEnv.*expose private"):
+        Repository.open(spark, repo.root, authorize_virtual_chunk_access={"s3://bkt/": None})
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # sentinels must stay silent
+        Repository.open(
+            spark,
+            repo.root,
+            authorize_virtual_chunk_access={
+                "file://ext/": LocalFileSystemAccess,
+                "https://host/": HttpAccess,
+            },
+        )
