@@ -29,10 +29,16 @@ Scale design:
   (doc_id) once for the per-doc fold; the fold is array_sort-ordered
   so the float sum is bit-stable across partitionings (the
   word_entropy pattern).
-- length_mad_outliers keeps exact per-source medians because the
-  oracle must agree; at 100 TB swap F.median for
-  F.percentile_approx(..) — the plan shape (tiny per-source aggregate
-  broadcast back) is unchanged.
+- length_mad_outliers touches the data once: integer lengths have
+  bounded support, so a map-side-combined (source, n_chars) histogram
+  carries exact medians/MAD/outlier counts via cumulative sums over a
+  ~4k-row frame.  length_mad_outliers_approx is the unbounded-support
+  form: percentile_approx (GK sketch, partial-aggregable) in the
+  two-pass broadcast-back shape — exact (= quantile_disc) while
+  groups hold <= MAD_ACCURACY rows, epsilon-approximate past that.
+  Measured at sf10: the sketch's per-row update costs ~2.3x the exact
+  median's accumulate at 25k rows/source — the sketch pays off only
+  when per-group value collection stops fitting (the 100 TB case).
 """
 
 from __future__ import annotations
@@ -323,30 +329,79 @@ ORDER BY doc_id
 MAD_K = 3.0
 
 
+def _weighted_median(hist: DataFrame, value_col: str) -> DataFrame:
+    """Exact interpolated median per source from a (source, value, c)
+    histogram: value_at(rank) = first value whose cumulative count
+    reaches the rank, median = mean of the floor/ceil ranks of
+    (n+1)/2 — bit-identical to F.median over the expanded rows.
+    Returns (source, med double, n_docs)."""
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    h = (
+        hist.withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("n", F.sum("c").over(Window.partitionBy("source")))
+        .withColumn("lo_r", F.floor((F.col("n") + 1) / 2))
+        .withColumn("hi_r", F.ceil((F.col("n") + 1) / 2))
+    )
+    v = F.col(value_col)
+    return h.groupBy("source").agg(
+        (
+            (
+                F.min(F.when(F.col("cum") >= F.col("lo_r"), v))
+                + F.min(F.when(F.col("cum") >= F.col("hi_r"), v))
+            )
+            / 2.0
+        ).alias("med"),
+        F.max("n").alias("n_docs"),
+    )
+
+
 def length_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source robust length screening: median(n_chars), the
     median absolute deviation, and how many documents sit more than
     MAD_K·MAD from the median — the outlier filter a curation
     pipeline runs before trusting per-source length statistics
     (means/stddevs are themselves corrupted by the outliers this
-    catches).  Exact medians for oracle parity; the 100 TB variant
-    swaps in percentile_approx with the same two-pass plan shape."""
+    catches).
+
+    Plan: integer lengths have bounded support, so the data is
+    touched ONCE — a map-side-combined (source, n_chars) histogram
+    (shuffle rows = distinct pairs, ~4k at sf10 vs 500k docs); the
+    exact interpolated medians, the MAD, and the outlier count all
+    derive from cumulative sums over that tiny frame.  Exact values
+    (oracle: plain median()); at 100 TB this holds as long as the
+    length support stays bounded — for an unbounded-support metric
+    use ``length_mad_outliers_approx`` (sketch, same screening)."""
     t = load_tables(spark, sf_dir)
     docs = t["documents"].select("source", "n_chars")
-    med = docs.groupBy("source").agg(F.median("n_chars").alias("med_chars"))
-    dev = docs.join(broadcast(med), "source").withColumn(
-        "adev", F.abs(F.col("n_chars") - F.col("med_chars"))
+    hist = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    med = _weighted_median(hist, "n_chars").withColumnRenamed("med", "med_chars")
+    dev_hist = (
+        hist.join(broadcast(med.select("source", "med_chars")), "source")
+        .select(
+            "source",
+            F.abs(F.col("n_chars") - F.col("med_chars")).alias("adev"),
+            "c",
+        )
+        .groupBy("source", "adev")
+        .agg(F.sum("c").alias("c"))
     )
-    mad = dev.groupBy("source").agg(
-        F.median("adev").alias("mad_chars"),
-        F.count(F.lit(1)).alias("n_docs"),
+    mad = (
+        _weighted_median(dev_hist, "adev")
+        .withColumnRenamed("med", "mad_chars")
+        .drop("n_docs")
     )
     return (
-        dev.join(broadcast(mad.select("source", "mad_chars")), "source")
+        dev_hist.join(broadcast(mad), "source")
         .groupBy("source")
         .agg(
             F.sum(
-                (F.col("adev") > F.lit(MAD_K) * F.col("mad_chars")).cast("int")
+                F.when(
+                    F.col("adev") > F.lit(MAD_K) * F.col("mad_chars"), F.col("c")
+                ).otherwise(F.lit(0))
             ).alias("n_outliers")
         )
         .join(med, "source")
@@ -364,6 +419,71 @@ WITH med AS (
   FROM documents d JOIN med m ON d.source = m.source
 ), mad AS (
   SELECT source, median(adev) AS mad_chars, count(*) AS n_docs
+  FROM dev GROUP BY source
+)
+SELECT dev.source, mad.n_docs, dev.med_chars AS med_chars, mad.mad_chars,
+       CAST(sum(CAST(dev.adev > {MAD_K} * mad.mad_chars AS INT)) AS BIGINT) AS n_outliers
+FROM dev JOIN mad ON dev.source = mad.source
+GROUP BY dev.source, mad.n_docs, dev.med_chars, mad.mad_chars
+ORDER BY dev.source
+"""
+
+
+#: Sketch accuracy for the approx variant: exact (rank error 0) while
+#: every per-source group holds <= MAD_ACCURACY rows — i.e. through
+#: the sf10 bench (25k docs/source).  At 100 TB dial down to the
+#: 10^4 default: the plan is unchanged, the medians become epsilon-
+#: approximate, and the aggregation stays one sketch-mergeable pass.
+MAD_ACCURACY = 100_000
+
+
+def length_mad_outliers_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``length_mad_outliers``: same two-pass
+    median/MAD screening, but both medians come from
+    ``percentile_approx`` (a partial-aggregable GK sketch — map-side
+    combinable, no per-group sort) instead of the exact interpolated
+    median.  With accuracy >= group size the sketch is EXACTLY the
+    discrete (type-1) median, which DuckDB expresses as
+    ``quantile_disc`` — so this stays full-value oracle-checked at
+    every gate SF while keeping the sketch plan that survives the
+    scale-up.  tests/test_linedup.py pins the approx-vs-exact
+    tolerance invariant."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"].select("source", "n_chars")
+    med = docs.groupBy("source").agg(
+        F.percentile_approx("n_chars", F.lit(0.5), F.lit(MAD_ACCURACY)).alias("med_chars")
+    )
+    dev = docs.join(broadcast(med), "source").withColumn(
+        "adev", F.abs(F.col("n_chars") - F.col("med_chars"))
+    )
+    mad = dev.groupBy("source").agg(
+        F.percentile_approx("adev", F.lit(0.5), F.lit(MAD_ACCURACY)).alias("mad_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return (
+        dev.join(broadcast(mad.select("source", "mad_chars")), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                (F.col("adev") > F.lit(MAD_K) * F.col("mad_chars")).cast("int")
+            ).alias("n_outliers")
+        )
+        .join(med, "source")
+        .join(mad, "source")
+        .select("source", "n_docs", "med_chars", "mad_chars", "n_outliers")
+        .orderBy("source")
+    )
+
+
+LENGTH_MAD_APPROX_SQL = f"""
+WITH med AS (
+  SELECT source, quantile_disc(n_chars, 0.5) AS med_chars
+  FROM documents GROUP BY source
+), dev AS (
+  SELECT d.source, abs(d.n_chars - m.med_chars) AS adev, m.med_chars
+  FROM documents d JOIN med m ON d.source = m.source
+), mad AS (
+  SELECT source, quantile_disc(adev, 0.5) AS mad_chars, count(*) AS n_docs
   FROM dev GROUP BY source
 )
 SELECT dev.source, mad.n_docs, dev.med_chars AS med_chars, mad.mad_chars,
@@ -462,6 +582,7 @@ QUERIES = {
     "ngram_containment": ngram_containment,
     "idf_doc_score": idf_doc_score,
     "length_mad_outliers": length_mad_outliers,
+    "length_mad_outliers_approx": length_mad_outliers_approx,
 }
 
 ORACLES = {
@@ -470,4 +591,5 @@ ORACLES = {
     "ngram_containment": NGRAM_CONTAINMENT_SQL,
     "idf_doc_score": IDF_DOC_SCORE_SQL,
     "length_mad_outliers": LENGTH_MAD_SQL,
+    "length_mad_outliers_approx": LENGTH_MAD_APPROX_SQL,
 }

@@ -122,7 +122,9 @@ PRIORITY: list[str] = [
     # changed-module r8 row (tpch.py SHJ hints, r9)
     "q3_shipping_priority",
     # ---- window boundary (50) ----
-    # r11 overflow head: remaining changed-module r8 rows
+    # r11 overflow head: NEW in r10 (locally gated at 3 SFs)
+    "length_mad_outliers_approx",
+    # then remaining changed-module r8 rows
     "q4_order_priority",
     "q5_local_supplier",
     "q7_volume_shipping",
