@@ -159,3 +159,63 @@ def bucketed_db(
             .saveAsTable(f"{db}.{table}")
         )
     return db
+
+
+#: table -> (partition column def, bucket/sort key) written by
+#: :func:`partitioned_bucketed_db`
+PARTITION_SPECS: dict[str, tuple[str, str, str]] = {
+    # (source date column, partition column name, bucket key)
+    "lineitem": ("l_shipdate", "l_year", "l_orderkey"),
+    "orders": ("o_orderdate", "o_year", "o_orderkey"),
+}
+
+
+def partitioned_bucketed_db(
+    spark: SparkSession,
+    sf_dir: str,
+    buckets: int = BUCKETS,
+) -> str:
+    """The 100 TB fact layout the module docstring promises, composed
+    end to end: facts PARTITIONED by event year AND BUCKETED by the
+    join key inside every partition.  Date predicates prune whole
+    partition directories at planning time (PartitionFilters in the
+    scan); the bucket layout still co-locates the lineitem ⋈ orders
+    join (bucket ids span partition dirs, so the scan reports the
+    hash partitioning and Catalyst elides both exchanges).  This is
+    why suggest_buckets' sizing rule applies PER PARTITION: each
+    year directory holds its own ``buckets`` files.
+
+    One trade is deliberate: with multiple (sorted) files per bucket
+    the scan no longer reports per-bucket ORDER, so a sort-merge join
+    would re-sort — the partitioned variants pair the layout with the
+    SHUFFLE_HASH hint (operators/bucketed.py), which needs no order.
+    Idempotent per session like :func:`bucketed_db`."""
+    import pyspark.sql.functions as F
+
+    digest = hashlib.md5(
+        f"{os.path.normpath(sf_dir)}|part|{buckets}|"
+        f"{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
+    db = f"ic_pbuckets_{digest}"
+    loc = os.path.join(tempfile.gettempdir(), f"icechunk_spark_pbuckets_{digest}")
+    _OWNED_LOCATIONS.add(loc)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    src = load_tables(spark, sf_dir)
+    for table, (date_col, part_col, key) in PARTITION_SPECS.items():
+        if spark.catalog.tableExists(f"{db}.{table}"):
+            continue
+        (
+            src[table]
+            .withColumn(part_col, F.year(F.col(date_col)))
+            # one file per (partition dir, bucket): repartition by the
+            # bucket key so each task owns whole buckets, then the
+            # writer splits a task's rows across its partition dirs
+            .repartition(buckets, key)
+            .write.format("parquet")
+            .partitionBy(part_col)
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(f"{db}.{table}")
+        )
+    return db

@@ -22,7 +22,11 @@ from pyspark.sql.functions import broadcast
 
 from icechunk_spark.catalog import load_tables
 from icechunk_spark.functions import money_sum
-from icechunk_spark.functions.bucketing import bucketed_db, table_bytes as _table_bytes
+from icechunk_spark.functions.bucketing import (
+    bucketed_db,
+    partitioned_bucketed_db,
+    table_bytes as _table_bytes,
+)
 from icechunk_spark.operators.tpch import Q3_SQL, Q5_SQL, Q9_SQL
 
 #: on-disk size above which a customer-derived side is NOT force-
@@ -188,14 +192,64 @@ def q9_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q3_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q3 over YEAR-PARTITIONED bucketed facts (VERDICT r9 #6): the
+    composed 100 TB layout.  The date predicates gain their implied
+    partition-column twins (l_shipdate > 1996-03-15 ⇒ l_year >= 1996,
+    o_orderdate < 1998-03-15 ⇒ o_year <= 1998 — the standard
+    Hive-layout idiom, since plain parquet tables have no transform
+    pruning), so the scans prune whole year directories at planning
+    time AND the bucket layout elides both fact exchanges in the same
+    plan.  SHUFFLE_HASH is load-bearing here: with one sorted file
+    per (year, bucket) the scan reports hash partitioning but not
+    per-bucket order, so an SMJ would re-sort both sides.  Pinned in
+    tests/test_bucketed_sampling_pii.py (PartitionFilters + zero
+    hash exchanges + identical rows to raw q3)."""
+    db = partitioned_bucketed_db(spark, sf_dir)
+    li = spark.table(f"{db}.lineitem").filter(
+        (F.col("l_year") >= F.lit(1996))
+        & (F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp_ntz"))
+    )
+    orders = spark.table(f"{db}.orders").filter(
+        (F.col("o_year") <= F.lit(1998))
+        & (F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz"))
+    )
+    cust = (
+        load_tables(spark, sf_dir)["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    if _table_bytes(sf_dir, "customer") <= BROADCAST_SRC_CAP_BYTES:
+        orders = orders.join(
+            broadcast(cust), F.col("o_custkey") == cust.c_custkey, "left_semi"
+        )
+        joined = li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+    else:
+        joined = li.join(
+            orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+        ).join(cust, F.col("o_custkey") == cust.c_custkey, "left_semi")
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 QUERIES = {
     "q3_bucketed": q3_bucketed,
+    "q3_partitioned": q3_partitioned,
     "q5_bucketed": q5_bucketed,
     "q9_bucketed": q9_bucketed,
 }
 
 ORACLES = {
     "q3_bucketed": Q3_SQL,
+    "q3_partitioned": Q3_SQL,
     "q5_bucketed": Q5_SQL,
     "q9_bucketed": Q9_SQL,
 }
