@@ -125,6 +125,7 @@ PRIORITY: list[str] = [
     # r11 overflow head: NEW in r10 (locally gated at 3 SFs)
     "length_mad_outliers_approx",
     "incremental_dedup_indexed",
+    "q3_partitioned",
     # then remaining changed-module r8 rows
     "q4_order_priority",
     "q5_local_supplier",
