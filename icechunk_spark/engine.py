@@ -66,3 +66,31 @@ def get_spark(app_name: str = "icechunk_spark", shuffle_partitions: int | None =
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
+
+
+#: Spark's built-in RocksDB state-store provider (JNI bundled with the
+#: Spark distribution since 3.2).
+ROCKSDB_STATE_STORE = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(spark: SparkSession) -> str | None:
+    """Switch stateful streaming queries to the RocksDB state store
+    and return the previous provider (None = Spark default).
+
+    Scale rationale: the default HDFSBackedStateStoreProvider keeps
+    every key's state in executor HEAP between batches — fine for the
+    bounded test replays here, but a per-user operator
+    (streaming/events.py: zscore_alerts_stream holds a 10-value deque
+    per user) at 10^9 users is ~100 GB of state, which must live
+    off-heap/on-disk: RocksDB keeps the working set native with
+    changelog/zip snapshots into the checkpoint.  The conf is read at
+    QUERY START, so it can be flipped per query on a live session;
+    restart-from-checkpoint recovery under RocksDB is pinned in
+    tests/test_streaming.py.
+    """
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_STATE_STORE)
+    return prev

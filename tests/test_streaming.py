@@ -166,3 +166,97 @@ def test_zscore_alerts_state_carries_across_batches(spark, tmp_path):
     )
     batch = rolling_zscore_anomalies(spark, SF_DIR).collect()
     assert [tuple(r) for r in drained] == [tuple(r) for r in batch]
+
+
+def test_zscore_state_survives_restart_under_rocksdb(spark, tmp_path):
+    """VERDICT r9 #8: per-user state must survive a query RESTART from
+    checkpoint, under the RocksDB state store (the provider a 10^9-user
+    deployment needs — engine.use_rocksdb_state_store).  Protocol: two
+    time-ordered halves; run 1 drains half 1 and stops; half 2 lands;
+    run 2 restarts from the same checkpoint and processes ONLY the new
+    file.  If state restored, the stitched census equals the batch
+    oracle over the whole table; a state loss resets every user's
+    trailing window mid-stream and the counts diverge."""
+    import uuid
+
+    from pyspark.sql import Window
+
+    from icechunk_spark.engine import use_rocksdb_state_store
+    from icechunk_spark.operators.anomaly_ext import rolling_zscore_anomalies
+    from icechunk_spark.streaming.events import zscore_alerts_stream
+
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n = src.count()
+    ordered = src.orderBy("ts", "event_id").withColumn(
+        "__rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
+    d = tmp_path / "ev_restart"
+    ckpt = tmp_path / "ckpt"
+    halves = []
+    for i in range(2):
+        half = tmp_path / f"half{i}"
+        (
+            ordered.filter(
+                (F.col("__rn") > i * n / 2) & (F.col("__rn") <= (i + 1) * n / 2)
+            )
+            .drop("__rn")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(half))
+        )
+        halves.append(half)
+    d.mkdir()
+    schema = spark.read.parquet(str(halves[0])).schema
+    collected: list = []
+
+    def run_drain() -> None:
+        raw = (
+            spark.readStream.schema(schema)
+            .parquet(str(d))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        q = (
+            zscore_alerts_stream(raw)
+            .writeStream.foreachBatch(
+                lambda batch_df, _bid: collected.extend(batch_df.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def land(half, tag):
+        for f in half.glob("*.parquet"):
+            (d / f"{tag}_{f.name}").write_bytes(f.read_bytes())
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    prev = use_rocksdb_state_store(spark)
+    try:
+        land(halves[0], "a")
+        run_drain()  # run 1: half 1 only, then the query STOPS
+        assert collected, "first drain produced no state rows"
+        land(halves[1], "b")
+        run_drain()  # run 2: restart from checkpoint, new file only
+    finally:
+        key = "spark.sql.streaming.stateStore.providerClass"
+        spark.conf.set(key, prev) if prev else spark.conf.unset(key)
+
+    # the checkpoint's state dir must carry RocksDB artifacts, not the
+    # HDFS provider's .delta/.snapshot files
+    state_files = [str(p) for p in (ckpt / "state").rglob("*") if p.is_file()]
+    assert any(".zip" in f or "rocksdb" in f.lower() for f in state_files), state_files
+    assert not any(f.endswith(".delta") for f in state_files), state_files
+
+    latest: dict = {}
+    for r in collected:  # update-mode: later rows supersede (n_scored monotone)
+        if r.n_scored > 0 and (
+            r.user_id not in latest or r.n_scored >= latest[r.user_id].n_scored
+        ):
+            latest[r.user_id] = r
+    stitched = sorted(
+        (r.user_id, r.n_scored, r.n_anomalies, r.max_abs_z) for r in latest.values()
+    )
+    batch = sorted(tuple(r) for r in rolling_zscore_anomalies(spark, SF_DIR).collect())
+    assert stitched == batch
