@@ -178,6 +178,15 @@ def build_dedup_index(
     the index is a pure column-pruned scan.  At 100 TB the postings
     table is additionally date/prefix-partitioned so small patches
     prune to index slices (functions/bucketing.py module notes).
+    Nightly maintenance design (not an API here — the probe is the
+    measured deliverable): kept increment docs APPEND into hash_index/
+    postings (bucketed tables take insertInto appends), a (s, df)
+    table is the authoritative universe so shingles that cross the cap
+    after an append are filtered at probe time rather than deleted,
+    and a periodic compaction rebuild restores the single-epoch
+    universe — the LSM-style shape; per-doc sizes are exact relative
+    to each doc's indexing epoch between compactions.
+
     Returns the database name (content-addressed, session-owned,
     atexit-reaped like bucketed_db's)."""
     import hashlib

@@ -34,6 +34,9 @@ from icechunk_spark.operators.incremental import (  # noqa: E402
 )
 
 CORPORA = {"sf0.1": "/root/testdata/sf0.1", "sf1": "/tmp/sf1_synth"}
+if "--sf10" in sys.argv:
+    # the 100x point: same increment against a 500k-doc indexed corpus
+    CORPORA["sf10"] = "/tmp/sf10_synth"
 INCREMENT_DIR = "/root/testdata/sf0.01"
 RUNS = 5
 
@@ -73,6 +76,11 @@ def main() -> None:
         "index_build_sec": build_secs,
         "probe_sec": {k: round(v, 3) for k, v in probe_secs.items()},
         "probe_ratio_10x_corpus": round(probe_secs["sf1"] / probe_secs["sf0.1"], 2),
+        **(
+            {"probe_ratio_100x_corpus": round(probe_secs["sf10"] / probe_secs["sf0.1"], 2)}
+            if "sf10" in probe_secs
+            else {}
+        ),
         "runs": RUNS,
     }
     print(json.dumps(out))
