@@ -462,10 +462,25 @@ def warn_on_none_virtual_chunk_credentials(
     silently permissive; the explicit per-backend sentinels replace it
     and ``None`` will be rejected in a future release (reference
     parity: icechunk-python repository.py:55-84, icechunk#2194)."""
+    import os
+    import sys
     import warnings
 
     if not authorize_virtual_chunk_access:
         return
+    # attribute the warning to the first frame OUTSIDE this package —
+    # a fixed stacklevel cannot be right for both direct Repository()
+    # construction and the open()/reopen() wrappers, and a warning
+    # attributed to icechunk_spark/ is invisible under Python's
+    # default __main__-only DeprecationWarning filter
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    stacklevel = 2
+    frame = sys._getframe(1)
+    while frame is not None and os.path.dirname(
+        os.path.abspath(frame.f_code.co_filename)
+    ).startswith(pkg_dir):
+        stacklevel += 1
+        frame = frame.f_back
     for url_prefix, cred in authorize_virtual_chunk_access.items():
         if cred is not None:
             continue
@@ -479,7 +494,7 @@ def warn_on_none_virtual_chunk_credentials(
             f'{{"{url_prefix}": {replacement}}}{security_note} '
             f"See icechunk issue #2194 for details.",
             DeprecationWarning,
-            stacklevel=3,
+            stacklevel=stacklevel,
         )
 
 

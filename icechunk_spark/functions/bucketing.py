@@ -108,6 +108,25 @@ def suggest_buckets(
     return p
 
 
+def session_db(spark: SparkSession, prefix: str, *digest_parts: object) -> str:
+    """Create (or look up) a session-owned temp database whose name is
+    content-addressed over ``digest_parts`` AND the Spark
+    applicationId — the session-uniqueness invariant every bucketed
+    temp db in this repo relies on (two concurrent processes sharing
+    one content-addressed /tmp dir race: one session's stale-dir
+    cleanup deletes parquet files the other is mid-scan on).  The
+    location is registered for the atexit reap.  Callers remain
+    responsible for their own tableExists idempotency checks."""
+    digest = hashlib.md5(
+        ("|".join(str(x) for x in digest_parts) + f"|{spark.sparkContext.applicationId}").encode()
+    ).hexdigest()[:12]
+    db = f"{prefix}_{digest}"
+    loc = os.path.join(tempfile.gettempdir(), f"icechunk_spark_{prefix}_{digest}")
+    _OWNED_LOCATIONS.add(loc)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    return db
+
+
 def bucketed_db(
     spark: SparkSession,
     sf_dir: str,
@@ -135,14 +154,7 @@ def bucketed_db(
     # temp files; re-bucketizing per session is the 1-2 s cost that
     # buys race freedom.
     spec = ",".join(f"{t}:{k}" for t, k in sorted(tables.items()))
-    digest = hashlib.md5(
-        f"{os.path.normpath(sf_dir)}|{buckets}|{spec}|"
-        f"{spark.sparkContext.applicationId}".encode()
-    ).hexdigest()[:12]
-    db = f"ic_buckets_{digest}"
-    loc = os.path.join(tempfile.gettempdir(), f"icechunk_spark_buckets_{digest}")
-    _OWNED_LOCATIONS.add(loc)
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    db = session_db(spark, "ic_buckets", os.path.normpath(sf_dir), buckets, spec)
     src = load_tables(spark, sf_dir)
     for table, key in tables.items():
         if spark.catalog.tableExists(f"{db}.{table}"):
@@ -192,14 +204,7 @@ def partitioned_bucketed_db(
     Idempotent per session like :func:`bucketed_db`."""
     import pyspark.sql.functions as F
 
-    digest = hashlib.md5(
-        f"{os.path.normpath(sf_dir)}|part|{buckets}|"
-        f"{spark.sparkContext.applicationId}".encode()
-    ).hexdigest()[:12]
-    db = f"ic_pbuckets_{digest}"
-    loc = os.path.join(tempfile.gettempdir(), f"icechunk_spark_pbuckets_{digest}")
-    _OWNED_LOCATIONS.add(loc)
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    db = session_db(spark, "ic_pbuckets", os.path.normpath(sf_dir), buckets)
     src = load_tables(spark, sf_dir)
     for table, (date_col, part_col, key) in PARTITION_SPECS.items():
         if spark.catalog.tableExists(f"{db}.{table}"):

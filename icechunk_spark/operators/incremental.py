@@ -149,10 +149,6 @@ ORACLES = {
 
 # --- persisted historical index (VERDICT r9 #3) ----------------------------
 
-#: session-cached index databases: (sf_dir, buckets) -> db name
-_INDEX_DBS: dict[tuple[str, int], str] = {}
-
-
 def build_dedup_index(
     spark: SparkSession, existing: DataFrame, buckets: int = 32, db_hint: str = ""
 ) -> str:
@@ -189,20 +185,12 @@ def build_dedup_index(
 
     Returns the database name (content-addressed, session-owned,
     atexit-reaped like bucketed_db's)."""
-    import hashlib
-    import os
-    import tempfile
+    from icechunk_spark.functions.bucketing import session_db
 
-    from icechunk_spark.functions import bucketing as _b
-
-    digest = hashlib.md5(
-        f"dedup_index|{db_hint}|{buckets}|{spark.sparkContext.applicationId}".encode()
-    ).hexdigest()[:12]
-    db = f"ic_dedup_idx_{digest}"
-    loc = os.path.join(tempfile.gettempdir(), f"icechunk_spark_dedup_idx_{digest}")
-    _b._OWNED_LOCATIONS.add(loc)
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
-    if spark.catalog.tableExists(f"{db}.postings"):
+    db = session_db(spark, "ic_dedup_idx", "dedup_index", db_hint, buckets)
+    # idempotency sentinel = the LAST-written table: an interrupted
+    # build (crash between writes) must re-run, not read half an index
+    if spark.catalog.tableExists(f"{db}.ex_sizes"):
         return db
 
     base = existing.select(
@@ -253,6 +241,12 @@ def build_dedup_index(
     return db
 
 
+#: the previous probe's persisted increment frame — unpersisted when
+#: the next probe starts, so a long-lived nightly session holds at
+#: most ONE cached increment (the leak a per-call persist would grow)
+_LAST_PROBE_CACHE: list[DataFrame] = []
+
+
 def probe_dedup_index(spark: SparkSession, db: str, increment: DataFrame) -> DataFrame:
     """Dedup ``increment`` against a persisted index (the nightly
     run): O(increment + index probe) — the increment is shingled and
@@ -265,11 +259,14 @@ def probe_dedup_index(spark: SparkSession, db: str, increment: DataFrame) -> Dat
     # the size pass, and the candidate join — ONE scan + tokenize of
     # the increment instead of three (memory bound = increment size,
     # the quantity this whole design keeps small)
+    while _LAST_PROBE_CACHE:
+        _LAST_PROBE_CACHE.pop().unpersist()
     new = increment.select(
         "doc_id",
         F.md5(normalized_text(F.col("text"))).alias("h"),
         shingles_col(F.col("text")).alias("sh"),
     ).persist()
+    _LAST_PROBE_CACHE.append(new)
     exact = new.join(spark.table(f"{db}.hash_index"), "h", "left").select(
         "doc_id", "dup_exact"
     )
@@ -308,7 +305,7 @@ def probe_dedup_index(spark: SparkSession, db: str, increment: DataFrame) -> Dat
 
 def incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered form of the persisted-index pipeline: build (once
-    per session per sf_dir — a catalog lookup afterwards) the index
+    per session per sf_dir; repeat calls are catalog lookups) the index
     over the existing 70%, then run the nightly probe for the 30%
     increment.  Differs from ``incremental_dedup`` only in the cap
     universe (existing-side df, the buildable definition); the oracle
@@ -317,12 +314,11 @@ def incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows 10x (BASELINE.md round-10)."""
     docs = load_tables(spark, sf_dir)["documents"]
     is_ex = (F.col("doc_id") % SPLIT_MOD) < EXISTING_MOD
-    key = (sf_dir, 32)
-    if key not in _INDEX_DBS:
-        _INDEX_DBS[key] = build_dedup_index(
-            spark, docs.filter(is_ex), buckets=32, db_hint=sf_dir
-        )
-    return probe_dedup_index(spark, _INDEX_DBS[key], docs.filter(~is_ex))
+    # no module-level db cache: build_dedup_index is already an
+    # idempotent catalog lookup per session, and a (sf_dir)-keyed
+    # cache would hand a NEW session a dead session's db name
+    db = build_dedup_index(spark, docs.filter(is_ex), buckets=32, db_hint=sf_dir)
+    return probe_dedup_index(spark, db, docs.filter(~is_ex))
 
 
 INCREMENTAL_DEDUP_INDEXED_SQL = f"""

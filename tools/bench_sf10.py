@@ -225,20 +225,6 @@ NEW_OPS = [
 ]
 
 
-def _timed(fn) -> tuple[float, int]:
-    t0 = time.perf_counter()
-    fn()
-    best = time.perf_counter() - t0
-    runs = 1
-    if best < ADAPTIVE_CUTOFF:
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn()
-            best = min(best, time.perf_counter() - t0)
-            runs += 1
-    return round(best, 3), runs
-
-
 def _query_names() -> list[str]:
     from bench import BENCH_QUERIES
 
