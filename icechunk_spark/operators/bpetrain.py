@@ -1,0 +1,173 @@
+"""Distributed BPE vocabulary training (SURVEY.md §2e extension) —
+the iterative op ``bpe_pair_counts`` (corpus_ext.py) is one step of:
+repeat K times { count adjacent symbol pairs over the word vocab,
+merge the most frequent pair everywhere }.  This is THE tokenizer-
+construction primitive of an LLM data pipeline, and it is genuinely
+iterative — each step's pair statistics depend on the previous
+step's merge — so it exercises the engine shape none of the other
+147 queries do: a driver-side loop of small aggregates over a
+persisted vocab frame with one 1-row argmax collect per step.
+
+Greedy-merge representation (the correctness core): every word is a
+single STRING of symbols delimited by DOUBLE \\x01 separators with
+sentinel boundaries (``··a··b··c··`` for cells a,b,c; · = \\x01).
+Merging pair (a,b) is then ``replace(s, '·a··b·', '·ab·')`` — SQL
+``replace`` scans left-to-right non-overlapping, which IS the BPE
+greedy rule, and the double separators make adjacent matches share
+no characters, so ``abab`` merges both pairs while ``aaa`` under
+(a,a) merges only the first — byte-identical semantics in Spark and
+DuckDB with no UDF and no fold.  Pair counting reads the symbols
+back by splitting on the double separator (overlapping adjacent
+positions, the classic get-stats convention), weighted by word
+frequency.
+
+Scale notes (100 TB): the loop state is the DISTINCT-WORD frame
+(wc, symbols-string) — vocabulary-sized (~10-100M rows for a web
+corpus), built by one map-side-combined groupBy over the token
+stream and persisted once; each of the K steps is one map-side-
+combined pair aggregate over that frame plus a broadcast-literal
+replace.  Driver-side state is K argmax rows (the merge table
+itself) — the FPS/MMR bounded-collect precedent.  Lineage is
+localCheckpoint-rotated every few steps so the plan stays flat.
+Ties break (count DESC, left ASC, right ASC): exact on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icechunk_spark.catalog import load_tables
+from icechunk_spark.engine import local_df
+from icechunk_spark.functions import tokenize
+from icechunk_spark.operators.dedup import DUCK_TOKS
+
+SEP = "\x01"
+BOUND = SEP + SEP
+N_MERGES = 12
+#: lineage rotation cadence for the iterated vocab frame
+_CHECKPOINT_EVERY = 4
+
+
+def _pair_counts(w: DataFrame) -> DataFrame:
+    """(a, b, c): adjacent-symbol pair frequencies over the vocab
+    frame, weighted by word count — all overlapping positions count
+    (the classic BPE statistics)."""
+    syms = F.filter(F.split(F.col("s"), BOUND), lambda x: x != "")
+    n = F.size(syms)
+    pairs = F.arrays_zip(
+        F.slice(syms, 1, n - 1).alias("a"), F.slice(syms, 2, n - 1).alias("b")
+    )
+    return (
+        w.filter(n >= 2)
+        .select("wc", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("wc").alias("c"))
+    )
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train N_MERGES BPE merges over the lowercased whitespace
+    vocabulary of ``documents`` and return the merge table
+    (step, lhs, rhs, merged, pair_count) — the artifact a tokenizer
+    build step persists.  See the module docstring for the greedy
+    string-replace representation and the scale shape."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = (
+        docs.select(F.explode(tokenize(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    w = words.select(
+        "wc",
+        F.concat(
+            F.lit(BOUND), F.array_join(F.split("word", ""), BOUND), F.lit(BOUND)
+        ).alias("s"),
+    ).persist()
+    w.count()
+    merges: list[tuple] = []
+    try:
+        for step in range(1, N_MERGES + 1):
+            top = _pair_counts(w).orderBy(F.desc("c"), "a", "b").limit(1).collect()
+            if not top:
+                break
+            a, b, c = top[0]["a"], top[0]["b"], top[0]["c"]
+            merges.append((step, a, b, a + b, int(c)))
+            prev = w
+            w = w.select(
+                "wc",
+                F.replace(
+                    F.col("s"),
+                    F.lit(SEP + a + BOUND + b + SEP),
+                    F.lit(SEP + a + b + SEP),
+                ).alias("s"),
+            )
+            if step % _CHECKPOINT_EVERY == 0:
+                # rotate: checkpoint flattens the replace-chain lineage,
+                # then drop the superseded cache.  Between rotations the
+                # chain stays LAZY — re-running <=3 string replaces over
+                # the checkpointed frame costs less than a per-step
+                # materialization job (measured at sf10: 7.7 s -> see
+                # BASELINE r10; each extra job is a scheduler floor)
+                w = w.localCheckpoint(eager=True)
+                prev.unpersist()
+    finally:
+        w.unpersist()
+    return local_df(
+        spark,
+        merges,
+        "step int, lhs string, rhs string, merged string, pair_count bigint",
+    ).orderBy("step")
+
+
+def _bpe_oracle_sql(k: int = N_MERGES) -> str:
+    """The same K-step training replayed as chained DuckDB CTEs —
+    generated, not handwritten, so the per-step algebra is identical
+    by construction."""
+    toks = DUCK_TOKS.replace("text,", "lower(text),")
+    parts = [
+        f"""WITH words AS (
+  SELECT tok AS word, count(*) AS wc
+  FROM (SELECT unnest({toks}) AS tok FROM documents)
+  GROUP BY tok
+), s0 AS MATERIALIZED (
+  SELECT wc,
+         '{BOUND}' || array_to_string(string_split(word, ''), '{BOUND}') || '{BOUND}' AS s
+  FROM words
+)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""", sy{i} AS MATERIALIZED (
+  SELECT wc, list_filter(string_split(s, '{BOUND}'), x -> x <> '') AS syms FROM s{i - 1}
+), p{i} AS MATERIALIZED (
+  SELECT z[1] AS a, z[2] AS b, CAST(sum(wc) AS BIGINT) AS c
+  FROM (SELECT wc, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS z
+        FROM sy{i} WHERE len(syms) >= 2)
+  GROUP BY z[1], z[2]
+), m{i} AS MATERIALIZED (
+  SELECT {i} AS step, a AS lhs, b AS rhs, a || b AS merged, c AS pair_count
+  FROM p{i} ORDER BY c DESC, a, b LIMIT 1
+), s{i} AS MATERIALIZED (
+  SELECT wc,
+         replace(s, '{SEP}' || m.lhs || '{BOUND}' || m.rhs || '{SEP}',
+                    '{SEP}' || m.merged || '{SEP}') AS s
+  FROM s{i - 1}, m{i} m
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT step, lhs, rhs, merged, pair_count FROM m{i}" for i in range(1, k + 1)
+    )
+    parts.append(f"\nSELECT * FROM (\n{union}\n) ORDER BY step")
+    return "".join(parts)
+
+
+BPE_TRAIN_SQL = _bpe_oracle_sql()
+
+QUERIES = {
+    "bpe_train_merges": bpe_train_merges,
+}
+
+ORACLES = {
+    "bpe_train_merges": BPE_TRAIN_SQL,
+}
