@@ -178,12 +178,117 @@ GROUP BY c.event_type ORDER BY c.event_type
 """
 
 
+# --- seasonal (weekday x hour) profile anomalies --------------------------
+
+SEASONAL_K = 2  # flag |x - mean| > K * sigma_pop; the predicate is integer-exact
+
+
+def seasonal_profile_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third monitoring axis after trailing z-scores (local
+    spikes) and PSI (distribution drift): SEASONALITY.  Events are
+    profiled per (event_type, weekday, hour) cell, and each event is
+    flagged against its own cell's mean/variance — the baseline that
+    catches "normal for Monday 09:00, anomalous for Sunday 03:00"
+    which a trailing window blurs across the week.
+
+    Determinism: values go to integer cents (the rolling-z pattern),
+    so the per-cell sums s1=Σx and s2=Σx² are EXACT integers, and the
+    flag predicate |x−mean| > K·σ is evaluated without ever forming a
+    float: (n·x − s1)² > K²·(n·s2 − s1²) — both sides exact integers
+    (DECIMAL(38,0)/HUGEINT so the squares cannot overflow), so the
+    engines cannot disagree at the boundary.  The two rounded output
+    ratios use the DECIMAL-cast-then-round pattern.
+
+    Scale: two scans of events (profile, then flag) + one broadcast
+    of the ≤ |types|·168-row profile; both aggregates are map-side
+    combined single-shuffle shapes.  dow is ISO Monday=0 on both
+    engines (Spark weekday(); DuckDB isodow()-1)."""
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .select(
+            "event_type",
+            F.expr("weekday(ts)").alias("dow"),
+            F.hour("ts").alias("hr"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("xc"),
+        )
+    )
+    prof = ev.groupBy("event_type", "dow", "hr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xc").alias("s1"),
+        F.sum(F.col("xc") * F.col("xc")).alias("s2"),
+    )
+    d = lambda c: c.cast("decimal(20,0)")  # noqa: E731 — products stay < 1e38
+    lhs = d(F.col("n")) * d(F.col("xc")) - d(F.col("s1"))
+    rhs = F.lit(SEASONAL_K * SEASONAL_K) * (
+        d(F.col("n")) * d(F.col("s2")) - d(F.col("s1")) * d(F.col("s1"))
+    )
+    flagged = ev.join(F.broadcast(prof), ["event_type", "dow", "hr"]).select(
+        "event_type", "dow", "hr", "n", "s1",
+        (lhs * lhs > rhs).cast("int").alias("is_anom"),
+    )
+    return (
+        flagged.groupBy("event_type", "dow", "hr", "n", "s1")
+        .agg(F.sum("is_anom").alias("na"))
+        .select(
+            "event_type",
+            "dow",
+            "hr",
+            F.col("n").alias("n_events"),
+            # integer half-up rounding: mean = s1/(100n) dollars at
+            # 4dp is floor((200·s1 + n) / 2n) e-4 — s1/n can land
+            # EXACTLY on a 4dp half-point (observed: 39209/800 =
+            # 49.01125) where decimal-vs-double engine paths diverge;
+            # staying in integers removes the class
+            (F.expr("(200 * s1 + n) div (2 * n)") / 10000.0).alias("mean_value"),
+            F.col("na").cast("bigint").alias("n_anomalies"),
+            (F.expr("(20000 * na + n) div (2 * n)") / 10000.0).alias("anom_rate"),
+        )
+        .orderBy("event_type", "dow", "hr")
+    )
+
+
+SEASONAL_PROFILE_SQL = f"""
+WITH ev AS (
+  SELECT event_type, isodow(ts) - 1 AS dow, hour(ts) AS hr,
+         CAST(round(value * 100, 0) AS BIGINT) AS xc
+  FROM events
+), prof AS (
+  SELECT event_type, dow, hr, count(*) AS n,
+         CAST(sum(xc) AS BIGINT) AS s1,
+         CAST(sum(xc * xc) AS BIGINT) AS s2
+  FROM ev GROUP BY event_type, dow, hr
+)
+SELECT p.event_type, p.dow, p.hr, p.n AS n_events,
+       CAST(((200 * p.s1 + p.n) // (2 * p.n)) / 10000.0 AS DOUBLE)
+         AS mean_value,
+       CAST(sum(CAST(
+         (CAST(p.n AS HUGEINT) * e.xc - p.s1)
+           * (CAST(p.n AS HUGEINT) * e.xc - p.s1)
+         > {SEASONAL_K * SEASONAL_K}
+           * (CAST(p.n AS HUGEINT) * p.s2 - CAST(p.s1 AS HUGEINT) * p.s1)
+         AS INT)) AS BIGINT) AS n_anomalies,
+       CAST(((20000 * CAST(sum(CAST(
+         (CAST(p.n AS HUGEINT) * e.xc - p.s1)
+           * (CAST(p.n AS HUGEINT) * e.xc - p.s1)
+         > {SEASONAL_K * SEASONAL_K}
+           * (CAST(p.n AS HUGEINT) * p.s2 - CAST(p.s1 AS HUGEINT) * p.s1)
+         AS INT)) AS BIGINT) + p.n) // (2 * p.n)) / 10000.0 AS DOUBLE)
+         AS anom_rate
+FROM ev e
+JOIN prof p ON e.event_type = p.event_type AND e.dow = p.dow AND e.hr = p.hr
+GROUP BY p.event_type, p.dow, p.hr, p.n, p.s1, p.s2
+ORDER BY p.event_type, p.dow, p.hr
+"""
+
+
 QUERIES = {
     "rolling_zscore_anomalies": rolling_zscore_anomalies,
     "value_drift_psi": value_drift_psi,
+    "seasonal_profile_anomalies": seasonal_profile_anomalies,
 }
 
 ORACLES = {
     "rolling_zscore_anomalies": ROLLING_ZSCORE_SQL,
     "value_drift_psi": VALUE_DRIFT_PSI_SQL,
+    "seasonal_profile_anomalies": SEASONAL_PROFILE_SQL,
 }

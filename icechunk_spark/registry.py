@@ -127,6 +127,7 @@ PRIORITY: list[str] = [
     "incremental_dedup_indexed",
     "q3_partitioned",
     "bpe_train_merges",
+    "seasonal_profile_anomalies",
     # then remaining changed-module r8 rows
     "q4_order_priority",
     "q5_local_supplier",
