@@ -476,9 +476,14 @@ def warn_on_none_virtual_chunk_credentials(
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     stacklevel = 2
     frame = sys._getframe(1)
-    while frame is not None and os.path.dirname(
-        os.path.abspath(frame.f_code.co_filename)
-    ).startswith(pkg_dir):
+
+    def _inside_pkg(path: str) -> bool:
+        d = os.path.dirname(os.path.abspath(path))
+        # exact dir or a true subdirectory — a bare startswith would
+        # also claim sibling dirs like .../icechunk_spark_ext
+        return d == pkg_dir or d.startswith(pkg_dir + os.sep)
+
+    while frame is not None and _inside_pkg(frame.f_code.co_filename):
         stacklevel += 1
         frame = frame.f_back
     for url_prefix, cred in authorize_virtual_chunk_access.items():

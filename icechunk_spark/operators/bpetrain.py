@@ -40,13 +40,19 @@ from pyspark.sql import functions as F
 from icechunk_spark.catalog import load_tables
 from icechunk_spark.engine import local_df
 from icechunk_spark.functions import tokenize
-from icechunk_spark.operators.dedup import DUCK_TOKS
+from icechunk_spark.operators.dedup import duck_toks
 
 SEP = "\x01"
 BOUND = SEP + SEP
 N_MERGES = 12
-#: lineage rotation cadence for the iterated vocab frame
-_CHECKPOINT_EVERY = 4
+#: storage-rotation cadence for the iterated vocab frame.  At
+#: N_MERGES=12 no rotation fires — MEASURED at sf10: recomputing a
+#: <=12-deep chain of cheap string replaces over the cached base
+#: (5.5 s) beats materializing every 4th (6.5 s) or 8th (6.1 s) step,
+#: because each materialization is an extra scheduler-floor job.  The
+#: machinery exists for large-K production vocab builds (K ~ 30k),
+#: where an unbounded chain would drown the argmax in recompute.
+_CHECKPOINT_EVERY = 32
 
 
 def _pair_counts(w: DataFrame) -> DataFrame:
@@ -85,6 +91,10 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s"),
     ).persist()
     w.count()
+    # the frame actually HOLDING storage (unpersist must target the
+    # exact cached plan — calling it on a later lazy projection is a
+    # silent no-op, the leak the first rotation draft had)
+    materialized = w
     merges: list[tuple] = []
     try:
         for step in range(1, N_MERGES + 1):
@@ -93,7 +103,6 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             a, b, c = top[0]["a"], top[0]["b"], top[0]["c"]
             merges.append((step, a, b, a + b, int(c)))
-            prev = w
             w = w.select(
                 "wc",
                 F.replace(
@@ -103,16 +112,22 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("s"),
             )
             if step % _CHECKPOINT_EVERY == 0:
-                # rotate: checkpoint flattens the replace-chain lineage,
-                # then drop the superseded cache.  Between rotations the
-                # chain stays LAZY — re-running <=3 string replaces over
-                # the checkpointed frame costs less than a per-step
-                # materialization job (measured at sf10: 7.7 s -> see
-                # BASELINE r10; each extra job is a scheduler floor)
-                w = w.localCheckpoint(eager=True)
-                prev.unpersist()
+                # rotate storage: persist the current chain, then free
+                # the superseded cache.  Between rotations the chain
+                # stays LAZY — re-running <=3 string replaces over the
+                # cached frame costs less than a per-step
+                # materialization job (measured at sf10: 7.7 s -> 4.7 s;
+                # each extra job is a scheduler floor).  persist (not
+                # localCheckpoint): at K=12 the lineage is shallow and
+                # persist keeps every rotation unpersist-able; a
+                # K~30k production vocab build would checkpoint to cut
+                # lineage instead and accept GC-driven block cleanup
+                w = w.persist()
+                w.count()
+                materialized.unpersist()
+                materialized = w
     finally:
-        w.unpersist()
+        materialized.unpersist()
     return local_df(
         spark,
         merges,
@@ -124,7 +139,7 @@ def _bpe_oracle_sql(k: int = N_MERGES) -> str:
     """The same K-step training replayed as chained DuckDB CTEs —
     generated, not handwritten, so the per-step algebra is identical
     by construction."""
-    toks = DUCK_TOKS.replace("text,", "lower(text),")
+    toks = duck_toks("lower(text)")
     parts = [
         f"""WITH words AS (
   SELECT tok AS word, count(*) AS wc

@@ -58,7 +58,15 @@ DUCK_SHINGLES = """
 list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)])
 """
 
-DUCK_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+def duck_toks(col: str = "text") -> str:
+    """DuckDB twin of functions.tokenize over an arbitrary column
+    expression — parameterized so derived oracles (e.g. the BPE
+    trainer's lower(text)) compose it instead of substring-patching
+    the shared constant."""
+    return f"list_filter(string_split_regex({col}, '\\s+'), t -> t <> '')"
+
+
+DUCK_TOKS = duck_toks()
 
 
 # --- exact dedup ---------------------------------------------------------
