@@ -1,0 +1,117 @@
+"""Item-item co-occurrence similarity over event baskets (SURVEY.md
+§2b extension): the collaborative-filtering projection — for every
+pair of event types, how often one (user, day) basket contains both,
+as Jaccard and cosine over basket incidence.  This is the bipartite
+user-item graph projected onto the (small) item side, the shape
+recommender/affinity pipelines run at scale because the USER side is
+unbounded but the item-pair output is |T|² at most.
+
+Scale shape: one distinct over (user_id, day, type) — map-side
+partial distinct — persisted (it feeds the per-type counts and BOTH
+sides of the pair join); the self-join key is the basket (user_id,
+day), so fan-out per basket is bounded by the type cardinality T
+(T²/2 pairs per basket; for unbounded item catalogs you'd df-cap hot
+baskets first — the ngram_jaccard lesson, noted here, not needed for
+bounded event vocabularies).  Per-type counts broadcast onto the pair
+aggregate.
+
+Parity: jaccard is a ratio of exact BIGINTs (integer half-up, 6dp);
+cosine passes through the DECIMAL(24,10) intermediate before its
+6-digit round (sqrt of an exact integer product is the same double on
+both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icechunk_spark.catalog import load_tables
+
+
+def type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    baskets = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            "event_type",
+        )
+        .distinct()
+        .persist()
+    )
+    counts = baskets.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = baskets.select("user_id", "d", F.col("event_type").alias("type_a"))
+    b = baskets.select("user_id", "d", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "d"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    out = (
+        pairs.join(
+            F.broadcast(counts.withColumnRenamed("event_type", "type_a")), "type_a"
+        )
+        .withColumnRenamed("n", "n_a")
+        .join(
+            F.broadcast(counts.withColumnRenamed("event_type", "type_b")), "type_b"
+        )
+        .withColumnRenamed("n", "n_b")
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("co").cast("bigint").alias("co_baskets"),
+        (
+            F.expr("(2000000 * co + (n_a + n_b - co)) div (2 * (n_a + n_b - co))")
+            / 1000000.0
+        ).alias("jaccard"),
+        F.round(
+            (
+                F.col("co")
+                / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
+            ).cast("decimal(24,10)"),
+            6,
+        )
+        .cast("double")
+        .alias("cosine_sim"),
+    ).orderBy("type_a", "type_b")
+
+
+TYPE_COOCCURRENCE_SQL = """
+WITH baskets AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+  FROM events
+), counts AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM baskets GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS co
+  FROM baskets a JOIN baskets b
+    ON a.user_id = b.user_id AND a.d = b.d AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, ca.n AS n_a, cb.n AS n_b, co AS co_baskets,
+       ((2000000 * co + (ca.n + cb.n - co)) // (2 * (ca.n + cb.n - co)))
+         / 1000000.0 AS jaccard,
+       CAST(round(CAST(co / sqrt(CAST(ca.n * cb.n AS DOUBLE)) AS DECIMAL(24,10)), 6)
+            AS DOUBLE) AS cosine_sim
+FROM pairs
+JOIN counts ca ON ca.event_type = type_a
+JOIN counts cb ON cb.event_type = type_b
+ORDER BY type_a, type_b
+"""
+
+
+QUERIES = {
+    "type_cooccurrence": type_cooccurrence,
+}
+
+ORACLES = {
+    "type_cooccurrence": TYPE_COOCCURRENCE_SQL,
+}
