@@ -1,0 +1,54 @@
+"""pq_quantize: invariant row + codebook-shape checks + plan pin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from icechunk_spark.catalog import load_tables
+from icechunk_spark.operators.pq import (
+    PQ_K,
+    PQ_M,
+    PQ_SUB,
+    pq_quantize,
+    train_pq_codebooks,
+)
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def books(spark):
+    return train_pq_codebooks(load_tables(spark, SF_DIR)["embeddings"])
+
+
+def test_pq_invariants_hold(spark):
+    r = pq_quantize(spark, SF_DIR).collect()[0]
+    assert r["n_vectors"] > 0
+    assert r["m_subspaces"] == PQ_M and r["k_codes"] == PQ_K
+    assert r["compression_x"] == 32  # 256 raw bytes -> 8 code bytes
+    assert r["codebooks_half_used"]
+    assert r["beats_mean_baseline"]
+    assert r["rerank_recall_ok"]
+
+
+def test_codebooks_have_pq_shape(books):
+    assert len(books) == PQ_M
+    for codes in books:
+        assert [cid for cid, _ in codes] == list(range(PQ_K))
+        assert all(len(c) == PQ_SUB for _, c in codes)
+        # Lloyd means of float data must stay finite
+        assert all(all(abs(x) < 1e6 for x in c) for _, c in codes)
+
+
+def test_pq_encode_plan_stays_jvm(spark, books):
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    from icechunk_spark.operators.pq import _argmin_struct, _books_lit, _sub_col
+
+    lit = _books_lit(books)
+    df = emb.select(
+        "vec_id", *[_argmin_struct(_sub_col(m), F.element_at(lit, m + 1))["code"].alias(f"c{m}") for m in range(PQ_M)]
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
