@@ -224,12 +224,27 @@ NEW_OPS = [
     "curate_select",
 ]
 
+# the r10 second-session operators: measured with --r10b-ops
+R10B_OPS = [
+    "chunk_documents",
+    "nb_source_classifier",
+    "random_projection",
+    "bpe_encode_corpus",
+    "type_cooccurrence",
+    "pq_quantize",
+    "stream_psi_drift",
+    "conformal_outliers",
+    "hll_mergeable_distinct",
+]
+
 
 def _query_names() -> list[str]:
     from bench import BENCH_QUERIES
 
     if "--new-ops" in sys.argv:
         return NEW_OPS
+    if "--r10b-ops" in sys.argv:
+        return R10B_OPS
     return BENCH_QUERIES + SF10_EXTRA
 
 
@@ -319,6 +334,8 @@ def main() -> None:
             {
                 "metric": "sf10_new_ops"
                 if "--new-ops" in sys.argv
+                else "sf10_r10b_ops"
+                if "--r10b-ops" in sys.argv
                 else "sf10_headline_queries",
                 "unit": "sec",
                 "sf": 10.0,
