@@ -151,11 +151,7 @@ def nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _hex2int(var: str) -> str:
-    return " + ".join(
-        f"(strpos('0123456789abcdef', substr({var}, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
-        for i in range(8)
-    )
+from icechunk_spark.oracle_util import duck_hex2int as _hex2int
 
 
 def _nb_sql() -> str:

@@ -45,6 +45,10 @@ PQ_LLOYD = 2
 PQ_RECALL_TAU = 0.45  # MEAN rerank recall@k floor
 RERANK_FRAC = 100  # shortlist = max(4k, n // RERANK_FRAC)
 
+RAW_BYTES = 4 * PQ_M * PQ_SUB  # float32 vector
+CODE_BYTES = PQ_M * (PQ_K.bit_length() - 1) // 8  # M codes of log2(K) bits
+COMPRESSION_X = RAW_BYTES // CODE_BYTES
+
 
 def _l2sq(col: Column, arr: Column) -> Column:
     """Squared L2 distance between two array expressions —
@@ -226,7 +230,7 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_vectors": n_vec,
                 "m_subspaces": PQ_M,
                 "k_codes": PQ_K,
-                "compression_x": (4 * PQ_M * PQ_SUB) // (PQ_M // 2),
+                "compression_x": COMPRESSION_X,
                 "codebooks_half_used": all(
                     int(stats[f"used_{m}"]) >= PQ_K // 2 for m in range(PQ_M)
                 ),
@@ -243,7 +247,7 @@ PQ_QUANTIZE_SQL = f"""
 SELECT CAST(count(*) AS BIGINT) AS n_vectors,
        {PQ_M} AS m_subspaces,
        {PQ_K} AS k_codes,
-       {(4 * PQ_M * PQ_SUB) // (PQ_M // 2)} AS compression_x,
+       {COMPRESSION_X} AS compression_x,
        TRUE AS codebooks_half_used,
        TRUE AS beats_mean_baseline,
        TRUE AS rerank_recall_ok

@@ -101,9 +101,12 @@ def sparse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dp")
         )
     )
+    # zero-norm guard (the projection.py saa>0 pattern): a doc whose
+    # every term has df = N carries all-zero weights and nrm = 0
     scored = (
         dots.join(norms.withColumnRenamed("doc_id", "query_doc").withColumnRenamed("nrm", "qn"), "query_doc")
         .join(norms, "doc_id")
+        .filter((F.col("qn") > 0) & (F.col("nrm") > 0))
         .select(
             "query_doc",
             "doc_id",
@@ -172,6 +175,7 @@ WITH toks AS (
   FROM dots
   JOIN norms qn ON qn.doc_id = dots.query_doc
   JOIN norms dn ON dn.doc_id = dots.doc_id
+  WHERE qn.nrm > 0 AND dn.nrm > 0
 ), ranked AS (
   SELECT query_doc, doc_id, score,
          row_number() OVER (PARTITION BY query_doc

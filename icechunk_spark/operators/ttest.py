@@ -68,7 +68,13 @@ def welch_drift_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (v2 / nd2) * (v2 / nd2) / (nd2 - 1.0)
     )
     rt = F.round(t.cast("decimal(24,10)"), 6)
-    return per.filter((F.col("n1") >= 2) & (F.col("n2") >= 2)).select(
+    # zero-variance guard: a constant value stream in both halves
+    # gives se2 = 0 exactly (integer-cents sums) and t = x/0 —
+    # Spark's decimal cast would NULL it while DuckDB errors on the
+    # Infinity cast; the group is filtered identically on both engines
+    return per.filter(
+        (F.col("n1") >= 2) & (F.col("n2") >= 2) & (se2 > 0)
+    ).select(
         "event_type",
         F.col("n1").cast("bigint").alias("n1"),
         F.col("n2").cast("bigint").alias("n2"),
@@ -108,6 +114,12 @@ WITH mid AS (
          CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
          CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2
   FROM per WHERE n1 >= 2 AND n2 >= 2
+    AND (CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE)
+           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+          / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) / CAST(n1 AS DOUBLE)
+        + (CAST(n2 AS DOUBLE) * CAST(q2 AS DOUBLE)
+           - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+          / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE) > 0
 )
 SELECT event_type, n1, n2,
        CAST(round(CAST((m1 - m2) / sqrt(v1 / nd1 + v2 / nd2) AS DECIMAL(24,10)), 6)

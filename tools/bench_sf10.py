@@ -235,6 +235,8 @@ R10B_OPS = [
     "stream_psi_drift",
     "conformal_outliers",
     "hll_mergeable_distinct",
+    "sparse_retrieval",
+    "welch_drift_ttest",
 ]
 
 
