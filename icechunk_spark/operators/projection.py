@@ -4,29 +4,28 @@ columns (SURVEY.md §2d extension): the dimensionality-reduction step a
 k=16 axes whose entries are deterministic ±1 signs (Achlioptas 2001:
 database-friendly random projections; the same hash-derived-sign trick
 sign-LSH already uses in dedup.embedding_neardup), then AUDIT the
-distortion: per label, how far pairwise cosines moved.
+distortion: per label, how far neighbor-pair cosines moved.
 
-The sign matrix is derived in-engine from md5(i || '_' || j) parity —
-no randomness, no driver-side state, identical on both engines.
+The sign matrix is md5(i || '_' || j) parity — standard MD5, so
+Python's hashlib (which builds the Spark literals) and DuckDB's md5()
+(which the oracle derives the matrix from) agree bit-for-bit.
 
-Scale shape: one posexplode of the embedding column, a broadcast join
-against the 64x16 sign table, ONE (vec_id, j) aggregation for the
-projection, then component-level self-joins on vec_id+1 for the
-neighbor-pair cosine audit (the label_pair_similarity pairing — an
-equi-join, parallelism scales with data, no global window).  The
-projected frame persists: both sides of its self-join would otherwise
-recompute the projection aggregation (a shuffle) twice.
-
-Exactness: every float product is rounded to DECIMAL before any sum
-(per-term rounding makes sums partition-order-independent and
-engine-identical), cosines are doubles derived from those exact
-decimal sums, and the reported means go through the DECIMAL(24,10)
-intermediate before the 6-digit round.
+Plan shape (evolved twice at sf10, 18.6 s -> 11.2 s -> 3.4 s):
+1. the sign-table JOIN over the posexploded components created a
+   512M-row intermediate at sf10 — replaced by per-row HOF folds;
+2. DECIMAL-accumulating folds were ~500M BigDecimal ops — replaced by
+   PURE-DOUBLE sequential folds, the knn_brute_force/_D_DOT idiom the
+   oracle mirrors exactly (same order => same doubles), with each
+   cosine rounded to an exact DECIMAL at 6dp BEFORE the distortion
+   difference, so no unrounded double ever crosses engines.
+Final shape: one projection pass (16 folds/row inside codegen, norms
+hoisted pre-join — the knn lesson), ONE row-level self-join on
+vec_id+1 carrying both spaces' arrays, one groupBy(label).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from icechunk_spark.catalog import load_tables
@@ -35,108 +34,102 @@ RP_DIN = 64
 RP_DOUT = 16
 
 
-def _signs(spark: SparkSession) -> DataFrame:
-    """The deterministic 64x16 ±1 sign matrix, one row per (i, j)."""
-    one = spark.range(1)
-    return (
-        one.select(
-            F.explode(F.sequence(F.lit(0), F.lit(RP_DIN - 1))).alias("i")
-        )
-        .select(
-            "i",
-            F.explode(F.sequence(F.lit(0), F.lit(RP_DOUT - 1))).alias("j"),
-        )
-        .select(
-            "i",
-            "j",
-            F.when(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                "_", F.col("i").cast("string"), F.col("j").cast("string")
-                            )
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % 2
-                == 0,
-                F.lit(1),
-            )
-            .otherwise(F.lit(-1))
-            .alias("s"),
-        )
+def _signs_py() -> list[list[int]]:
+    """The deterministic 64x16 ±1 sign matrix — standard md5 parity,
+    byte-identical to the SQL oracle's md5(i || '_' || j) derivation
+    (hashlib and both engines implement the same MD5)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1
+            for j in range(RP_DOUT)
+        ]
+        for i in range(RP_DIN)
+    ]
+
+
+def _fold_dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product over double arrays — the
+    knn_brute_force idiom; DuckDB's list_reduce mirrors it exactly."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
     )
 
 
-def _rdec12(col):
-    return F.round(col, 12).cast("decimal(30,12)")
+def _round6(col: Column) -> Column:
+    return F.round(col.cast("decimal(24,10)"), 6).cast("decimal(24,6)")
 
 
 def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
-    comp = emb.select(
+    signs = _signs_py()
+    ys = [
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                F.array(*[F.lit(float(signs[i][j])) for i in range(RP_DIN)]),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        for j in range(RP_DOUT)
+    ]
+    # norms hoisted BEFORE the pair join (computed once per row, not
+    # once per pair — the knn_brute_force lesson)
+    base = emb.select(
         "vec_id",
         "label",
-        F.posexplode("embedding").alias("i", "x"),
-    ).withColumn("x", F.col("x").cast("double"))
-
-    proj = (
-        comp.join(F.broadcast(_signs(spark)), "i")
-        .groupBy("vec_id", "label", "j")
-        .agg(F.sum(_rdec12(F.col("x") * F.col("s"))).alias("yd"))
-        .select("vec_id", "label", "j", F.col("yd").cast("double").alias("y"))
-        .persist()
+        "embedding",
+        F.array(*ys).alias("y"),
     )
-
-    def _pair_cos(frame: DataFrame, idx: str, val: str, out: str) -> DataFrame:
-        a = frame.select(
-            F.col("vec_id").alias("va"),
-            F.col("label").alias("label"),
-            F.col(idx).alias("ix"),
-            F.col(val).alias("xa"),
-        )
-        b = frame.select(
-            (F.col("vec_id") - 1).alias("va"),
-            F.col(idx).alias("ix"),
-            F.col(val).alias("xb"),
-        )
-        terms = a.join(b, ["va", "ix"]).select(
-            "va",
-            "label",
-            _rdec12(F.col("xa") * F.col("xb")).alias("tab"),
-            _rdec12(F.col("xa") * F.col("xa")).alias("taa"),
-            _rdec12(F.col("xb") * F.col("xb")).alias("tbb"),
-        )
-        sums = terms.groupBy("va", "label").agg(
-            F.sum("tab").alias("sab"),
-            F.sum("taa").alias("saa"),
-            F.sum("tbb").alias("sbb"),
-        )
-        return sums.filter((F.col("saa") > 0) & (F.col("sbb") > 0)).select(
-            "va",
-            "label",
-            (
-                F.col("sab").cast("double")
-                / (
-                    F.sqrt(F.col("saa").cast("double"))
-                    * F.sqrt(F.col("sbb").cast("double"))
-                )
-            ).alias(out),
-        )
-
-    cos_o = _pair_cos(comp, "i", "x", "cos_o")
-    cos_p = _pair_cos(proj, "j", "y", "cos_p")
-    err = cos_o.join(cos_p, ["va", "label"]).select(
+    # persisted: BOTH sides of the self-join consume this frame and
+    # its recompute is the expensive part (16 projection folds per
+    # row) even though it crosses no shuffle — sf10 interleaved
+    # min-of-3 measured 7.3 s -> 2.0 s (vs DuckDB 2.2 s: ahead)
+    base = base.select(
+        "vec_id",
         "label",
-        F.round(F.abs(F.col("cos_o") - F.col("cos_p")), 10)
-        .cast("decimal(28,10)")
-        .alias("rerr"),
+        "embedding",
+        "y",
+        F.sqrt(_fold_dot(F.col("embedding"), F.col("embedding"))).alias("ne"),
+        F.sqrt(_fold_dot(F.col("y"), F.col("y"))).alias("ny"),
+    ).persist()
+    a = base.select(
+        F.col("vec_id").alias("va"),
+        "label",
+        F.col("embedding").alias("ea"),
+        F.col("y").alias("ya"),
+        F.col("ne").alias("nea"),
+        F.col("ny").alias("nya"),
     )
+    b = base.select(
+        (F.col("vec_id") - 1).alias("va"),
+        F.col("embedding").alias("eb"),
+        F.col("y").alias("yb"),
+        F.col("ne").alias("neb"),
+        F.col("ny").alias("nyb"),
+    )
+    pairs = a.join(b, "va").filter(
+        (F.col("nea") > 0) & (F.col("neb") > 0) & (F.col("nya") > 0) & (F.col("nyb") > 0)
+    )
+    # both cosines rounded to exact decimals before differencing: the
+    # distortion arithmetic below never touches an unrounded double
+    scored = pairs.select(
+        "label",
+        _round6(
+            _fold_dot(F.col("ea"), F.col("eb")) / (F.col("nea") * F.col("neb"))
+        ).alias("cos_o"),
+        _round6(
+            _fold_dot(F.col("ya"), F.col("yb")) / (F.col("nya") * F.col("nyb"))
+        ).alias("cos_p"),
+    )
+    err = scored.select("label", F.abs(F.col("cos_o") - F.col("cos_p")).alias("rerr"))
     return (
         err.groupBy("label")
         .agg(
@@ -155,47 +148,52 @@ def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from icechunk_spark.oracle_util import duck_hex2int as _hex2int
+def _duck_fold_dot(a: str, b: str, d: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"[CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) FOR i IN range(1, {d + 1})]), "
+        f"(x, y) -> x + y)"
+    )
 
 
-RANDOM_PROJECTION_SQL = f"""
+def _rp_sql() -> str:
+    from icechunk_spark.oracle_util import duck_hex2int
+
+    hex2int = duck_hex2int("hh")
+    dot_ee = _duck_fold_dot("a.embedding", "b.embedding", RP_DIN)
+    naa = _duck_fold_dot("a.embedding", "a.embedding", RP_DIN)
+    nbb = _duck_fold_dot("b.embedding", "b.embedding", RP_DIN)
+    dot_yy = _duck_fold_dot("a.y", "b.y", RP_DOUT)
+    nya = _duck_fold_dot("a.y", "a.y", RP_DOUT)
+    nyb = _duck_fold_dot("b.y", "b.y", RP_DOUT)
+    return f"""
 WITH signs AS (
-  SELECT i, j,
-         CASE WHEN ({_hex2int("hh")}) % 2 = 0 THEN 1 ELSE -1 END AS s
-  FROM (SELECT i, j, substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 8) AS hh
-        FROM generate_series(0, {RP_DIN - 1}) t(i), generate_series(0, {RP_DOUT - 1}) u(j))
-), comp AS (
-  SELECT vec_id, label,
-         generate_subscripts(embedding, 1) - 1 AS i,
-         CAST(unnest(embedding) AS DOUBLE) AS x
-  FROM embeddings
+  SELECT j, list(CAST(s AS DOUBLE) ORDER BY i) AS sv
+  FROM (SELECT i, j,
+               CASE WHEN ({hex2int}) % 2 = 0 THEN 1 ELSE -1 END AS s
+        FROM (SELECT i, j,
+                     substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 8) AS hh
+              FROM generate_series(0, {RP_DIN - 1}) t(i),
+                   generate_series(0, {RP_DOUT - 1}) u(j)))
+  GROUP BY j
+), sm AS (
+  SELECT list(sv ORDER BY j) AS m FROM signs
 ), proj AS (
-  SELECT vec_id, label, j,
-         CAST(sum(CAST(round(x * s, 12) AS DECIMAL(30,12))) AS DOUBLE) AS y
-  FROM comp JOIN signs USING (i)
-  GROUP BY 1, 2, 3
-), cos_o AS (
-  SELECT a.vec_id AS va, a.label,
-         CAST(sum(CAST(round(a.x * b.x, 12) AS DECIMAL(30,12))) AS DOUBLE)
-           / (sqrt(CAST(sum(CAST(round(a.x * a.x, 12) AS DECIMAL(30,12))) AS DOUBLE))
-              * sqrt(CAST(sum(CAST(round(b.x * b.x, 12) AS DECIMAL(30,12))) AS DOUBLE))) AS cos_o
-  FROM comp a JOIN comp b ON b.vec_id = a.vec_id + 1 AND b.i = a.i
-  GROUP BY 1, 2
-  HAVING sum(CAST(round(a.x * a.x, 12) AS DECIMAL(30,12))) > 0
-     AND sum(CAST(round(b.x * b.x, 12) AS DECIMAL(30,12))) > 0
-), cos_p AS (
-  SELECT a.vec_id AS va, a.label,
-         CAST(sum(CAST(round(a.y * b.y, 12) AS DECIMAL(30,12))) AS DOUBLE)
-           / (sqrt(CAST(sum(CAST(round(a.y * a.y, 12) AS DECIMAL(30,12))) AS DOUBLE))
-              * sqrt(CAST(sum(CAST(round(b.y * b.y, 12) AS DECIMAL(30,12))) AS DOUBLE))) AS cos_p
-  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1 AND b.j = a.j
-  GROUP BY 1, 2
-  HAVING sum(CAST(round(a.y * a.y, 12) AS DECIMAL(30,12))) > 0
-     AND sum(CAST(round(b.y * b.y, 12) AS DECIMAL(30,12))) > 0
+  SELECT vec_id, label, embedding,
+         [list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            [CAST(embedding[i] AS DOUBLE) * m[j][i] FOR i IN range(1, {RP_DIN + 1})]),
+            (x, y) -> x + y) FOR j IN range(1, {RP_DOUT + 1})] AS y
+  FROM embeddings, sm
+), pairs AS (
+  SELECT a.label,
+         CAST(round(CAST({dot_ee} / (sqrt({naa}) * sqrt({nbb})) AS DECIMAL(24,10)), 6)
+              AS DECIMAL(24,6)) AS cos_o,
+         CAST(round(CAST({dot_yy} / (sqrt({nya}) * sqrt({nyb})) AS DECIMAL(24,10)), 6)
+              AS DECIMAL(24,6)) AS cos_p
+  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+  WHERE sqrt({naa}) > 0 AND sqrt({nbb}) > 0 AND sqrt({nya}) > 0 AND sqrt({nyb}) > 0
 ), err AS (
-  SELECT cos_o.label,
-         CAST(round(abs(cos_o - cos_p), 10) AS DECIMAL(28,10)) AS rerr
-  FROM cos_o JOIN cos_p ON cos_o.va = cos_p.va AND cos_o.label = cos_p.label
+  SELECT label, abs(cos_o - cos_p) AS rerr FROM pairs
 )
 SELECT label,
        CAST(count(*) AS BIGINT) AS n_pairs,
@@ -204,6 +202,9 @@ SELECT label,
        CAST(max(rerr) AS DOUBLE) AS max_abs_err
 FROM err GROUP BY label ORDER BY label
 """
+
+
+RANDOM_PROJECTION_SQL = _rp_sql()
 
 
 QUERIES = {
