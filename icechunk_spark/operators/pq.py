@@ -73,7 +73,8 @@ def _books_lit(books: list[list[tuple[int, list[float]]]]) -> Column:
 
 def _argmin_struct(sub: Column, codes_for_m: Column) -> Column:
     """(d2, code) of the nearest code; ties on the rounded distance
-    break to the lower code id."""
+    break to the lower code id (struct ordering).  array_min, not
+    array_sort+element_at: a single pass over the K structs."""
     scored = [
         F.struct(
             F.round(_l2sq(sub, F.element_at(codes_for_m, cid + 1)), 6).alias("d2"),
@@ -81,7 +82,7 @@ def _argmin_struct(sub: Column, codes_for_m: Column) -> Column:
         )
         for cid in range(PQ_K)
     ]
-    return F.element_at(F.array_sort(F.array(*scored)), 1)
+    return F.array_min(F.array(*scored))
 
 
 def _sub_col(m: int) -> Column:
@@ -152,15 +153,24 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = train_pq_codebooks(emb)
     lit = _books_lit(books)
 
-    enc = emb
-    for m in range(PQ_M):
-        best = _argmin_struct(_sub_col(m), F.element_at(lit, m + 1))
-        enc = enc.withColumn(f"code_{m}", best["code"]).withColumn(
-            f"err_{m}", best["d2"]
-        )
-    enc = enc.withColumn(
-        "recon_err", sum(F.col(f"err_{m}") for m in range(PQ_M))
+    # one materialized struct per subspace, PERSISTED at the struct
+    # layer: referencing .code and .d2 off the same lazy expression
+    # would inline the 16-way argmin twice per subspace, and a second
+    # projection would collapse back into the first (the winnowing
+    # no-CSE-across-projections lesson) — the cache boundary is what
+    # makes "compute once" real
+    enc_structs = emb.select(
+        "*",
+        *[
+            _argmin_struct(_sub_col(m), F.element_at(lit, m + 1)).alias(f"best_{m}")
+            for m in range(PQ_M)
+        ],
     ).persist()
+    enc = enc_structs.select(
+        "*",
+        *[F.col(f"best_{m}")["code"].alias(f"code_{m}") for m in range(PQ_M)],
+        sum(F.col(f"best_{m}")["d2"] for m in range(PQ_M)).alias("recon_err"),
+    ).drop(*[f"best_{m}" for m in range(PQ_M)])
 
     mean_rows = (
         emb.select(F.posexplode("embedding").alias("pos", "x"))
@@ -174,8 +184,11 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("recon_err").alias("pq_sse"),
         F.sum(_l2sq(F.col("embedding"), _lit_vec(mean_vec))).alias("base_sse"),
+        # size(collect_set), NOT count_distinct: 16 count_distincts in
+        # one agg compile to an EXPAND (x17 row blowup); a collect_set
+        # of <= K small ints per subspace aggregates in one pass
         *[
-            F.count_distinct(F.col(f"code_{m}")).alias(f"used_{m}")
+            F.size(F.collect_set(F.col(f"code_{m}"))).alias(f"used_{m}")
             for m in range(PQ_M)
         ],
     ).collect()[0]
@@ -185,11 +198,41 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
+    # THE ADC trick (Jegou §IV): per-(query, subspace) distance
+    # TABLES, computed once driver-side from the N_QUERIES bounded
+    # query rows (N_Q x M x K floats), so the scan side does pure
+    # table lookups — no per-pair subvector folds.  Python doubles
+    # are fine here: adc feeds only the shortlist ranking, which the
+    # exact rerank re-scores
+    qrows = {int(r["query_id"]): list(r["qe"]) for r in q.collect()}
+    qids = sorted(qrows)
+    assert qids == list(range(len(qids))), "query ids must be 0..N-1"
+    tables = []  # tables[qi][m][code] = ||q_m - c||^2
+    for qid in qids:
+        qe = qrows[qid]
+        per_m = []
+        for m in range(PQ_M):
+            sub_q = qe[m * PQ_SUB : (m + 1) * PQ_SUB]
+            per_m.append(
+                [
+                    sum((float(a) - b) * (float(a) - b) for a, b in zip(sub_q, c))
+                    for _, c in books[m]
+                ]
+            )
+        tables.append(per_m)
+    tlit = F.array(
+        *[
+            F.array(*[_lit_vec(per_m[m]) for m in range(PQ_M)])
+            for per_m in tables
+        ]
+    )
+    # query ids are 0..N_QUERIES-1 (contiguous), so query_id+1 indexes
+    # the literal directly
     adc = F.lit(0.0)
     for m in range(PQ_M):
-        adc = adc + _l2sq(
-            F.slice("qe", m * PQ_SUB + 1, PQ_SUB),
-            F.element_at(F.element_at(lit, m + 1), F.col(f"code_{m}") + 1),
+        adc = adc + F.element_at(
+            F.element_at(F.element_at(tlit, F.col("query_id").cast("int") + 1), m + 1),
+            F.col(f"code_{m}") + 1,
         )
     pairs = (
         enc.join(broadcast(q), F.col("vec_id") != F.col("query_id"))
@@ -221,7 +264,7 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs.unpersist()
-    enc.unpersist()
+    enc_structs.unpersist()
 
     return local_df(
         spark,
