@@ -40,6 +40,19 @@ class IcechunkError(Exception):
 
     default_kind: str = ErrorKind.INTERNAL.value
 
+    def __init__(self, *args: object) -> None:
+        super().__init__(*args)
+        # Reference parity #2267: the diagnostic report travels as a
+        # PEP 678 note, so tracebacks show the stable kind code and
+        # the concrete class without the catcher doing anything.
+        try:
+            self.add_note(
+                f"icechunk diagnostic: kind={self.kind} "
+                f"type={type(self).__name__}"
+            )
+        except Exception:  # pragma: no cover - note attach is best-effort
+            pass
+
     @property
     def message(self) -> str:
         return getattr(self, "_message", None) or str(self)

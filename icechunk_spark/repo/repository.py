@@ -140,16 +140,31 @@ class ManifestConfig:
     # Typed preload policy (reference ManifestPreloadConfig) evaluated
     # at readonly_session open; persists alongside preload_paths.
     preload: Any = None
+    # Reference parity #2274: how many manifests may be fetched /
+    # updated concurrently during a commit, amend, flush, or
+    # rewrite_manifests (reference default 1 = serial).  In this
+    # engine commit-time manifest work is ONE partitioned Spark write
+    # and manifest reads are Spark jobs, so per-file concurrency is
+    # governed by cluster parallelism, not a driver-side loop — the
+    # knob is accepted, validated, and persisted for config parity.
+    max_concurrent_manifest_fetches_during_commit: int = 1
 
     def __post_init__(self) -> None:
         if self.splitting is not None and hasattr(self.splitting, "to_splitting_dict"):
             self.splitting = self.splitting.to_splitting_dict()
+        if int(self.max_concurrent_manifest_fetches_during_commit) < 1:
+            raise ValueError(
+                "max_concurrent_manifest_fetches_during_commit must be >= 1"
+            )
 
     def to_dict(self) -> dict[str, Any]:
         return {
             "preload_paths": self.preload_paths,
             "splitting": self.splitting,
             "preload": self.preload.to_dict() if self.preload else None,
+            "max_concurrent_manifest_fetches_during_commit": int(
+                self.max_concurrent_manifest_fetches_during_commit
+            ),
         }
 
     @classmethod
@@ -163,6 +178,9 @@ class ManifestConfig:
             preload_paths=d.get("preload_paths"),
             splitting=d.get("splitting"),
             preload=preload,
+            max_concurrent_manifest_fetches_during_commit=int(
+                d.get("max_concurrent_manifest_fetches_during_commit", 1)
+            ),
         )
 
 

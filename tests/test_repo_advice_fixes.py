@@ -456,3 +456,30 @@ def test_chunks_into_updated_array_conflicts(spark, repo):
     s3.set_chunk_bytes("/a", "0", b"y" * 4096)
     s3.commit("w", rebase_with=ConflictSolver(on_node_conflict="use_ours"))
     assert repo.readonly_session().get_chunk_bytes("/a", "0") == b"y" * 4096
+
+
+def test_icechunk_errors_carry_pep678_diagnostic_note():
+    """Reference #2267: the diagnostic report travels as a PEP 678
+    note with the stable kind code."""
+    from icechunk_spark.errors import IcechunkError
+    from icechunk_spark.repo.session import RefError
+
+    try:
+        raise RefError("no such ref")
+    except IcechunkError as e:
+        notes = getattr(e, "__notes__", [])
+        assert any("kind=" in n and "RefError" in n for n in notes), notes
+
+
+def test_manifest_config_commit_concurrency_knob_round_trips():
+    """Reference #2274: ManifestConfig.max_concurrent_manifest_fetches
+    _during_commit — accepted, validated, persisted."""
+    import pytest
+
+    from icechunk_spark.repo.repository import ManifestConfig
+
+    mc = ManifestConfig(max_concurrent_manifest_fetches_during_commit=8)
+    assert ManifestConfig.from_dict(mc.to_dict()).max_concurrent_manifest_fetches_during_commit == 8
+    assert ManifestConfig.from_dict({}).max_concurrent_manifest_fetches_during_commit == 1
+    with pytest.raises(ValueError):
+        ManifestConfig(max_concurrent_manifest_fetches_during_commit=0)
