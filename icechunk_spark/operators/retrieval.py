@@ -36,7 +36,9 @@ RET_TOPK = 3
 Q_TERMS = 8  # query-side term budget
 
 
-def sparse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sparse_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_doc, doc_id, score) pruned-query TF-IDF cosine rows —
+    the shared core of sparse_retrieval and the RRF hybrid."""
     docs = load_tables(spark, sf_dir)["documents"]
     tf = (
         docs.select(
@@ -120,6 +122,11 @@ def sparse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("score"),
         )
     )
+    return scored
+
+
+def sparse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = sparse_scores(spark, sf_dir)
     return (
         _partial_topk(
             scored,
@@ -132,8 +139,8 @@ def sparse_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SPARSE_RETRIEVAL_SQL = f"""
-WITH toks AS (
+# the WITH-body through `scored` — shared with the RRF hybrid oracle
+SPARSE_CORE_SQL = f"""WITH toks AS (
   SELECT doc_id,
          unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS t
   FROM documents
@@ -176,7 +183,10 @@ WITH toks AS (
   JOIN norms qn ON qn.doc_id = dots.query_doc
   JOIN norms dn ON dn.doc_id = dots.doc_id
   WHERE qn.nrm > 0 AND dn.nrm > 0
-), ranked AS (
+)"""
+
+SPARSE_RETRIEVAL_SQL = SPARSE_CORE_SQL + f"""
+, ranked AS (
   SELECT query_doc, doc_id, score,
          row_number() OVER (PARTITION BY query_doc
                             ORDER BY score DESC, doc_id ASC) AS rnk
