@@ -237,6 +237,7 @@ R10B_OPS = [
     "hll_mergeable_distinct",
     "sparse_retrieval",
     "welch_drift_ttest",
+    "hybrid_retrieval_rrf",
 ]
 
 
