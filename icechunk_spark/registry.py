@@ -19,7 +19,7 @@ def _modules():
     from icechunk_spark.operators import tpch
 
     mods = [tpch]
-    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "semdedup", "linedup", "refine_ext", "sampling_ext", "pii", "bucketed", "curate_pipeline", "anomaly_ext", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "profile_ext", "curation_ext", "multimodal", "medianear", "runlength", "changepoint", "incremental", "bpetrain", "chunking", "nbclassify", "projection", "bpeencode", "cooccur", "pq", "streaming_drift", "conformal", "hllmerge", "retrieval", "ttest", "hybridrrf", "repo_queries", "streaming_queries"):
+    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "semdedup", "linedup", "refine_ext", "sampling_ext", "pii", "bucketed", "curate_pipeline", "anomaly_ext", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "profile_ext", "curation_ext", "multimodal", "medianear", "runlength", "changepoint", "incremental", "bpetrain", "chunking", "nbclassify", "projection", "bpeencode", "cooccur", "pq", "streaming_drift", "conformal", "hllmerge", "retrieval", "ttest", "hybridrrf", "repo_branching", "repo_queries", "streaming_queries"):
         try:
             mods.append(__import__(f"icechunk_spark.operators.{name}", fromlist=[name]))
         except ImportError:
@@ -140,6 +140,7 @@ PRIORITY: list[str] = [
     "sparse_retrieval",
     "welch_drift_ttest",
     "hybrid_retrieval_rrf",
+    "repo_branch_divergence",
     # then remaining changed-module r8 rows
     "q4_order_priority",
     "q5_local_supplier",

@@ -645,16 +645,80 @@ class Session:
             )
 
     def write_array_df(self, path: str, df: DataFrame) -> None:
-        """Distributed write: pack (i0..ik, value) rows into chunks."""
+        """Distributed write: pack (i0..ik, value) rows into chunks.
+
+        Zarr ARRAY semantics: a write that only partially covers a
+        chunk read-modify-writes that chunk — pre-existing cells the
+        incoming rows don't touch keep their values.  Fully covered
+        chunks skip the read (the common bulk-ingest case pays
+        nothing).  Found by repo_branch_divergence: an unaligned
+        region write used to clobber the untouched remainder of its
+        boundary chunks with the fill value."""
         self._require_data_writable()
         meta = self.array_meta(path)
         self._require_regular_grid(meta, "write_array_df")
+        df = self._merge_partial_chunks(df, meta)
         rel = self._new_chunk_rel()
         encode_array_chunks(df, meta, _dp(self.root, rel))
         staged = staged_manifest_from_chunk_dir(
             self.spark, _dp(self.root, rel), rel, meta.node_id
         )
         self._stage_manifest(staged)
+
+    def _merge_partial_chunks(self, df: DataFrame, meta) -> DataFrame:
+        """Union the incoming rows with the existing cells of every
+        PARTIALLY covered chunk (see write_array_df).  All distributed:
+        per-chunk coverage counts (map-side combine), a semi-join that
+        restricts the existing-cell decode to exactly the partial
+        chunks, and a coordinate anti-join so incoming rows win."""
+        ndim = len(meta.shape)
+        cols = [f"i{d}" for d in range(ndim)]
+        src = df.select(*cols, "value")
+        keyed = src.select(
+            "*",
+            *[
+                F.expr(f"CAST(i{d} AS BIGINT) div {meta.chunk_shape[d]}")
+                .cast("int")
+                .alias(f"__ck{d}")
+                for d in range(ndim)
+            ],
+        )
+        # full extent of a chunk, clamped at the array boundary
+        ext = F.lit(1)
+        for d in range(ndim):
+            ext = ext * F.least(
+                F.lit(meta.chunk_shape[d]),
+                F.lit(meta.shape[d])
+                - F.col(f"__ck{d}").cast("bigint") * meta.chunk_shape[d],
+            )
+        partial = (
+            keyed.groupBy(*[f"__ck{d}" for d in range(ndim)])
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") < ext)
+            .select(
+                *[
+                    F.col(f"__ck{d}").alias(f"c{d}")
+                    for d in range(ndim)
+                ]
+            )
+        )
+        if not partial.limit(1).collect():
+            return src
+        manifest = self._resolved_manifest(meta.node_id, None).join(
+            partial, [f"c{d}" for d in range(ndim)], "left_semi"
+        )
+        existing = decode_chunks_to_rows(
+            self.spark,
+            self.root,
+            manifest,
+            meta,
+            None,
+            vcc_map=self._virtual_container_names,
+        )
+        keep = existing.join(src.select(*cols), cols, "left_anti").select(
+            *cols, "value"
+        )
+        return src.unionByName(keep)
 
     def read_array_df(
         self, path: str, slices: list[tuple[int, int]] | None = None

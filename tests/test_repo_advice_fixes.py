@@ -483,3 +483,37 @@ def test_manifest_config_commit_concurrency_knob_round_trips():
     assert ManifestConfig.from_dict({}).max_concurrent_manifest_fetches_during_commit == 1
     with pytest.raises(ValueError):
         ManifestConfig(max_concurrent_manifest_fetches_during_commit=0)
+
+
+def test_partial_chunk_write_read_modify_writes(spark, tmp_path):
+    """write_array_df on a region that partially covers a chunk must
+    keep the untouched cells (zarr array semantics) — the clobber
+    repo_branch_divergence exposed: cells [64, 96) used to reset to
+    fill when [96, 224) was written with chunk_shape 64."""
+    from pyspark.sql import functions as F
+
+    from icechunk_spark.repo.repository import Repository
+
+    repo = Repository.create(spark, str(tmp_path / "rmw"))
+    base = spark.range(256).select(
+        F.col("id").alias("i0"), (F.col("id") * 1.0).alias("value")
+    )
+    with repo.transaction(message="v1") as s:
+        s.create_array("/a", shape=[256], chunk_shape=[64])
+        s.write_array_df("/a", base)
+    with repo.transaction(message="partial") as s:
+        s.write_array_df(
+            "/a",
+            spark.range(96, 224).select(
+                F.col("id").alias("i0"), F.lit(-1.0).alias("value")
+            ),
+        )
+    got = {
+        r["i0"]: r["value"]
+        for r in repo.readonly_session(branch="main")
+        .read_array_df("/a")
+        .collect()
+    }
+    for i in range(256):
+        expected = -1.0 if 96 <= i < 224 else float(i)
+        assert got[i] == expected, (i, got[i])
