@@ -657,23 +657,44 @@ class Session:
         self._require_data_writable()
         meta = self.array_meta(path)
         self._require_regular_grid(meta, "write_array_df")
-        df = self._merge_partial_chunks(df, meta)
-        rel = self._new_chunk_rel()
-        encode_array_chunks(df, meta, _dp(self.root, rel))
+        src = df.select(*[f"i{d}" for d in range(len(meta.shape))], "value")
+        merged, cache = self._merge_partial_chunks(src, meta)
+        try:
+            rel = self._new_chunk_rel()
+            encode_array_chunks(merged, meta, _dp(self.root, rel))
+        finally:
+            if cache is not None:
+                cache.unpersist()
         staged = staged_manifest_from_chunk_dir(
             self.spark, _dp(self.root, rel), rel, meta.node_id
         )
         self._stage_manifest(staged)
 
-    def _merge_partial_chunks(self, df: DataFrame, meta) -> DataFrame:
+    def _merge_partial_chunks(self, df: DataFrame, meta):
         """Union the incoming rows with the existing cells of every
         PARTIALLY covered chunk (see write_array_df).  All distributed:
         per-chunk coverage counts (map-side combine), a semi-join that
         restricts the existing-cell decode to exactly the partial
-        chunks, and a coordinate anti-join so incoming rows win."""
+        chunks, and a coordinate anti-join so incoming rows win.
+
+        Returns ``(frame_to_encode, cache_or_None)`` — the caller
+        unpersists the cache after the encode materializes."""
         ndim = len(meta.shape)
         cols = [f"i{d}" for d in range(ndim)]
-        src = df.select(*cols, "value")
+        src = df
+        # cheap fast path FIRST: an array with no existing chunk refs
+        # (fresh array, or first write in a fresh repo) cannot need a
+        # merge — one metadata-only manifest probe instead of the
+        # per-chunk coverage aggregation over the incoming data
+        # (measured: the coverage job alone added ~1.2 s of scan+floor
+        # to the headline array_store_roundtrip)
+        existing_manifest = self._resolved_manifest(meta.node_id, None)
+        if not existing_manifest.limit(1).collect():
+            return src, None
+        # slow path: the write set is consumed by BOTH the coverage
+        # check and the encode — cache it so the caller's input plan
+        # runs once
+        src = src.persist()
         keyed = src.select(
             "*",
             *[
@@ -703,8 +724,8 @@ class Session:
             )
         )
         if not partial.limit(1).collect():
-            return src
-        manifest = self._resolved_manifest(meta.node_id, None).join(
+            return src, src
+        manifest = existing_manifest.join(
             partial, [f"c{d}" for d in range(ndim)], "left_semi"
         )
         existing = decode_chunks_to_rows(
@@ -718,7 +739,7 @@ class Session:
         keep = existing.join(src.select(*cols), cols, "left_anti").select(
             *cols, "value"
         )
-        return src.unionByName(keep)
+        return src.unionByName(keep), src
 
     def read_array_df(
         self, path: str, slices: list[tuple[int, int]] | None = None
