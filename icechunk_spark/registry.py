@@ -65,64 +65,21 @@ def _modules():
 # r10 queries, then the remaining changed-module r8 rows (q4/q5/q7/q9
 # raw, q3_bucketed, stream_static_enrich — all carrying current
 # LOCALGATES credits), then the r8 clean rows, then the r9 rows.
+#
+# Round 11 window (VERDICT r10 #1+#3): 2 anchors + ALL 18 r10-new
+# queries that have never had a driver row (judge-gated green at
+# sf0.01 in the r10 VERDICT with the driver's exact method, each
+# carrying triple-SF LOCALGATES credits) + 16 r8-stale rows whose
+# modules changed since their r8 record + the 14 oldest clean r8
+# rows.  The 16 r8 clean rows that did not fit carry fresh sf0.01+
+# local re-gates from this round's full gate run.  After r11 every
+# registered query is driver-official and no green row is older
+# than r9.
 PRIORITY: list[str] = [
-    # ---- r10 window (first 50): anchors ----
+    # ---- r11 window (first 50): anchors ----
     "q1_pricing_summary",
     "minhash_lsh",
-    # first-ever driver rows (VERDICT r9 #1)
-    "repetition_runs",
-    "cusum_changepoint",
-    "stream_zscore_alerts",
-    "incremental_dedup",
-    # r7-stale, module CHANGED since their driver row
-    "cross_doc_spans",
-    "dedup_exact_keep_first",
-    "dup_span_fraction",
-    "embedding_neardup",
-    "fingerprint",
-    "gopher_quality_filters",
-    "lang_id",
-    "ngram_freq",
-    "ngram_jaccard",
-    "pipeline_clean_corpus",
-    "quality_score",
-    "tfidf_top_terms",
-    "token_count",
-    # r7-stale, module clean
-    "array_store_roundtrip_distributed",
-    "asof_join",
-    "bpe_pair_counts",
-    "ccnet_perplexity_buckets",
-    "customer_retention_setops",
-    "distinct_count_approx",
-    "distinct_count_exact",
-    "dsir_importance",
-    "first_last_in_group",
-    "histogram_value",
-    "hypertable_rollup",
-    "json_extract_agg",
-    "mixture_sample",
-    "pack_sequences",
-    "percentiles",
-    "pivot_events",
-    "range_join",
-    "rank_distribution",
-    "repo_cdc_changes",
-    "rollup_cube",
-    "running_agg",
-    "sessionize",
-    "sketch_event_counts",
-    "split_train_val",
-    "stats_agg",
-    "string_agg_ordered",
-    "time_resample",
-    "topk_per_group",
-    "window_lead_lag",
-    "word_entropy",
-    # changed-module r8 row (tpch.py SHJ hints, r9)
-    "q3_shipping_priority",
-    # ---- window boundary (50) ----
-    # r11 overflow head: NEW in r10 (locally gated at 3 SFs)
+    # r10-new, never had a driver row (VERDICT r10 #1 — ALL 18 first)
     "length_mad_outliers_approx",
     "incremental_dedup_indexed",
     "q3_partitioned",
@@ -141,38 +98,43 @@ PRIORITY: list[str] = [
     "welch_drift_ttest",
     "hybrid_retrieval_rrf",
     "repo_branch_divergence",
-    # then remaining changed-module r8 rows
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q3_bucketed",
-    "stream_static_enrich",
-    # then the r8 clean rows (driver rows from CORRECTNESS_r08)
-    "array_store_roundtrip",
-    "bigram_logprob_score",
-    "clean_reassemble",
-    "decontaminate",
+    # r8-stale, module CHANGED since their driver row (VERDICT r10 #3)
     "dedup_cascade",
     "dedup_cluster",
     "dedup_cluster_star",
     "dedup_exact",
+    "idf_doc_score",
+    "length_mad_outliers",
+    "line_dedup",
+    "lsh_quality",
+    "ngram_containment",
+    "q3_bucketed",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "stream_running_totals",
+    "stream_static_enrich",
+    # r8-stale, module clean (oldest-first fill)
+    "array_store_roundtrip",
+    "bigram_logprob_score",
+    "clean_reassemble",
+    "decontaminate",
     "event_decay_score",
     "fps_sample",
     "frame_sample",
     "funnel_conversion",
-    "idf_doc_score",
     "knn_brute_force",
     "label_pair_similarity",
-    "length_mad_outliers",
     "length_percentile_filter",
-    "line_dedup",
-    "lsh_quality",
     "media_dedup",
     "media_resize",
     "mmr_diversify",
+    # ---- window boundary (50) ----
+    # r12 overflow head: any new r11 queries land HERE (above the
+    # remaining r8 rows), then the 16 r8 clean rows that did not fit
+    # (all re-gated locally at sf0.01+ this round), then the r9 rows.
     "multimodal_features",
-    "ngram_containment",
     "ngram_diversity",
     "pii_redact",
     "pii_stats",
@@ -184,7 +146,6 @@ PRIORITY: list[str] = [
     "shard_assign",
     "source_vocab_overlap",
     "stratified_sample",
-    "stream_running_totals",
     "ttr_stats",
     "vector_quantize_error",
     "weighted_sample",
