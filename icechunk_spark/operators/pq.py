@@ -123,6 +123,16 @@ def train_pq_codebooks(emb: DataFrame) -> list[list[tuple[int, list[float]]]]:
         books[r["m"]].append((r["rk"] - 1, [float(x) for x in r["sub"]]))
     for b in books:
         b.sort()
+        if not b:
+            raise ValueError("pq: empty embeddings input — cannot train codebooks")
+        # tiny inputs can yield fewer than PQ_K seed rows; pad by
+        # cycling the existing seeds so element_at(codes, 1..K) never
+        # probes past the end (a duplicated centroid has the same d2
+        # but a higher code id, so it loses every argmin tie, and
+        # Lloyd keeps an empty code's previous vector)
+        n_seed = len(b)
+        while len(b) < PQ_K:
+            b.append((len(b), b[len(b) % n_seed][1]))
     for _ in range(PQ_LLOYD):
         lit = _books_lit(books)
         assigned = sub.withColumn(
@@ -206,7 +216,8 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact rerank re-scores
     qrows = {int(r["query_id"]): list(r["qe"]) for r in q.collect()}
     qids = sorted(qrows)
-    assert qids == list(range(len(qids))), "query ids must be 0..N-1"
+    if qids != list(range(len(qids))):  # explicit: asserts vanish under -O
+        raise ValueError(f"pq: query ids must be contiguous 0..N-1, got {qids[:5]}...")
     tables = []  # tables[qi][m][code] = ||q_m - c||^2
     for qid in qids:
         qe = qrows[qid]

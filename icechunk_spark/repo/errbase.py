@@ -40,16 +40,29 @@ class IcechunkError(Exception):
 
     default_kind: str = ErrorKind.INTERNAL.value
 
+    _NOTE_PREFIX = "icechunk diagnostic: "
+
     def __init__(self, *args: object) -> None:
         super().__init__(*args)
         # Reference parity #2267: the diagnostic report travels as a
         # PEP 678 note, so tracebacks show the stable kind code and
         # the concrete class without the catcher doing anything.
+        self._refresh_diagnostic_note()
+
+    def _refresh_diagnostic_note(self) -> None:
+        """(Re)write the PEP 678 diagnostic note so it always reflects
+        the CURRENT kind — several raise sites override ``_kind`` after
+        construction, and a note baked at ``__init__`` time would report
+        the wrong code for those."""
         try:
-            self.add_note(
-                f"icechunk diagnostic: kind={self.kind} "
-                f"type={type(self).__name__}"
-            )
+            note = f"{self._NOTE_PREFIX}kind={self.kind} type={type(self).__name__}"
+            notes = getattr(self, "__notes__", None)
+            if notes:
+                for i, n in enumerate(notes):
+                    if isinstance(n, str) and n.startswith(self._NOTE_PREFIX):
+                        notes[i] = note
+                        return
+            self.add_note(note)
         except Exception:  # pragma: no cover - note attach is best-effort
             pass
 
@@ -60,4 +73,15 @@ class IcechunkError(Exception):
     @property
     def kind(self) -> str:
         """Stable machine-readable error code, see :class:`ErrorKind`."""
-        return getattr(self, "_kind", None) or type(self).default_kind
+        return self.__dict__.get("_kind") or type(self).default_kind
+
+    @property
+    def _kind(self) -> str | None:
+        return self.__dict__.get("_kind")
+
+    @_kind.setter
+    def _kind(self, value: str) -> None:
+        # Raise sites narrow the kind post-construction
+        # (session.py:162/1451/1593); keep the diagnostic note in sync.
+        self.__dict__["_kind"] = value
+        self._refresh_diagnostic_note()

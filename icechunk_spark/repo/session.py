@@ -682,12 +682,24 @@ class Session:
         ndim = len(meta.shape)
         cols = [f"i{d}" for d in range(ndim)]
         src = df
-        # cheap fast path FIRST: an array with no existing chunk refs
-        # (fresh array, or first write in a fresh repo) cannot need a
-        # merge — one metadata-only manifest probe instead of the
-        # per-chunk coverage aggregation over the incoming data
-        # (measured: the coverage job alone added ~1.2 s of scan+floor
-        # to the headline array_store_roundtrip)
+        # cheap fast paths FIRST, ordered by cost (guard-ordering
+        # lesson: a correctness check on a hot write path earns its
+        # keep only with a metadata-cheap fast path for the common
+        # case).  Level 1 is DRIVER-ONLY — no Spark job at all: when
+        # the base snapshot has no manifest file that could contain
+        # this node and this transaction has staged/buffered nothing,
+        # no existing ref can exist (the bulk-ingest first write, and
+        # the headline roundtrip's only write).
+        if (
+            not mf.prune_manifest_paths(self._base.manifests, meta.node_id)
+            and not self._staged
+            and not self._chunk_buffer
+        ):
+            return src, None
+        # Level 2: one metadata-only manifest probe (no payload decode)
+        # instead of the per-chunk coverage aggregation over the
+        # incoming data (measured: the coverage job alone added ~1.2 s
+        # of scan+floor to the headline array_store_roundtrip)
         existing_manifest = self._resolved_manifest(meta.node_id, None)
         if not existing_manifest.limit(1).collect():
             return src, None
@@ -712,9 +724,19 @@ class Session:
                 F.lit(meta.shape[d])
                 - F.col(f"__ck{d}").cast("bigint") * meta.chunk_shape[d],
             )
+        # coverage = DISTINCT IN-BOUNDS coordinates per chunk: duplicate
+        # (i0..ik) rows or out-of-shape coordinates in the input must
+        # not let a partially covered chunk pass as full (which would
+        # skip the RMW and clobber untouched cells with fill)
+        inb = F.lit(True)
+        for d in range(ndim):
+            inb = inb & (F.col(f"i{d}") >= 0) & (
+                F.col(f"i{d}") < F.lit(int(meta.shape[d]))
+            )
         partial = (
-            keyed.groupBy(*[f"__ck{d}" for d in range(ndim)])
-            .agg(F.count(F.lit(1)).alias("__n"))
+            keyed.filter(inb)
+            .groupBy(*[f"__ck{d}" for d in range(ndim)])
+            .agg(F.count_distinct(*[F.col(c) for c in cols]).alias("__n"))
             .filter(F.col("__n") < ext)
             .select(
                 *[

@@ -52,3 +52,24 @@ def test_pq_encode_plan_stays_jvm(spark, books):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_tiny_input_pads_codebooks_to_k(spark):
+    """ADVICE r10: fewer than PQ_K seed rows must not leave a short
+    codebook (element_at past the end -> NULL d2 structs).  Seeds are
+    cycled to K; duplicated centroids lose argmin ties."""
+    emb = (
+        load_tables(spark, SF_DIR)["embeddings"]
+        .orderBy("vec_id")
+        .limit(3)
+    )
+    books = train_pq_codebooks(emb)
+    for codes in books:
+        assert [cid for cid, _ in codes] == list(range(PQ_K))
+        assert all(len(c) == PQ_SUB for _, c in codes)
+
+
+def test_empty_input_raises(spark):
+    emb = load_tables(spark, SF_DIR)["embeddings"].filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty embeddings"):
+        train_pq_codebooks(emb)

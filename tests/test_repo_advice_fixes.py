@@ -517,3 +517,82 @@ def test_partial_chunk_write_read_modify_writes(spark, tmp_path):
     for i in range(256):
         expected = -1.0 if 96 <= i < 224 else float(i)
         assert got[i] == expected, (i, got[i])
+
+
+def test_diagnostic_note_tracks_kind_override():
+    """ADVICE r10: raise sites narrow ``_kind`` after construction
+    (session.py:162/1451/1593) — the PEP 678 note must report the
+    OVERRIDDEN kind, not the one baked at __init__ time."""
+    from icechunk_spark.repo.errbase import ErrorKind, IcechunkError
+
+    e = IcechunkError("boom")
+    assert any("kind=internal" in n for n in e.__notes__)
+    e._kind = ErrorKind.INVALID_INPUT.value
+    assert any("kind=invalid_input" in n for n in e.__notes__)
+    assert not any("kind=internal" in n for n in e.__notes__)
+    # user-attached notes survive a later kind override
+    e.add_note("user note")
+    e._kind = ErrorKind.SESSION_STATE.value
+    assert "user note" in e.__notes__
+    assert sum(1 for n in e.__notes__ if n.startswith("icechunk diagnostic")) == 1
+
+
+def test_duplicate_coordinate_rows_do_not_fake_full_coverage(spark, tmp_path):
+    """ADVICE r10: coverage must count DISTINCT in-bounds coordinates.
+    64 duplicate rows over 32 cells of a 64-cell chunk used to count
+    as full coverage, skipping the RMW and clobbering the untouched
+    half with fill."""
+    from pyspark.sql import functions as F
+
+    from icechunk_spark.repo.repository import Repository
+
+    repo = Repository.create(spark, str(tmp_path / "dupcov"))
+    base = spark.range(256).select(
+        F.col("id").alias("i0"), (F.col("id") * 1.0).alias("value")
+    )
+    with repo.transaction(message="v1") as s:
+        s.create_array("/a", shape=[256], chunk_shape=[64])
+        s.write_array_df("/a", base)
+    # chunk 1 covers [64,128); write [96,128) with every row duplicated
+    # so the RAW count (64) equals the chunk extent
+    half = spark.range(96, 128).select(
+        F.col("id").alias("i0"), F.lit(-1.0).alias("value")
+    )
+    with repo.transaction(message="dup partial") as s:
+        s.write_array_df("/a", half.unionAll(half))
+    got = {
+        r["i0"]: r["value"]
+        for r in repo.readonly_session(branch="main").read_array_df("/a").collect()
+    }
+    for i in range(256):
+        expected = -1.0 if 96 <= i < 128 else float(i)
+        assert got[i] == expected, (i, got[i])
+
+
+def test_fresh_first_write_takes_driver_only_fast_path(spark, tmp_path):
+    """The first write_array_df in a fresh repo must decide
+    'no merge needed' from driver-side metadata alone — no manifest
+    probe job (the headline roundtrip's write is exactly this case)."""
+    from unittest import mock
+
+    from pyspark.sql import functions as F
+
+    from icechunk_spark.repo.repository import Repository
+
+    repo = Repository.create(spark, str(tmp_path / "fastpath"))
+    df = spark.range(128).select(
+        F.col("id").alias("i0"), (F.col("id") * 1.0).alias("value")
+    )
+    with repo.transaction(message="v1") as s:
+        s.create_array("/a", shape=[128], chunk_shape=[64])
+        with mock.patch.object(
+            type(s),
+            "_resolved_manifest",
+            side_effect=AssertionError("fresh-array write took the probe path"),
+        ):
+            s.write_array_df("/a", df)
+    got = {
+        r["i0"]: r["value"]
+        for r in repo.readonly_session(branch="main").read_array_df("/a").collect()
+    }
+    assert len(got) == 128 and got[5] == 5.0
