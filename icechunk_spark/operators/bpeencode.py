@@ -39,22 +39,29 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(tokenize(F.lower(F.col("text")))).alias("word"),
     )
-    # persisted: feeds the distinct-vocab build AND the stats join,
-    # and its recompute crosses a shuffle
-    ws = (
+    # the (source, word) count frame is still vocabulary-sized (vocab
+    # x the handful of sources), so the merge chain runs RIGHT ON IT:
+    # one projection of K chained JVM replaces, no distinct-vocab
+    # shuffle and no vocab equi-join (the r10 shape paid both — the
+    # join was the encode side's largest exchange; measured at sf10 in
+    # BASELINE.md r11)
+    enc = (
         toks.groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
-    )
-    enc = ws.select("word").distinct().select(
-        "word",
-        F.concat(
-            F.lit(BOUND), F.array_join(F.split("word", ""), BOUND), F.lit(BOUND)
-        ).alias("s"),
+        .select(
+            "source",
+            "word",
+            "cnt",
+            F.concat(
+                F.lit(BOUND), F.array_join(F.split("word", ""), BOUND), F.lit(BOUND)
+            ).alias("s"),
+        )
     )
     for m in merges:
         enc = enc.select(
+            "source",
             "word",
+            "cnt",
             F.replace(
                 F.col("s"),
                 F.lit(SEP + m["lhs"] + BOUND + m["rhs"] + SEP),
@@ -62,17 +69,15 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     enc = enc.select(
-        "word",
+        "source",
+        "cnt",
+        F.length("word").alias("wlen"),
         F.size(F.filter(F.split("s", BOUND), lambda x: x != "")).alias("n_sym"),
     )
-    agg = (
-        ws.join(enc, "word")
-        .groupBy("source")
-        .agg(
-            F.sum("cnt").cast("bigint").alias("n_words"),
-            F.sum(F.col("cnt") * F.col("n_sym")).cast("bigint").alias("n_tokens"),
-            F.sum(F.col("cnt") * F.length("word")).cast("bigint").alias("n_chars"),
-        )
+    agg = enc.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_words"),
+        F.sum(F.col("cnt") * F.col("n_sym")).cast("bigint").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.col("wlen")).cast("bigint").alias("n_chars"),
     )
     return agg.select(
         "source",

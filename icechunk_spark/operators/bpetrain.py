@@ -72,18 +72,86 @@ def _pair_counts(w: DataFrame) -> DataFrame:
     )
 
 
+#: vocab rows above which training does NOT collect the word-count
+#: table and falls back to the distributed per-step loop.  2M rows of
+#: (word, count) is ~100 MB of driver heap — far below the codebook/
+#: shortlist collect bounds elsewhere; a 10-100M-word web-corpus vocab
+#: trips the cap and takes the distributed path.
+VOCAB_COLLECT_CAP = 2_000_000
+
+
+def _train_driver_side(rows: list, k: int) -> list[tuple]:
+    """The exact greedy loop on the collected (word, wc) table: count
+    adjacent pairs over all overlapping positions weighted by wc,
+    merge the (count DESC, lhs ASC, rhs ASC) argmax left-to-right
+    non-overlapping — the same semantics the double-separator
+    ``replace`` representation proves byte-identical across engines
+    (integer counts + deterministic tie-break, nothing to drift)."""
+    vocab: list[list] = [[int(r["wc"]), list(r["word"])] for r in rows]
+    merges: list[tuple] = []
+    for step in range(1, k + 1):
+        counts: dict[tuple, int] = {}
+        for wc, syms in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + wc
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, a + b, int(c)))
+        ab = a + b
+        for entry in vocab:
+            syms = entry[1]
+            if a not in syms:
+                continue
+            out = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            entry[1] = out
+    return merges
+
+
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train N_MERGES BPE merges over the lowercased whitespace
     vocabulary of ``documents`` and return the merge table
     (step, lhs, rhs, merged, pair_count) — the artifact a tokenizer
     build step persists.  See the module docstring for the greedy
-    string-replace representation and the scale shape."""
+    string-replace representation and the scale shape.
+
+    The corpus-sized stage is ONE map-side-combined groupBy; the
+    iterative stage then runs on the word-count table, which is
+    vocabulary-sized, not corpus-sized.  When that table fits the
+    VOCAB_COLLECT_CAP bound it is collected and the K greedy merges
+    run driver-side in pure Python (byte-identical algebra; kills the
+    K scheduler-floor argmax jobs that dominated the distributed loop
+    — measured 4.7 s -> see BASELINE.md r11); past the cap the
+    distributed per-step loop below takes over unchanged."""
     docs = load_tables(spark, sf_dir)["documents"]
     words = (
         docs.select(F.explode(tokenize(F.lower(F.col("text")))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
+    schema = "step int, lhs string, rhs string, merged string, pair_count bigint"
+    # limit(CAP+1): one job that either returns the ENTIRE vocab
+    # (common case) or proves it exceeds the bound
+    head = words.limit(VOCAB_COLLECT_CAP + 1).collect()
+    if len(head) <= VOCAB_COLLECT_CAP:
+        merges = _train_driver_side(head, N_MERGES)
+        return local_df(spark, merges, schema).orderBy("step")
+    return _train_distributed(spark, words, schema)
+
+
+def _train_distributed(spark: SparkSession, words: DataFrame, schema: str) -> DataFrame:
+    """Per-step distributed loop for vocabularies past the driver
+    bound: one map-side-combined pair aggregate + one broadcast-
+    literal replace per step over the persisted vocab frame."""
     w = words.select(
         "wc",
         F.concat(
@@ -128,11 +196,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 materialized = w
     finally:
         materialized.unpersist()
-    return local_df(
-        spark,
-        merges,
-        "step int, lhs string, rhs string, merged string, pair_count bigint",
-    ).orderBy("step")
+    return local_df(spark, merges, schema).orderBy("step")
 
 
 def _bpe_oracle_sql(k: int = N_MERGES) -> str:

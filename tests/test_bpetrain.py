@@ -75,3 +75,15 @@ def test_bpe_greedy_overlap_rule(spark):
     ).collect()[0].s
     syms = [x for x in out.split(BOUND) if x]
     assert syms == ["aa", "a"]
+
+
+def test_distributed_fallback_matches_driver_path(spark, monkeypatch):
+    """Past VOCAB_COLLECT_CAP the per-step distributed loop takes over
+    — it must produce the identical merge table (it no longer runs by
+    default, so pin it against the driver-side path explicitly)."""
+    import icechunk_spark.operators.bpetrain as bt
+
+    fast = [tuple(r) for r in bpe_train_merges(spark, SF_DIR).collect()]
+    monkeypatch.setattr(bt, "VOCAB_COLLECT_CAP", 0)
+    slow = [tuple(r) for r in bpe_train_merges(spark, SF_DIR).collect()]
+    assert fast == slow and len(fast) == N_MERGES
