@@ -5,15 +5,17 @@ the numbers a pipeline checks before committing to a tokenizer (high
 fertility on a language/source = that slice is expensive to train on
 and under-represented per byte).
 
-Scale shape (the production trick): the merge chain is applied to the
-DISTINCT-WORD vocabulary, not the token stream — encoding cost is
-vocabulary-sized, then one (word) equi-join carries n_sym back onto
-the per-(source, word) counts, and the stats are ONE map-side-combined
-groupBy(source).  The merge table itself reaches the driver as K=12
-bounded rows (the FPS/MMR bounded-collect precedent) and is applied as
-broadcast-literal string replaces — the same double-separator greedy
-``replace`` representation bpetrain.py proves byte-identical across
-engines.
+Scale shape (the production trick): ONE corpus scan builds the
+per-(source, word) count frame; tokenizer training re-aggregates it to
+per-word counts (identical to counting the corpus directly) and the
+merge chain is applied RIGHT ON the (source, word) frame — still
+vocabulary-sized (vocab x the handful of sources), with no
+distinct-vocab shuffle and no vocab equi-join (the r10 shape paid
+both; sf10 measured 7.5 s -> see BASELINE.md r11).  The merge table
+reaches the driver as K=12 bounded rows (the FPS/MMR bounded-collect
+precedent) and is applied as broadcast-literal string replaces — the
+same double-separator greedy ``replace`` representation bpetrain.py
+proves byte-identical across engines.
 
 All outputs are BIGINT counts and integer-half-up 4dp ratios — no
 float aggregation anywhere.
@@ -26,19 +28,32 @@ from pyspark.sql import functions as F
 
 from icechunk_spark.catalog import load_tables
 from icechunk_spark.functions import tokenize
-from icechunk_spark.operators.bpetrain import BOUND, N_MERGES, SEP, bpe_train_merges
+from icechunk_spark.operators.bpetrain import (
+    BOUND,
+    N_MERGES,
+    SEP,
+    train_merges_from_word_counts,
+)
 from icechunk_spark.operators.dedup import duck_toks
 
 
 def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    # K bounded merge rows on the driver — the tokenizer artifact
-    merges = bpe_train_merges(spark, sf_dir).collect()
-
     toks = docs.select(
         "source",
         F.explode(tokenize(F.lower(F.col("text")))).alias("word"),
     )
+    # ONE corpus scan: the per-(source, word) counts feed BOTH the
+    # tokenizer training (second-stage re-aggregation to per-word
+    # counts — identical to counting the corpus directly) and the
+    # encode, so the query never explodes the token stream twice
+    ws = (
+        toks.groupBy("source", "word").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    )
+    word_counts = ws.groupBy("word").agg(F.sum("cnt").alias("wc"))
+    # K bounded merge rows on the driver — the tokenizer artifact
+    merges = train_merges_from_word_counts(spark, word_counts).collect()
+
     # the (source, word) count frame is still vocabulary-sized (vocab
     # x the handful of sources), so the merge chain runs RIGHT ON IT:
     # one projection of K chained JVM replaces, no distinct-vocab
@@ -46,8 +61,7 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join was the encode side's largest exchange; measured at sf10 in
     # BASELINE.md r11)
     enc = (
-        toks.groupBy("source", "word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        ws
         .select(
             "source",
             "word",

@@ -138,6 +138,13 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
+    return train_merges_from_word_counts(spark, words)
+
+
+def train_merges_from_word_counts(spark: SparkSession, words: DataFrame) -> DataFrame:
+    """Train from an existing (word, wc) frame — lets a caller that
+    already aggregated the corpus (bpe_encode_corpus's per-source
+    counts) reuse that work instead of re-scanning the corpus."""
     schema = "step int, lhs string, rhs string, merged string, pair_count bigint"
     # limit(CAP+1): one job that either returns the ENTIRE vocab
     # (common case) or proves it exceeds the bound

@@ -42,6 +42,14 @@ PQ_M = 16  # subspaces
 PQ_SUB = 4  # dims per subspace
 PQ_K = 16  # codes per codebook (4 bits)
 PQ_LLOYD = 2
+#: Lloyd training runs on a deterministic md5-bucketed SAMPLE of at
+#: most this many vectors (VERDICT r10 #7): codebook quality needs a
+#: statistically representative sample, not the population — K=16
+#: centroids per 4-dim subspace saturate long before 64k points —
+#: while assignment/encode still covers the FULL set exactly once.
+#: Below the cap the sample is the whole input (bit-identical to
+#: unsampled training); the sf10 600k-vector set trains ~9x less.
+PQ_TRAIN_CAP = 65_536
 PQ_RECALL_TAU = 0.45  # MEAN rerank recall@k floor
 RERANK_FRAC = 100  # shortlist = max(4k, n // RERANK_FRAC)
 
@@ -94,7 +102,16 @@ def train_pq_codebooks(emb: DataFrame) -> list[list[tuple[int, list[float]]]]:
     (vec_id, m, sub) frame: per Lloyd round exactly one assignment +
     one mean-update aggregation, whatever M is.  Deterministic
     md5-spread seeds; empty codes keep their previous vector."""
-    sub = emb.select(
+    # deterministic md5-spread training sample (the IVF/kmeans seed
+    # precedent): partial top-k, no RNG state; for n <= PQ_TRAIN_CAP
+    # this keeps every row and training is unchanged
+    train = (
+        emb.withColumn("__r", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__r", "vec_id")
+        .limit(PQ_TRAIN_CAP)
+        .drop("__r")
+    )
+    sub = train.select(
         "vec_id",
         F.explode(
             F.array(

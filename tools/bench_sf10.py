@@ -244,6 +244,9 @@ R10B_OPS = [
 def _query_names() -> list[str]:
     from bench import BENCH_QUERIES
 
+    for a in sys.argv:
+        if a.startswith("--only="):  # targeted re-measurement
+            return a.split("=", 1)[1].split(",")
     if "--new-ops" in sys.argv:
         return NEW_OPS
     if "--r10b-ops" in sys.argv:
@@ -335,7 +338,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "sf10_new_ops"
+                "metric": "sf10_only"
+                if any(a.startswith("--only=") for a in sys.argv)
+                else "sf10_new_ops"
                 if "--new-ops" in sys.argv
                 else "sf10_r10b_ops"
                 if "--r10b-ops" in sys.argv
