@@ -102,15 +102,24 @@ def train_pq_codebooks(emb: DataFrame) -> list[list[tuple[int, list[float]]]]:
     (vec_id, m, sub) frame: per Lloyd round exactly one assignment +
     one mean-update aggregation, whatever M is.  Deterministic
     md5-spread seeds; empty codes keep their previous vector."""
-    # deterministic md5-spread training sample (the IVF/kmeans seed
-    # precedent): partial top-k, no RNG state; for n <= PQ_TRAIN_CAP
-    # this keeps every row and training is unchanged
-    train = (
-        emb.withColumn("__r", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("__r", "vec_id")
-        .limit(PQ_TRAIN_CAP)
-        .drop("__r")
-    )
+    # deterministic md5-bucketed training sample: keep rows whose
+    # 32-bit md5 prefix falls under CAP/n of the hash space — a plain
+    # distributed filter that preserves partitioning.  NOT an
+    # orderBy().limit(CAP): a limit past topKSortFallbackThreshold
+    # (10k) degrades to a single-partition global sort that collapses
+    # the parallelism of every Lloyd round downstream (measured 154 s
+    # at sf10 before this form).  For n <= CAP no filter is applied
+    # and training is bit-identical to the unsampled path.
+    n_vec = emb.count()
+    if n_vec > PQ_TRAIN_CAP:
+        cutoff = (1 << 32) * PQ_TRAIN_CAP // n_vec
+        train = emb.filter(
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            < F.lit(cutoff)
+        )
+    else:
+        train = emb
     sub = train.select(
         "vec_id",
         F.explode(

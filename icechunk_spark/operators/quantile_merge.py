@@ -1,0 +1,113 @@
+"""Mergeable quantile sketches (SURVEY.md §2b extension — the
+quantile sibling of hll_mergeable_distinct): per-day fixed-width
+histogram sketches over ``events.value`` that MERGE by bin-count
+addition, so yesterday's sketches never get rescanned when today's
+data arrives — the monitoring-pipeline shape where a dashboard wants
+rolling p50/p90/p99 over an append-only event stream.
+
+Determinism contract (what makes this oracle-checkable where t-digest
+is not): values are fixed to integer cents once, the bin domain is
+the integer [lo, hi] span with width = (hi-lo)/B + 1 (integer), and a
+quantile estimate is the LOWER EDGE of the first bin whose cumulative
+count reaches ceil(pct·n/100) — pure integer algebra end to end
+(every division is an integer ``div``; the only double op is the
+final exact cents/100 display division), so Spark and DuckDB agree
+bit-for-bit.  Estimate error is bounded by one bin width; B=256 keeps
+the merged state at ≤256 rows per stream regardless of event volume
+(the mergeable-sketch invariant).
+
+Scale shape: one map-side-combined groupBy(day, bin) builds all daily
+sketches in a single pass over events (persisted: it feeds the merge,
+the totals and the three quantile picks); the merge is a
+≤(days x B)-row groupBy; the quantile pick is a window over ≤B rows.
+Nothing driver-side but the 2-value domain row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from icechunk_spark.catalog import load_tables
+
+N_BINS = 256
+PCTS = (50, 90, 99)
+
+
+def quantile_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"].select(
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    lo, hi = (int(x) for x in ev.agg(F.min("c"), F.max("c")).first())
+    width = max(1, (hi - lo) // N_BINS + 1)
+    # per-day sketches: the state a streaming monitor would persist
+    daily = (
+        ev.groupBy("day", F.expr(f"(c - {lo}) div {width}").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    # merge WITHOUT rescanning events: bin-count addition
+    merged = daily.groupBy("bin").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    stats = daily.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.count_distinct("day").alias("n_days"),
+    )
+    cum = merged.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    picks = None
+    for pct in PCTS:
+        p = (
+            cum.crossJoin(stats)
+            .filter(F.col("cum") >= F.expr(f"({pct} * n + 99) div 100"))
+            .agg(F.min("bin").alias("bin"))
+            .select(F.lit(pct).alias("pct"), "bin")
+        )
+        picks = p if picks is None else picks.unionByName(p)
+    return (
+        picks.crossJoin(stats)
+        .select(
+            "pct",
+            (
+                (F.col("bin") * width + F.lit(lo)).cast("double") / F.lit(100.0)
+            ).alias("est_value"),
+            "n",
+            "n_days",
+        )
+        .orderBy("pct")
+    )
+
+
+QUANTILE_SKETCH_SQL = f"""
+WITH c AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(round(value * 100) AS BIGINT) AS c FROM events
+), dom AS (
+  SELECT min(c) AS lo, GREATEST(1, (max(c) - min(c)) // {N_BINS} + 1) AS width FROM c
+), daily AS (
+  SELECT day, (c.c - dom.lo) // dom.width AS bin, count(*) AS cnt
+  FROM c, dom GROUP BY 1, 2
+), merged AS (
+  SELECT bin, CAST(sum(cnt) AS BIGINT) AS cnt FROM daily GROUP BY 1
+), stats AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         (SELECT count(DISTINCT day) FROM daily) AS n_days
+  FROM merged
+), cum AS (
+  SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM merged
+), q AS (
+  SELECT pct FROM (VALUES (50), (90), (99)) t(pct)
+)
+SELECT pct,
+       CAST((SELECT min(bin) FROM cum, stats WHERE cum >= (pct * n + 99) // 100)
+              * dom.width + dom.lo AS DOUBLE) / 100.0 AS est_value,
+       stats.n AS n, stats.n_days AS n_days
+FROM q, dom, stats
+ORDER BY pct
+"""
+
+QUERIES = {"quantile_sketch_mergeable": quantile_sketch_mergeable}
+ORACLES = {"quantile_sketch_mergeable": QUANTILE_SKETCH_SQL}

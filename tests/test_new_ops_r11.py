@@ -1,0 +1,119 @@
+"""r11 operators: hard_negative_mining, quantile_sketch_mergeable,
+winsorize_scores — semantic invariants + plan hygiene (values are
+oracle-checked by tools/check.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from icechunk_spark.catalog import load_tables
+from icechunk_spark.operators.negatives import hard_negative_mining
+from icechunk_spark.operators.quantile_merge import (
+    N_BINS,
+    quantile_sketch_mergeable,
+)
+from icechunk_spark.operators.winsorize import winsorize_scores
+
+from .conftest import SF_DIR
+
+
+def test_hard_negatives_are_wrong_label_topk(spark):
+    rows = hard_negative_mining(spark, SF_DIR).collect()
+    assert rows
+    per_query: dict[int, list] = {}
+    for r in rows:
+        assert r["neg_label"] != r["q_label"], r
+        per_query.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_query.items():
+        ranks = [r["rnk"] for r in sorted(rs, key=lambda r: r["rnk"])]
+        assert ranks == list(range(1, len(rs) + 1))
+        sims = [r["cos_sim"] for r in sorted(rs, key=lambda r: r["rnk"])]
+        assert sims == sorted(sims, reverse=True), (q, sims)
+
+
+def test_hard_negatives_plan_stays_jvm(spark):
+    df = hard_negative_mining(spark, SF_DIR)
+    df.collect()  # AQE finalizes plans on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_quantile_sketch_invariants(spark):
+    out = {r["pct"]: r for r in quantile_sketch_mergeable(spark, SF_DIR).collect()}
+    assert set(out) == {50, 90, 99}
+    ev = load_tables(spark, SF_DIR)["events"]
+    n = ev.count()
+    assert out[50]["n"] == n
+    assert out[50]["est_value"] <= out[90]["est_value"] <= out[99]["est_value"]
+    mn, mx = ev.agg(F.min("value"), F.max("value")).first()
+    width_dollars = (
+        max(1, (round(mx * 100) - round(mn * 100)) // N_BINS + 1) / 100.0
+    )
+    # lower-edge estimates live within one bin of the true quantile
+    for pct in (50, 90, 99):
+        exact = ev.agg(
+            F.expr(f"percentile(value, {pct / 100})").alias("p")
+        ).first()["p"]
+        assert abs(out[pct]["est_value"] - exact) <= width_dollars + 1e-9, (
+            pct,
+            out[pct]["est_value"],
+            exact,
+            width_dollars,
+        )
+
+
+def test_quantile_sketch_merge_equals_full(spark):
+    """The mergeable claim itself: sketches built on two disjoint day
+    halves, merged by bin-count addition, give the SAME picks as the
+    single-pass query (no rescan of the first half needed)."""
+    from icechunk_spark.operators.quantile_merge import PCTS
+
+    ev = load_tables(spark, SF_DIR)["events"].select(
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    lo, hi = (int(x) for x in ev.agg(F.min("c"), F.max("c")).first())
+    width = max(1, (hi - lo) // N_BINS + 1)
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+    split = days[len(days) // 2]
+    halves = [ev.filter(F.col("day") < F.lit(split)), ev.filter(F.col("day") >= F.lit(split))]
+    import collections
+
+    counts: collections.Counter = collections.Counter()
+    for h in halves:  # two independent sketch builds
+        for r in (
+            h.groupBy(F.expr(f"(c - {lo}) div {width}").alias("bin"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        ):
+            counts[r["bin"]] += r["cnt"]
+    n = sum(counts.values())
+    merged_picks = {}
+    cum = 0
+    ordered = sorted(counts)
+    for pct in PCTS:
+        k = (pct * n + 99) // 100
+        cum = 0
+        for b in ordered:
+            cum += counts[b]
+            if cum >= k:
+                merged_picks[pct] = (b * width + lo) / 100.0
+                break
+    out = {r["pct"]: r["est_value"] for r in quantile_sketch_mergeable(spark, SF_DIR).collect()}
+    assert merged_picks == out
+
+
+def test_winsorize_invariants(spark):
+    rows = winsorize_scores(spark, SF_DIR).collect()
+    assert rows
+    docs = load_tables(spark, SF_DIR)["documents"]
+    n_by_source = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in rows:
+        assert r["p05"] <= r["p95"], r
+        assert r["n"] == n_by_source[r["source"]]
+        assert r["n_clipped_lo"] + r["n_clipped_hi"] < r["n"]
+        assert r["p05"] <= r["winsorized_mean_len"] <= r["p95"], r
