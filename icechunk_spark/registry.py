@@ -19,7 +19,7 @@ def _modules():
     from icechunk_spark.operators import tpch
 
     mods = [tpch]
-    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "semdedup", "linedup", "refine_ext", "sampling_ext", "pii", "bucketed", "curate_pipeline", "anomaly_ext", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "profile_ext", "curation_ext", "multimodal", "medianear", "runlength", "changepoint", "incremental", "bpetrain", "chunking", "nbclassify", "projection", "bpeencode", "cooccur", "pq", "partitioned_tight", "negatives", "quantile_merge", "winsorize", "streaming_drift", "conformal", "hllmerge", "retrieval", "ttest", "hybridrrf", "repo_branching", "repo_queries", "streaming_queries"):
+    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "semdedup", "linedup", "refine_ext", "sampling_ext", "pii", "bucketed", "curate_pipeline", "anomaly_ext", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "profile_ext", "curation_ext", "multimodal", "medianear", "runlength", "changepoint", "incremental", "bpetrain", "chunking", "nbclassify", "projection", "bpeencode", "cooccur", "pq", "partitioned_tight", "negatives", "quantile_merge", "winsorize", "survivorship", "streaming_drift", "conformal", "hllmerge", "retrieval", "ttest", "hybridrrf", "repo_branching", "repo_queries", "streaming_queries"):
         try:
             mods.append(__import__(f"icechunk_spark.operators.{name}", fromlist=[name]))
         except ImportError:
@@ -138,6 +138,7 @@ PRIORITY: list[str] = [
     "hard_negative_mining",
     "quantile_sketch_mergeable",
     "winsorize_scores",
+    "dedup_survivorship",
     "multimodal_features",
     "ngram_diversity",
     "pii_redact",

@@ -117,3 +117,23 @@ def test_winsorize_invariants(spark):
         assert r["n"] == n_by_source[r["source"]]
         assert r["n_clipped_lo"] + r["n_clipped_hi"] < r["n"]
         assert r["p05"] <= r["winsorized_mean_len"] <= r["p95"], r
+
+
+def test_survivorship_consistent_with_clusters(spark):
+    from icechunk_spark.operators.dedup import dedup_cluster
+    from icechunk_spark.operators.survivorship import dedup_survivorship
+
+    surv = dedup_survivorship(spark, SF_DIR).collect()
+    assert surv
+    docs = load_tables(spark, SF_DIR)["documents"].select(
+        "doc_id", F.length("text").alias("len")
+    )
+    labels = {r["doc_id"]: r["cluster_id"] for r in dedup_cluster(spark, SF_DIR).collect()}
+    lens = {r["doc_id"]: r["len"] for r in docs.collect()}
+    for r in surv:
+        members = [d for d, c in labels.items() if c == r["cluster_id"]]
+        assert len(members) == r["n_members"] >= 2
+        best = min(members, key=lambda d: (-lens[d], d))
+        assert r["survivor_id"] == best
+        assert r["survivor_len"] == lens[best]
+        assert r["chars_retired"] == sum(lens[d] for d in members) - lens[best]
