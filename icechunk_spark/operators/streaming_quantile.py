@@ -1,0 +1,116 @@
+"""Streaming mergeable quantile sketch (SURVEY.md §2g extension):
+the streaming twin of ``quantile_sketch_mergeable`` (quantile_merge
+.py).  The STREAM maintains the per-(day, bin) histogram
+incrementally — state bounded by days x B bins no matter how many
+events flow — and p50/p90/p99 are read off the drained sketch with
+the same pure-integer lower-edge algebra as the batch op.
+
+One deliberate difference from the batch twin: the bin DOMAIN is
+declared up front (lo=0, cap=$2,000 in integer cents, values clamped
+into range) instead of derived from a data min/max pass — a stream
+cannot scan its own future, and a production monitor configures its
+histogram domain.  The clamp makes tail estimates saturate at the cap
+rather than silently growing state.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from icechunk_spark.streaming.events import read_event_stream, run_to_memory
+
+SQ_BINS = 256
+SQ_LO = 0  # cents
+SQ_CAP = 200_000  # cents ($2,000) — values clamp into [SQ_LO, SQ_CAP]
+SQ_WIDTH = (SQ_CAP - SQ_LO) // SQ_BINS + 1
+SQ_PCTS = (50, 90, 99)
+
+
+def _daily_sketch_stream(events: DataFrame) -> DataFrame:
+    c = F.round(F.col("value") * 100).cast("bigint")
+    clamped = F.greatest(F.least(c, F.lit(SQ_CAP)), F.lit(SQ_LO))
+    return events.groupBy(
+        F.to_date("ts").alias("day"),
+        ((clamped - SQ_LO) / SQ_WIDTH).cast("bigint").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"squant_{uuid.uuid4().hex[:8]}"
+    ev = read_event_stream(spark, sf_dir)
+    run_to_memory(_daily_sketch_stream(ev), name, output_mode="complete")
+    return quantiles_over_sketch(spark.table(name))
+
+
+def quantiles_over_sketch(daily: DataFrame) -> DataFrame:
+    """Merge a drained (day, bin, cnt) sketch table and read the
+    quantile estimates off it — bin-count addition + a window over
+    ≤SQ_BINS rows; never touches raw events."""
+    daily = daily.persist()
+    merged = daily.groupBy("bin").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    stats = daily.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.count_distinct("day").alias("n_days"),
+    )
+    cum = merged.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    picks = None
+    for pct in SQ_PCTS:
+        p = (
+            cum.crossJoin(stats)
+            .filter(F.col("cum") >= F.expr(f"({pct} * n + 99) div 100"))
+            .agg(F.min("bin").alias("bin"))
+            .select(F.lit(pct).alias("pct"), "bin")
+        )
+        picks = p if picks is None else picks.unionByName(p)
+    return (
+        picks.crossJoin(stats)
+        .select(
+            "pct",
+            (
+                (F.col("bin") * SQ_WIDTH + F.lit(SQ_LO)).cast("double")
+                / F.lit(100.0)
+            ).alias("est_value"),
+            "n",
+            "n_days",
+        )
+        .orderBy("pct")
+    )
+
+
+STREAM_QUANTILE_SQL = f"""
+WITH c AS (
+  SELECT CAST(ts AS DATE) AS day,
+         GREATEST(LEAST(CAST(round(value * 100) AS BIGINT), {SQ_CAP}), {SQ_LO}) AS c
+  FROM events
+), daily AS (
+  SELECT day, (c - {SQ_LO}) // {SQ_WIDTH} AS bin, count(*) AS cnt
+  FROM c GROUP BY 1, 2
+), merged AS (
+  SELECT bin, CAST(sum(cnt) AS BIGINT) AS cnt FROM daily GROUP BY 1
+), stats AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         (SELECT count(DISTINCT day) FROM daily) AS n_days
+  FROM merged
+), cum AS (
+  SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM merged
+), q AS (
+  SELECT pct FROM (VALUES (50), (90), (99)) t(pct)
+)
+SELECT pct,
+       CAST((SELECT min(bin) FROM cum, stats WHERE cum >= (pct * n + 99) // 100)
+              * {SQ_WIDTH} + {SQ_LO} AS DOUBLE) / 100.0 AS est_value,
+       stats.n AS n, stats.n_days AS n_days
+FROM q, stats
+ORDER BY pct
+"""
+
+QUERIES = {"stream_quantile_sketch": stream_quantile_sketch}
+ORACLES = {"stream_quantile_sketch": STREAM_QUANTILE_SQL}

@@ -137,3 +137,41 @@ def test_survivorship_consistent_with_clusters(spark):
         assert r["survivor_id"] == best
         assert r["survivor_len"] == lens[best]
         assert r["chars_retired"] == sum(lens[d] for d in members) - lens[best]
+
+
+def test_stream_quantile_state_equals_batch_sketch(spark):
+    """The streaming sketch accumulated across micro-batches must
+    equal the batch-computed (day, bin) histogram exactly — the
+    accumulation-equality contract (stream_psi_drift precedent)."""
+    import uuid
+
+    from icechunk_spark.operators.streaming_quantile import (
+        SQ_CAP,
+        SQ_LO,
+        SQ_WIDTH,
+        _daily_sketch_stream,
+    )
+    from icechunk_spark.streaming.events import read_event_stream, run_to_memory
+
+    name = f"sqt_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        _daily_sketch_stream(read_event_stream(spark, SF_DIR)),
+        name,
+        output_mode="complete",
+    )
+    drained = {
+        (str(r["day"]), r["bin"]): r["cnt"] for r in spark.table(name).collect()
+    }
+    ev = load_tables(spark, SF_DIR)["events"]
+    c = F.round(F.col("value") * 100).cast("bigint")
+    clamped = F.greatest(F.least(c, F.lit(SQ_CAP)), F.lit(SQ_LO))
+    batch = {
+        (str(r["day"]), r["bin"]): r["cnt"]
+        for r in ev.groupBy(
+            F.to_date("ts").alias("day"),
+            ((clamped - SQ_LO) / SQ_WIDTH).cast("bigint").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert drained == batch and drained
