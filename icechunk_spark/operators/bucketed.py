@@ -40,37 +40,19 @@ from icechunk_spark.operators.tpch import Q3_SQL, Q5_SQL, Q9_SQL
 BROADCAST_SRC_CAP_BYTES = 1 << 30
 
 
-def q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q3 over bucketed fact tables: the BUILDING customer semi-filter
-    broadcasts onto bucketed ORDERS first (a broadcast join preserves
-    the bucket partitioning, so the lineitem join stays co-located),
-    shrinking the SMJ's match side ~5× and the aggregation input with
-    it.  Measured vs the r8 join-first shape at sf10: 1.27 s vs 1.41 s
-    best-window, identical values.  The broadcast hint is size-gated
-    like q5's (BROADCAST_SRC_CAP_BYTES); past the cap the semi-filter
-    falls back to probing the join output, where AQE can still convert
-    it from runtime stats."""
-    db = bucketed_db(spark, sf_dir)
-    li = spark.table(f"{db}.lineitem").filter(
-        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp_ntz")
-    )
-    orders = spark.table(f"{db}.orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
-    )
+def _q3_shape(spark: SparkSession, sf_dir: str, li, orders) -> DataFrame:
+    """The shared q3 join/agg spine over pre-filtered bucketed facts:
+    size-gated BUILDING broadcast semi-filter -> exchange-free
+    SHUFFLE_HASH fact join -> co-located aggregation -> top 10.
+    q3_bucketed / q3_partitioned / q3_partitioned_tight differ ONLY in
+    which table layout and which date/partition predicates feed
+    ``li``/``orders`` — one implementation so a join-shape change
+    can't silently diverge the registered variants (review r11)."""
     cust = (
         load_tables(spark, sf_dir)["customer"]
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
     )
-    # SHUFFLE_HASH on the (filtered, semi-reduced) orders build side:
-    # over bucketed tables the hint yields an EXCHANGE-FREE hash join —
-    # build one hash per bucket of the small side, stream lineitem
-    # through it — instead of a sort-merge whose per-row comparisons
-    # dominate once both sorts are already elided.  Measured at sf10
-    # (interleaved, min-of-5): 0.96 s vs 1.39 s SMJ, identical values.
-    # Per-task build = one orders bucket after both filters; the
-    # suggest_buckets sizing rule keeps a bucket ≤ a task's memory
-    # comfortably, so the build side scales with the rule.
     if _table_bytes(sf_dir, "customer") <= BROADCAST_SRC_CAP_BYTES:
         orders = orders.join(
             broadcast(cust), F.col("o_custkey") == cust.c_custkey, "left_semi"
@@ -90,6 +72,35 @@ def q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+def q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q3 over bucketed fact tables: the BUILDING customer semi-filter
+    broadcasts onto bucketed ORDERS first (a broadcast join preserves
+    the bucket partitioning, so the lineitem join stays co-located),
+    shrinking the SMJ's match side ~5× and the aggregation input with
+    it.  Measured vs the r8 join-first shape at sf10: 1.27 s vs 1.41 s
+    best-window, identical values.  The broadcast hint is size-gated
+    like q5's (BROADCAST_SRC_CAP_BYTES); past the cap the semi-filter
+    falls back to probing the join output, where AQE can still convert
+    it from runtime stats."""
+    db = bucketed_db(spark, sf_dir)
+    li = spark.table(f"{db}.lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp_ntz")
+    )
+    orders = spark.table(f"{db}.orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    # SHUFFLE_HASH on the (filtered, semi-reduced) orders build side:
+    # over bucketed tables the hint yields an EXCHANGE-FREE hash join —
+    # build one hash per bucket of the small side, stream lineitem
+    # through it — instead of a sort-merge whose per-row comparisons
+    # dominate once both sorts are already elided.  Measured at sf10
+    # (interleaved, min-of-5): 0.96 s vs 1.39 s SMJ, identical values.
+    # Per-task build = one orders bucket after both filters; the
+    # suggest_buckets sizing rule keeps a bucket ≤ a task's memory
+    # comfortably, so the build side scales with the rule.
+    return _q3_shape(spark, sf_dir, li, orders)
 
 
 def q5_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,30 +225,7 @@ def q3_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_year") <= F.lit(1998))
         & (F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz"))
     )
-    cust = (
-        load_tables(spark, sf_dir)["customer"]
-        .filter(F.col("c_mktsegment") == "BUILDING")
-        .select("c_custkey")
-    )
-    if _table_bytes(sf_dir, "customer") <= BROADCAST_SRC_CAP_BYTES:
-        orders = orders.join(
-            broadcast(cust), F.col("o_custkey") == cust.c_custkey, "left_semi"
-        )
-        joined = li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
-    else:
-        joined = li.join(
-            orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
-        ).join(cust, F.col("o_custkey") == cust.c_custkey, "left_semi")
-    return (
-        joined.groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
-        )
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
-        .limit(10)
-    )
+    return _q3_shape(spark, sf_dir, li, orders)
 
 
 QUERIES = {

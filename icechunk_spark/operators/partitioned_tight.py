@@ -23,15 +23,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 
-from icechunk_spark.catalog import load_tables
-from icechunk_spark.functions import money_sum
-from icechunk_spark.functions.bucketing import (
-    partitioned_bucketed_db,
-    table_bytes as _table_bytes,
-)
-from icechunk_spark.operators.bucketed import BROADCAST_SRC_CAP_BYTES
+from icechunk_spark.functions.bucketing import partitioned_bucketed_db
+from icechunk_spark.operators.bucketed import _q3_shape
 
 
 def q3_partitioned_tight(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,30 +45,7 @@ def q3_partitioned_tight(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_year") == F.lit(1996))
         & (F.col("o_orderdate") < F.lit("1996-09-15").cast("timestamp_ntz"))
     )
-    cust = (
-        load_tables(spark, sf_dir)["customer"]
-        .filter(F.col("c_mktsegment") == "BUILDING")
-        .select("c_custkey")
-    )
-    if _table_bytes(sf_dir, "customer") <= BROADCAST_SRC_CAP_BYTES:
-        orders = orders.join(
-            broadcast(cust), F.col("o_custkey") == cust.c_custkey, "left_semi"
-        )
-        joined = li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
-    else:
-        joined = li.join(
-            orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
-        ).join(cust, F.col("o_custkey") == cust.c_custkey, "left_semi")
-    return (
-        joined.groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
-        )
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
-        .limit(10)
-    )
+    return _q3_shape(spark, sf_dir, li, orders)
 
 
 Q3_TIGHT_SQL = """

@@ -110,6 +110,8 @@ def train_pq_codebooks(emb: DataFrame) -> list[list[tuple[int, list[float]]]]:
     # the parallelism of every Lloyd round downstream (measured 154 s
     # at sf10 before this form).  For n <= CAP no filter is applied
     # and training is bit-identical to the unsampled path.
+    # count(*) over an unfiltered parquet scan compiles to a
+    # metadata-only row-group-stats job — cheap relative to a Lloyd round
     n_vec = emb.count()
     if n_vec > PQ_TRAIN_CAP:
         cutoff = (1 << 32) * PQ_TRAIN_CAP // n_vec

@@ -39,14 +39,26 @@ def quantile_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"),
         F.round(F.col("value") * 100).cast("bigint").alias("c"),
     )
-    lo, hi = (int(x) for x in ev.agg(F.min("c"), F.max("c")).first())
+    dom = ev.agg(F.min("c"), F.max("c")).first()
+    if dom[0] is None:
+        raise ValueError("quantile_sketch: empty events input — no value domain")
+    lo, hi = (int(x) for x in dom)
     width = max(1, (hi - lo) // N_BINS + 1)
     # per-day sketches: the state a streaming monitor would persist
-    daily = (
-        ev.groupBy("day", F.expr(f"(c - {lo}) div {width}").alias("bin"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .persist()
-    )
+    daily = ev.groupBy(
+        "day", F.expr(f"(c - {lo}) div {width}").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return quantiles_over_sketch(daily, lo, width)
+
+
+def quantiles_over_sketch(
+    daily: DataFrame, lo: int, width: int, pcts: tuple[int, ...] = PCTS
+) -> DataFrame:
+    """Merge a (day, bin, cnt) sketch frame by bin-count addition and
+    read the quantile estimates off it — a ≤B-row window, never the
+    raw events.  Shared by the batch op and the streaming twin
+    (streaming_quantile.py) so the pick algebra cannot diverge."""
+    daily = daily.persist()
     # merge WITHOUT rescanning events: bin-count addition
     merged = daily.groupBy("bin").agg(F.sum("cnt").cast("bigint").alias("cnt"))
     stats = daily.agg(
@@ -60,7 +72,7 @@ def quantile_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     picks = None
-    for pct in PCTS:
+    for pct in pcts:
         p = (
             cum.crossJoin(stats)
             .filter(F.col("cum") >= F.expr(f"({pct} * n + 99) div 100"))

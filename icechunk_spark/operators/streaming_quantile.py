@@ -17,9 +17,10 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from icechunk_spark.operators.quantile_merge import quantiles_over_sketch
 from icechunk_spark.streaming.events import read_event_stream, run_to_memory
 
 SQ_BINS = 256
@@ -30,11 +31,16 @@ SQ_PCTS = (50, 90, 99)
 
 
 def _daily_sketch_stream(events: DataFrame) -> DataFrame:
-    c = F.round(F.col("value") * 100).cast("bigint")
-    clamped = F.greatest(F.least(c, F.lit(SQ_CAP)), F.lit(SQ_LO))
+    # integer div end to end (the module's determinism contract):
+    # double-divide + truncate would round across a bucket boundary
+    # for domains near 2^53 and diverge from the oracle's //
+    bin_expr = (
+        f"(GREATEST(LEAST(CAST(round(value * 100) AS BIGINT), {SQ_CAP}), {SQ_LO})"
+        f" - {SQ_LO}) div {SQ_WIDTH}"
+    )
     return events.groupBy(
         F.to_date("ts").alias("day"),
-        ((clamped - SQ_LO) / SQ_WIDTH).cast("bigint").alias("bin"),
+        F.expr(bin_expr).alias("bin"),
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
@@ -42,47 +48,9 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"squant_{uuid.uuid4().hex[:8]}"
     ev = read_event_stream(spark, sf_dir)
     run_to_memory(_daily_sketch_stream(ev), name, output_mode="complete")
-    return quantiles_over_sketch(spark.table(name))
-
-
-def quantiles_over_sketch(daily: DataFrame) -> DataFrame:
-    """Merge a drained (day, bin, cnt) sketch table and read the
-    quantile estimates off it — bin-count addition + a window over
-    ≤SQ_BINS rows; never touches raw events."""
-    daily = daily.persist()
-    merged = daily.groupBy("bin").agg(F.sum("cnt").cast("bigint").alias("cnt"))
-    stats = daily.agg(
-        F.sum("cnt").cast("bigint").alias("n"),
-        F.count_distinct("day").alias("n_days"),
-    )
-    cum = merged.withColumn(
-        "cum",
-        F.sum("cnt").over(
-            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    picks = None
-    for pct in SQ_PCTS:
-        p = (
-            cum.crossJoin(stats)
-            .filter(F.col("cum") >= F.expr(f"({pct} * n + 99) div 100"))
-            .agg(F.min("bin").alias("bin"))
-            .select(F.lit(pct).alias("pct"), "bin")
-        )
-        picks = p if picks is None else picks.unionByName(p)
-    return (
-        picks.crossJoin(stats)
-        .select(
-            "pct",
-            (
-                (F.col("bin") * SQ_WIDTH + F.lit(SQ_LO)).cast("double")
-                / F.lit(100.0)
-            ).alias("est_value"),
-            "n",
-            "n_days",
-        )
-        .orderBy("pct")
-    )
+    # the pick algebra is SHARED with the batch op (quantile_merge.py)
+    # so the two registered queries cannot diverge
+    return quantiles_over_sketch(spark.table(name), SQ_LO, SQ_WIDTH, SQ_PCTS)
 
 
 STREAM_QUANTILE_SQL = f"""

@@ -681,7 +681,20 @@ class Session:
         unpersists the cache after the encode materializes."""
         ndim = len(meta.shape)
         cols = [f"i{d}" for d in range(ndim)]
-        src = df
+        # out-of-shape rows are dropped AT THE SOURCE (a lazy filter,
+        # no job): they must neither count toward chunk coverage nor
+        # reach the encoder — a chunk whose incoming rows were ALL
+        # out-of-bounds would otherwise skip the RMW yet still emit a
+        # fill-initialized chunk file that clobbers the existing cells
+        # (array-row analog of the reference's out-of-grid write
+        # rejection, PR #2312; cell rows are ignored, not errored,
+        # because the check must stay job-free on the hot write path)
+        inb = F.lit(True)
+        for d in range(ndim):
+            inb = inb & (F.col(f"i{d}") >= 0) & (
+                F.col(f"i{d}") < F.lit(int(meta.shape[d]))
+            )
+        src = df.filter(inb)
         # cheap fast paths FIRST, ordered by cost (guard-ordering
         # lesson: a correctness check on a hot write path earns its
         # keep only with a metadata-cheap fast path for the common
@@ -724,18 +737,12 @@ class Session:
                 F.lit(meta.shape[d])
                 - F.col(f"__ck{d}").cast("bigint") * meta.chunk_shape[d],
             )
-        # coverage = DISTINCT IN-BOUNDS coordinates per chunk: duplicate
-        # (i0..ik) rows or out-of-shape coordinates in the input must
-        # not let a partially covered chunk pass as full (which would
-        # skip the RMW and clobber untouched cells with fill)
-        inb = F.lit(True)
-        for d in range(ndim):
-            inb = inb & (F.col(f"i{d}") >= 0) & (
-                F.col(f"i{d}") < F.lit(int(meta.shape[d]))
-            )
+        # coverage = DISTINCT coordinates per chunk (src is already
+        # in-bounds-filtered above): duplicate (i0..ik) rows in the
+        # input must not let a partially covered chunk pass as full
+        # (which would skip the RMW and clobber untouched cells)
         partial = (
-            keyed.filter(inb)
-            .groupBy(*[f"__ck{d}" for d in range(ndim)])
+            keyed.groupBy(*[f"__ck{d}" for d in range(ndim)])
             .agg(F.count_distinct(*[F.col(c) for c in cols]).alias("__n"))
             .filter(F.col("__n") < ext)
             .select(

@@ -596,3 +596,36 @@ def test_fresh_first_write_takes_driver_only_fast_path(spark, tmp_path):
         for r in repo.readonly_session(branch="main").read_array_df("/a").collect()
     }
     assert len(got) == 128 and got[5] == 5.0
+
+
+def test_all_out_of_bounds_write_is_a_noop_on_existing_cells(spark, tmp_path):
+    """A write whose rows for a chunk are ALL out of the array shape
+    must not emit a chunk file at all (review r11): dropping OOB rows
+    only from the coverage COUNT would skip the RMW yet still pack a
+    fill-initialized buffer that clobbers the existing cells."""
+    from pyspark.sql import functions as F
+
+    from icechunk_spark.repo.repository import Repository
+
+    repo = Repository.create(spark, str(tmp_path / "oob"))
+    base = spark.range(100).select(
+        F.col("id").alias("i0"), (F.col("id") * 1.0).alias("value")
+    )
+    with repo.transaction(message="v1") as s:
+        s.create_array("/a", shape=[100], chunk_shape=[64])
+        s.write_array_df("/a", base)
+    # rows land inside chunk 1's [64,128) buffer but OUTSIDE shape 100
+    with repo.transaction(message="oob") as s:
+        s.write_array_df(
+            "/a",
+            spark.range(100, 128).select(
+                F.col("id").alias("i0"), F.lit(-1.0).alias("value")
+            ),
+        )
+    got = {
+        r["i0"]: r["value"]
+        for r in repo.readonly_session(branch="main").read_array_df("/a").collect()
+    }
+    assert len(got) == 100
+    for i in range(100):
+        assert got[i] == float(i), (i, got[i])
