@@ -31,7 +31,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 
 from icechunk_spark.catalog import load_tables
 from icechunk_spark.engine import local_df
@@ -186,29 +185,50 @@ def train_pq_codebooks(emb: DataFrame) -> list[list[tuple[int, list[float]]]]:
     return books
 
 
+def _np_encode(e, book_mat):
+    """Vectorized PQ encode: codes (b x M, int64) + per-row
+    reconstruction SSE, matching the JVM _argmin_struct semantics —
+    d2 rounded to 6dp, ties to the lower code id (np.argmin takes the
+    first minimum).  Parity with the JVM expression is pinned in
+    tests/test_pq.py."""
+    import numpy as np
+
+    codes = np.empty((len(e), PQ_M), dtype=np.int64)
+    recon = np.zeros(len(e))
+    for m in range(PQ_M):
+        s = e[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+        c = book_mat[m]
+        d = (s * s).sum(axis=1)[:, None] + (c * c).sum(axis=1)[None, :] - 2.0 * (s @ c.T)
+        np.maximum(d, 0.0, out=d)
+        d = np.round(d, 6)
+        codes[:, m] = d.argmin(axis=1)
+        recon += d[np.arange(len(e)), codes[:, m]]
+    return codes, recon
+
+
 def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant row for the full PQ pipeline.  After Lloyd training
+    (sampled, distributed — train_pq_codebooks) every per-vector stage
+    runs as Arrow-batched numpy inside mapInPandas: the 16-way
+    per-subspace argmin encode is a (b x K) GEMM per subspace and the
+    query audit is one (b x N_Q) GEMM per batch.  The JVM
+    higher-order-function form of the same math was measured at
+    34.9 s for the encode alone at sf10 (interpreted per-element
+    lambdas; the unrolled-expression alternative is a recorded
+    negative result — it falls out of codegen), and distances stay
+    INTERNAL to the operator (the oracle checks invariant booleans),
+    so nothing here touches the cross-engine value contract.  Two
+    passes over embeddings total: stats partials + the pair audit;
+    only codebooks, query rows and the 7-field invariant row reach
+    the driver."""
+    import numpy as np
+    import pandas as pd
+
     emb = ensure_min_partitions(load_tables(spark, sf_dir)["embeddings"])
     books = train_pq_codebooks(emb)
-    lit = _books_lit(books)
-
-    # one materialized struct per subspace, PERSISTED at the struct
-    # layer: referencing .code and .d2 off the same lazy expression
-    # would inline the 16-way argmin twice per subspace, and a second
-    # projection would collapse back into the first (the winnowing
-    # no-CSE-across-projections lesson) — the cache boundary is what
-    # makes "compute once" real
-    enc_structs = emb.select(
-        "*",
-        *[
-            _argmin_struct(_sub_col(m), F.element_at(lit, m + 1)).alias(f"best_{m}")
-            for m in range(PQ_M)
-        ],
-    ).persist()
-    enc = enc_structs.select(
-        "*",
-        *[F.col(f"best_{m}")["code"].alias(f"code_{m}") for m in range(PQ_M)],
-        sum(F.col(f"best_{m}")["d2"] for m in range(PQ_M)).alias("recon_err"),
-    ).drop(*[f"best_{m}" for m in range(PQ_M)])
+    book_mat = np.array(
+        [[c for _, c in books[m]] for m in range(PQ_M)], dtype=np.float64
+    )  # M x K x PQ_SUB
 
     mean_rows = (
         emb.select(F.posexplode("embedding").alias("pos", "x"))
@@ -217,20 +237,44 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .collect()
     )
-    mean_vec = [float(r["mv"]) for r in mean_rows]
-    stats = enc.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("recon_err").alias("pq_sse"),
-        F.sum(_l2sq(F.col("embedding"), _lit_vec(mean_vec))).alias("base_sse"),
-        # size(collect_set), NOT count_distinct: 16 count_distincts in
-        # one agg compile to an EXPAND (x17 row blowup); a collect_set
-        # of <= K small ints per subspace aggregates in one pass
-        *[
-            F.size(F.collect_set(F.col(f"code_{m}"))).alias(f"used_{m}")
-            for m in range(PQ_M)
-        ],
-    ).collect()[0]
+    mean_arr = np.array([float(r["mv"]) for r in mean_rows])
+
+    # pass 1 — stats PARTIALS: one bounded row per Arrow batch
+    # (count, SSE sums, per-subspace used-code BITMASK), final
+    # reduction in Spark via sum/bit_or
+    stat_schema = "n long, recon double, base double, " + ", ".join(
+        f"mask_{m} long" for m in range(PQ_M)
+    )
+
+    def _stat_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            e = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            codes, recon = _np_encode(e, book_mat)
+            diff = e - mean_arr[None, :]
+            row = {
+                "n": [len(e)],
+                "recon": [float(recon.sum())],
+                "base": [float((diff * diff).sum())],
+            }
+            for m in range(PQ_M):
+                row[f"mask_{m}"] = [int(np.bitwise_or.reduce(1 << codes[:, m]))]
+            yield pd.DataFrame(row)
+
+    stats = (
+        emb.select("embedding")
+        .mapInPandas(_stat_batches, stat_schema)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("recon").alias("pq_sse"),
+            F.sum("base").alias("base_sse"),
+            *[F.bit_or(f"mask_{m}").alias(f"mask_{m}") for m in range(PQ_M)],
+        )
+        .collect()[0]
+    )
     n_vec = int(stats["n"])
+    used = [bin(int(stats[f"mask_{m}"])).count("1") for m in range(PQ_M)]
     shortlist = max(4 * TOP_K, n_vec // RERANK_FRAC)
 
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -239,48 +283,56 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # THE ADC trick (Jegou §IV): per-(query, subspace) distance
     # TABLES, computed once driver-side from the N_QUERIES bounded
     # query rows (N_Q x M x K floats), so the scan side does pure
-    # table lookups — no per-pair subvector folds.  Python doubles
-    # are fine here: adc feeds only the shortlist ranking, which the
-    # exact rerank re-scores
+    # table lookups — no per-pair subvector math beyond one GEMM.
     qrows = {int(r["query_id"]): list(r["qe"]) for r in q.collect()}
     qids = sorted(qrows)
     if qids != list(range(len(qids))):  # explicit: asserts vanish under -O
         raise ValueError(f"pq: query ids must be contiguous 0..N-1, got {qids[:5]}...")
-    tables = []  # tables[qi][m][code] = ||q_m - c||^2
-    for qid in qids:
-        qe = qrows[qid]
-        per_m = []
-        for m in range(PQ_M):
-            sub_q = qe[m * PQ_SUB : (m + 1) * PQ_SUB]
-            per_m.append(
-                [
-                    sum((float(a) - b) * (float(a) - b) for a, b in zip(sub_q, c))
-                    for _, c in books[m]
-                ]
-            )
-        tables.append(per_m)
-    tlit = F.array(
-        *[
-            F.array(*[_lit_vec(per_m[m]) for m in range(PQ_M)])
-            for per_m in tables
-        ]
-    )
-    # query ids are 0..N_QUERIES-1 (contiguous), so query_id+1 indexes
-    # the literal directly
-    adc = F.lit(0.0)
+    q_mat = np.array([qrows[i] for i in qids], dtype=np.float64)
+    adc_tab = np.empty((len(qids), PQ_M, PQ_K))
     for m in range(PQ_M):
-        adc = adc + F.element_at(
-            F.element_at(F.element_at(tlit, F.col("query_id").cast("int") + 1), m + 1),
-            F.col(f"code_{m}") + 1,
+        sq = q_mat[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+        c = book_mat[m]
+        adc_tab[:, m, :] = (
+            (sq * sq).sum(axis=1)[:, None]
+            + (c * c).sum(axis=1)[None, :]
+            - 2.0 * (sq @ c.T)
         )
+    n_q = len(qids)
+    pair_schema = "query_id long, vec_id long, adc_d double, true_d double"
+
+    # pass 2 — the pair audit: encode is FUSED into the batch (numpy
+    # re-encode is cheaper than shipping 16 code columns through a
+    # persisted frame), one GEMM scores every query at once
+    def _pair_batches(batches):
+        q_sq = (q_mat * q_mat).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            e = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            codes, _ = _np_encode(e, book_mat)
+            vid = pdf["vec_id"].to_numpy()
+            b = len(pdf)
+            # ||e - q||^2, clamped: float cancellation can dip
+            # epsilon-negative for near-equal rows
+            d = (e * e).sum(axis=1)[:, None] + q_sq[None, :] - 2.0 * (e @ q_mat.T)
+            np.maximum(d, 0.0, out=d)
+            adc = np.zeros((b, n_q))
+            for m in range(PQ_M):
+                adc += adc_tab[:, m, :][:, codes[:, m]].T
+            out = pd.DataFrame(
+                {
+                    "query_id": np.tile(np.arange(n_q, dtype=np.int64), b),
+                    "vec_id": np.repeat(vid, n_q),
+                    "adc_d": np.round(adc.ravel(), 6),
+                    "true_d": np.round(d.ravel(), 6),
+                }
+            )
+            yield out[out["query_id"] != out["vec_id"]]
+
     pairs = (
-        enc.join(broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(adc, 6).alias("adc_d"),
-            F.round(_l2sq(F.col("embedding"), F.col("qe")), 6).alias("true_d"),
-        )
+        emb.select("vec_id", "embedding")
+        .mapInPandas(_pair_batches, pair_schema)
         .persist()
     )
     # ADC shortlist -> exact rerank (the production read path); the
@@ -303,7 +355,6 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs.unpersist()
-    enc_structs.unpersist()
 
     return local_df(
         spark,
@@ -313,9 +364,7 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "m_subspaces": PQ_M,
                 "k_codes": PQ_K,
                 "compression_x": COMPRESSION_X,
-                "codebooks_half_used": all(
-                    int(stats[f"used_{m}"]) >= PQ_K // 2 for m in range(PQ_M)
-                ),
+                "codebooks_half_used": all(u >= PQ_K // 2 for u in used),
                 "beats_mean_baseline": float(stats["pq_sse"]) < float(stats["base_sse"]),
                 "rerank_recall_ok": float(mean_recall) >= PQ_RECALL_TAU,
             }

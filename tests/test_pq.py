@@ -87,3 +87,34 @@ def test_sampled_training_path_keeps_invariants(spark, monkeypatch):
         assert [cid for cid, _ in codes] == list(range(PQ_K))
     r = pq_quantize(spark, SF_DIR).collect()[0]
     assert r["beats_mean_baseline"] and r["codebooks_half_used"]
+
+
+def test_numpy_encode_matches_jvm_argmin(spark, books):
+    """The fused numpy re-encode inside the audit passes must assign
+    the SAME codes as the JVM _argmin_struct expression (6dp-rounded
+    d2, ties to the lower code id)."""
+    import numpy as np
+
+    from icechunk_spark.operators.pq import (
+        _argmin_struct,
+        _books_lit,
+        _np_encode,
+        _sub_col,
+    )
+
+    emb = load_tables(spark, SF_DIR)["embeddings"].orderBy("vec_id").limit(200)
+    lit = _books_lit(books)
+    jvm = emb.select(
+        "vec_id",
+        *[
+            _argmin_struct(_sub_col(m), F.element_at(lit, m + 1))["code"].alias(f"c{m}")
+            for m in range(PQ_M)
+        ],
+    ).collect()
+    rows = emb.select("vec_id", "embedding").collect()
+    e = np.array([[float(x) for x in r["embedding"]] for r in rows])
+    book_mat = np.array([[c for _, c in books[m]] for m in range(PQ_M)])
+    codes, _ = _np_encode(e, book_mat)
+    jvm_codes = {r["vec_id"]: [r[f"c{m}"] for m in range(PQ_M)] for r in jvm}
+    for i, r in enumerate(rows):
+        assert list(codes[i]) == jvm_codes[r["vec_id"]], r["vec_id"]
