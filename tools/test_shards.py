@@ -93,9 +93,13 @@ def harvest_durations(xmls: list[str]) -> dict[str, float]:
         except ET.ParseError:
             continue
         for case in root.iter("testcase"):
+            # classname is the module's dotted import path; with the
+            # per-shard /tmp CWD pytest reports it bare ("test_x"),
+            # from the repo root it's "tests.test_x" — take the leaf
             cls = case.get("classname", "")
-            fname = cls.split(".")[1] + ".py" if cls.startswith("tests.") else None
-            if fname:
+            leaf = cls.split(".")[-1] if cls else ""
+            if leaf.startswith("test_"):
+                fname = leaf + ".py"
                 per_file[fname] = per_file.get(fname, 0.0) + float(case.get("time", 0))
     return per_file
 
