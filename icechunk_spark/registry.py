@@ -73,8 +73,11 @@ def _modules():
 # modules changed since their r8 record + the 14 oldest clean r8
 # rows.  The 16 r8 clean rows that did not fit carry fresh sf0.01+
 # local re-gates from this round's full gate run.  After r11 every
-# registered query is driver-official and no green row is older
-# than r9.
+# query registered BEFORE r11 is driver-official and no green row is
+# older than r9; the 6 r11-new queries (q3_partitioned_tight,
+# hard_negative_mining, quantile_sketch_mergeable, winsorize_scores,
+# dedup_survivorship, stream_quantile_sketch — all judge-gateable,
+# each carrying triple-SF local gates) head the r12 overflow.
 PRIORITY: list[str] = [
     # ---- r11 window (first 50): anchors ----
     "q1_pricing_summary",
