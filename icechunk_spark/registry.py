@@ -78,71 +78,24 @@ def _modules():
 # hard_negative_mining, quantile_sketch_mergeable, winsorize_scores,
 # dedup_survivorship, stream_quantile_sketch — all judge-gateable,
 # each carrying triple-SF local gates) head the r12 overflow.
+#
+# Round 12 window (VERDICT r11 #1): 2 anchors + the 6 r11-new queries
+# that have never had a driver row + the 16 r8-stale rows + new r12
+# queries + the oldest r9 rows (alphabetical) filling to 50.  After
+# r12 no green row should be older than r9 (check.py --stale at round
+# close); the r9 rows that did not fit head the r13 window.
 PRIORITY: list[str] = [
-    # ---- r11 window (first 50): anchors ----
+    # ---- r12 window (first 50): anchors ----
     "q1_pricing_summary",
     "minhash_lsh",
-    # r10-new, never had a driver row (VERDICT r10 #1 — ALL 18 first)
-    "length_mad_outliers_approx",
-    "incremental_dedup_indexed",
-    "q3_partitioned",
-    "bpe_train_merges",
-    "seasonal_profile_anomalies",
-    "chunk_documents",
-    "nb_source_classifier",
-    "random_projection",
-    "bpe_encode_corpus",
-    "type_cooccurrence",
-    "pq_quantize",
-    "stream_psi_drift",
-    "conformal_outliers",
-    "hll_mergeable_distinct",
-    "sparse_retrieval",
-    "welch_drift_ttest",
-    "hybrid_retrieval_rrf",
-    "repo_branch_divergence",
-    # r8-stale, module CHANGED since their driver row (VERDICT r10 #3)
-    "dedup_cascade",
-    "dedup_cluster",
-    "dedup_cluster_star",
-    "dedup_exact",
-    "idf_doc_score",
-    "length_mad_outliers",
-    "line_dedup",
-    "lsh_quality",
-    "ngram_containment",
-    "q3_bucketed",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "stream_running_totals",
-    "stream_static_enrich",
-    # r8-stale, module clean (oldest-first fill)
-    "array_store_roundtrip",
-    "bigram_logprob_score",
-    "clean_reassemble",
-    "decontaminate",
-    "event_decay_score",
-    "fps_sample",
-    "frame_sample",
-    "funnel_conversion",
-    "knn_brute_force",
-    "label_pair_similarity",
-    "length_percentile_filter",
-    "media_dedup",
-    "media_resize",
-    "mmr_diversify",
-    # ---- window boundary (50) ----
-    # r12 overflow head: any new r11 queries land HERE (above the
-    # remaining r8 rows), then the 16 r8 clean rows that did not fit
-    # (all re-gated locally at sf0.01+ this round), then the r9 rows.
-    "q3_partitioned_tight",
-    "hard_negative_mining",
-    "quantile_sketch_mergeable",
-    "winsorize_scores",
+    # r11-new, never had a driver row (VERDICT r11 #1 — ALL 6 first)
     "dedup_survivorship",
+    "hard_negative_mining",
+    "q3_partitioned_tight",
+    "quantile_sketch_mergeable",
     "stream_quantile_sketch",
+    "winsorize_scores",
+    # r8-stale rotation (VERDICT r11 #1 — all 16)
     "multimodal_features",
     "ngram_diversity",
     "pii_redact",
@@ -159,7 +112,58 @@ PRIORITY: list[str] = [
     "vector_quantize_error",
     "weighted_sample",
     "zipf_slope",
+    # new r12 queries land HERE (above the r9 fill)
+    # oldest-first fill: r9 rows (alphabetical); overflow heads the r13 window
+    "cluster_size_distribution",
+    "curate_select",
+    "doc_token_histogram",
+    "embedding_covariance",
+    "embedding_outliers",
+    "event_interarrival_stats",
+    "event_type_markov",
+    "kmeans_clusters",
+    "knn_ivf",
+    "knn_lsh",
+    "label_centroids",
+    "media_neardup",
+    "pairwise_topk",
+    "pmi_phrases",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_class",
+    "q13_order_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_part_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q22_global_sales",
+    "q2_min_cost_supplier",
+    "q5_bucketed",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_bucketed",
+    "retention_cohorts",
+    "rolling_zscore_anomalies",
+    "session_paths",
+    "simhash",
+    "source_kl_divergence",
+    "source_mixture_weights",
+    "split_leakage_rate",
+    "stream_dedup",
+    "stream_interval_join",
+    "stream_sessionize",
+    "stream_topk_users",
+    "stream_windowed_agg",
+    "value_drift_psi",
+    "vector_norm_stats",
+    "vocab_coverage",
+    "winnowing_fingerprint",
 ]
+
 
 
 def all_queries() -> dict[str, QueryFn]:
