@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from icechunk_spark.catalog import load_tables
+from icechunk_spark.engine import local_df
 from icechunk_spark.functions import tokenize
 from icechunk_spark.operators.bpetrain import (
     BOUND,
@@ -47,62 +48,78 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenizer training (second-stage re-aggregation to per-word
     # counts — identical to counting the corpus directly) and the
     # encode, so the query never explodes the token stream twice
+    # persisted for the duration of this call (training + encode both
+    # read it) and unpersisted in the finally below (ADVICE r11: the
+    # lazy-return version leaked the cache in long-lived sessions)
     ws = (
         toks.groupBy("source", "word").agg(F.count(F.lit(1)).alias("cnt")).persist()
     )
-    word_counts = ws.groupBy("word").agg(F.sum("cnt").alias("wc"))
-    # K bounded merge rows on the driver — the tokenizer artifact
-    merges = train_merges_from_word_counts(spark, word_counts).collect()
+    try:
+        word_counts = ws.groupBy("word").agg(F.sum("cnt").alias("wc"))
+        # K bounded merge rows on the driver — the tokenizer artifact
+        merges = train_merges_from_word_counts(spark, word_counts).collect()
 
-    # the (source, word) count frame is still vocabulary-sized (vocab
-    # x the handful of sources), so the merge chain runs RIGHT ON IT:
-    # one projection of K chained JVM replaces, no distinct-vocab
-    # shuffle and no vocab equi-join (the r10 shape paid both — the
-    # join was the encode side's largest exchange; measured at sf10 in
-    # BASELINE.md r11)
-    enc = (
-        ws
-        .select(
-            "source",
-            "word",
-            "cnt",
-            F.concat(
-                F.lit(BOUND), F.array_join(F.split("word", ""), BOUND), F.lit(BOUND)
-            ).alias("s"),
+        # the (source, word) count frame is still vocabulary-sized (vocab
+        # x the handful of sources), so the merge chain runs RIGHT ON IT:
+        # one projection of K chained JVM replaces, no distinct-vocab
+        # shuffle and no vocab equi-join (the r10 shape paid both — the
+        # join was the encode side's largest exchange; measured at sf10 in
+        # BASELINE.md r11)
+        enc = (
+            ws
+            .select(
+                "source",
+                "word",
+                "cnt",
+                F.concat(
+                    F.lit(BOUND), F.array_join(F.split("word", ""), BOUND), F.lit(BOUND)
+                ).alias("s"),
+            )
         )
-    )
-    for m in merges:
+        for m in merges:
+            enc = enc.select(
+                "source",
+                "word",
+                "cnt",
+                F.replace(
+                    F.col("s"),
+                    F.lit(SEP + m["lhs"] + BOUND + m["rhs"] + SEP),
+                    F.lit(SEP + m["merged"] + SEP),
+                ).alias("s"),
+            )
         enc = enc.select(
             "source",
-            "word",
             "cnt",
-            F.replace(
-                F.col("s"),
-                F.lit(SEP + m["lhs"] + BOUND + m["rhs"] + SEP),
-                F.lit(SEP + m["merged"] + SEP),
-            ).alias("s"),
+            F.length("word").alias("wlen"),
+            F.size(F.filter(F.split("s", BOUND), lambda x: x != "")).alias("n_sym"),
         )
-    enc = enc.select(
-        "source",
-        "cnt",
-        F.length("word").alias("wlen"),
-        F.size(F.filter(F.split("s", BOUND), lambda x: x != "")).alias("n_sym"),
-    )
-    agg = enc.groupBy("source").agg(
-        F.sum("cnt").cast("bigint").alias("n_words"),
-        F.sum(F.col("cnt") * F.col("n_sym")).cast("bigint").alias("n_tokens"),
-        F.sum(F.col("cnt") * F.col("wlen")).cast("bigint").alias("n_chars"),
-    )
-    return agg.select(
-        "source",
-        "n_words",
-        "n_tokens",
-        (
-            F.expr("(20000 * n_tokens + n_words) div (2 * n_words)") / 10000.0
-        ).alias("fertility"),
-        (
-            F.expr("(20000 * n_chars + n_tokens) div (2 * n_tokens)") / 10000.0
-        ).alias("chars_per_token"),
+        agg = enc.groupBy("source").agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sym")).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("wlen")).cast("bigint").alias("n_chars"),
+        )
+        rows = (
+            agg.select(
+                "source",
+                "n_words",
+                "n_tokens",
+                (
+                    F.expr("(20000 * n_tokens + n_words) div (2 * n_words)") / 10000.0
+                ).alias("fertility"),
+                (
+                    F.expr("(20000 * n_chars + n_tokens) div (2 * n_tokens)") / 10000.0
+                ).alias("chars_per_token"),
+            )
+            .orderBy("source")
+            .collect()
+        )
+    finally:
+        ws.unpersist()
+    return local_df(
+        spark,
+        rows,
+        "source string, n_words bigint, n_tokens bigint, "
+        "fertility double, chars_per_token double",
     ).orderBy("source")
 
 

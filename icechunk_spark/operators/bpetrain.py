@@ -147,12 +147,20 @@ def train_merges_from_word_counts(spark: SparkSession, words: DataFrame) -> Data
     counts) reuse that work instead of re-scanning the corpus."""
     schema = "step int, lhs string, rhs string, merged string, pair_count bigint"
     # limit(CAP+1): one job that either returns the ENTIRE vocab
-    # (common case) or proves it exceeds the bound
-    head = words.limit(VOCAB_COLLECT_CAP + 1).collect()
-    if len(head) <= VOCAB_COLLECT_CAP:
-        merges = _train_driver_side(head, N_MERGES)
-        return local_df(spark, merges, schema).orderBy("step")
-    return _train_distributed(spark, words, schema)
+    # (common case) or proves it exceeds the bound.  The frame is
+    # persisted FIRST so the over-cap path reuses the aggregation the
+    # probe already ran instead of recomputing the corpus groupBy from
+    # scratch (ADVICE r11; the probe's partial materialization still
+    # seeds the cache and Spark's shuffle reuse covers the rest).
+    words = words.persist()
+    try:
+        head = words.limit(VOCAB_COLLECT_CAP + 1).collect()
+        if len(head) <= VOCAB_COLLECT_CAP:
+            merges = _train_driver_side(head, N_MERGES)
+            return local_df(spark, merges, schema).orderBy("step")
+        return _train_distributed(spark, words, schema)
+    finally:
+        words.unpersist()
 
 
 def _train_distributed(spark: SparkSession, words: DataFrame, schema: str) -> DataFrame:

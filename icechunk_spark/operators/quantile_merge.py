@@ -25,13 +25,81 @@ Nothing driver-side but the 2-value domain row.
 
 from __future__ import annotations
 
+import math
+import os
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from icechunk_spark.catalog import load_tables
+from icechunk_spark.catalog import load_tables, table_path
 
 N_BINS = 256
 PCTS = (50, 90, 99)
+
+
+def _cents(x: float) -> int:
+    """Mirror of Spark's round(value * 100): the multiply happens in
+    IEEE doubles (identical product), then HALF_UP at scale 0 —
+    Decimal(float).quantize(HALF_UP) matches BigDecimal rounding on
+    every double (ties are only hit when the product is exactly
+    representable as X.5; see .claude/skills/verify/SKILL.md)."""
+    return int(Decimal(x * 100).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def _domain_from_footer(sf_dir: str) -> tuple[int, int] | None:
+    """events.value min/max in integer cents read off the parquet
+    FOOTER statistics — a driver-side metadata read, no Spark job and
+    no second corpus scan (VERDICT r11 #4; the footer min/max is the
+    exact column min/max, and round(·*100) is monotone, so the cents
+    domain is identical to the aggregate pre-scan this replaces).
+    Returns None — caller falls back to the aggregate scan — if any
+    row group lacks min/max stats or carries a non-finite bound."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, "events")
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        )
+    else:
+        files = [path]
+    if not files:
+        return None
+    mn: float | None = None
+    mx: float | None = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            (i for i in range(md.num_columns) if md.schema.column(i).name == "value"),
+            None,
+        )
+        if idx is None:
+            return None
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(idx)
+            if col.num_values == 0:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo, hi = float(st.min), float(st.max)
+            if not (math.isfinite(lo) and math.isfinite(hi)):
+                return None
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+    if mn is None:
+        return None
+    return _cents(mn), _cents(mx)
+
+
+def _domain_scan(ev: DataFrame) -> tuple[int, int]:
+    """Fallback domain: one aggregate pass over the cents column (the
+    pre-r12 shape) — only taken when footer stats are unusable."""
+    dom = ev.agg(F.min("c"), F.max("c")).first()
+    if dom[0] is None:
+        raise ValueError("quantile_sketch: empty events input — no value domain")
+    return int(dom[0]), int(dom[1])
 
 
 def quantile_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,10 +107,10 @@ def quantile_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"),
         F.round(F.col("value") * 100).cast("bigint").alias("c"),
     )
-    dom = ev.agg(F.min("c"), F.max("c")).first()
-    if dom[0] is None:
-        raise ValueError("quantile_sketch: empty events input — no value domain")
-    lo, hi = (int(x) for x in dom)
+    dom = _domain_from_footer(sf_dir)
+    if dom is None:
+        dom = _domain_scan(ev)
+    lo, hi = dom
     width = max(1, (hi - lo) // N_BINS + 1)
     # per-day sketches: the state a streaming monitor would persist
     daily = ev.groupBy(
@@ -57,41 +125,57 @@ def quantiles_over_sketch(
     """Merge a (day, bin, cnt) sketch frame by bin-count addition and
     read the quantile estimates off it — a ≤B-row window, never the
     raw events.  Shared by the batch op and the streaming twin
-    (streaming_quantile.py) so the pick algebra cannot diverge."""
+    (streaming_quantile.py) so the pick algebra cannot diverge.
+
+    The sketch frame feeds three branches (merge, totals, picks), so
+    it is persisted for the duration of this call and UNPERSISTED in
+    a finally block (ADVICE r11: the lazy-return version leaked the
+    cache in long-lived sessions); the ≤len(pcts)-row result comes
+    back as a driver-local frame."""
+    from icechunk_spark.engine import local_df
+
+    spark = daily.sparkSession
     daily = daily.persist()
-    # merge WITHOUT rescanning events: bin-count addition
-    merged = daily.groupBy("bin").agg(F.sum("cnt").cast("bigint").alias("cnt"))
-    stats = daily.agg(
-        F.sum("cnt").cast("bigint").alias("n"),
-        F.count_distinct("day").alias("n_days"),
-    )
-    cum = merged.withColumn(
-        "cum",
-        F.sum("cnt").over(
-            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    picks = None
-    for pct in pcts:
-        p = (
-            cum.crossJoin(stats)
-            .filter(F.col("cum") >= F.expr(f"({pct} * n + 99) div 100"))
-            .agg(F.min("bin").alias("bin"))
-            .select(F.lit(pct).alias("pct"), "bin")
+    try:
+        # merge WITHOUT rescanning events: bin-count addition
+        merged = daily.groupBy("bin").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        stats = daily.agg(
+            F.sum("cnt").cast("bigint").alias("n"),
+            F.count_distinct("day").alias("n_days"),
         )
-        picks = p if picks is None else picks.unionByName(p)
-    return (
-        picks.crossJoin(stats)
-        .select(
-            "pct",
-            (
-                (F.col("bin") * width + F.lit(lo)).cast("double") / F.lit(100.0)
-            ).alias("est_value"),
-            "n",
-            "n_days",
+        cum = merged.withColumn(
+            "cum",
+            F.sum("cnt").over(
+                Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+            ),
         )
-        .orderBy("pct")
-    )
+        picks = None
+        for pct in pcts:
+            p = (
+                cum.crossJoin(stats)
+                .filter(F.col("cum") >= F.expr(f"({pct} * n + 99) div 100"))
+                .agg(F.min("bin").alias("bin"))
+                .select(F.lit(pct).alias("pct"), "bin")
+            )
+            picks = p if picks is None else picks.unionByName(p)
+        rows = (
+            picks.crossJoin(stats)
+            .select(
+                "pct",
+                (
+                    (F.col("bin") * width + F.lit(lo)).cast("double") / F.lit(100.0)
+                ).alias("est_value"),
+                "n",
+                "n_days",
+            )
+            .orderBy("pct")
+            .collect()
+        )
+    finally:
+        daily.unpersist()
+    return local_df(
+        spark, rows, "pct int, est_value double, n bigint, n_days bigint"
+    ).orderBy("pct")
 
 
 QUANTILE_SKETCH_SQL = f"""

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from icechunk_spark.catalog import load_tables
+from icechunk_spark.engine import local_df
 
 P_LO = 5  # lower winsor percentile
 P_HI = 95  # upper winsor percentile
@@ -37,56 +38,69 @@ def winsorize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.length("text").alias("len")
     )
     # distinct-length frame: corpus-sized scan ONCE, window over the
-    # small grouped frame only
+    # small grouped frame only.  It feeds three branches (cum, totals,
+    # clip), so persist for the duration of the call and unpersist in
+    # the finally below (ADVICE r11: the lazy-return version leaked
+    # the cache in long-lived sessions).
     lc = docs.groupBy("source", "len").agg(F.count(F.lit(1)).alias("cnt")).persist()
     w = Window.partitionBy("source").orderBy("len").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    cum = lc.withColumn("cum", F.sum("cnt").over(w))
-    tot = lc.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("n"))
-    ranked = cum.join(broadcast(tot), "source")
-    cuts = ranked.groupBy("source").agg(
-        F.min(
-            F.when(
-                F.col("cum") >= F.expr(f"({P_LO} * n + 99) div 100"), F.col("len")
-            )
-        ).alias("p05"),
-        F.min(
-            F.when(
-                F.col("cum") >= F.expr(f"({P_HI} * n + 99) div 100"), F.col("len")
-            )
-        ).alias("p95"),
-    )
-    clipped = lc.join(broadcast(cuts), "source").select(
-        "source",
-        "cnt",
-        (F.col("len") < F.col("p05")).cast("bigint").alias("is_lo"),
-        (F.col("len") > F.col("p95")).cast("bigint").alias("is_hi"),
-        F.greatest(F.least(F.col("len"), F.col("p95")), F.col("p05")).alias("wlen"),
-        "p05",
-        "p95",
-    )
-    return (
-        clipped.groupBy("source", "p05", "p95")
-        .agg(
-            F.sum("cnt").cast("bigint").alias("n"),
-            F.sum(F.col("cnt") * F.col("is_lo")).cast("bigint").alias("n_clipped_lo"),
-            F.sum(F.col("cnt") * F.col("is_hi")).cast("bigint").alias("n_clipped_hi"),
-            F.sum(F.col("cnt") * F.col("wlen")).cast("bigint").alias("wsum"),
+    try:
+        cum = lc.withColumn("cum", F.sum("cnt").over(w))
+        tot = lc.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("n"))
+        ranked = cum.join(broadcast(tot), "source")
+        cuts = ranked.groupBy("source").agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"({P_LO} * n + 99) div 100"), F.col("len")
+                )
+            ).alias("p05"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"({P_HI} * n + 99) div 100"), F.col("len")
+                )
+            ).alias("p95"),
         )
-        .select(
+        clipped = lc.join(broadcast(cuts), "source").select(
             "source",
-            "n",
+            "cnt",
+            (F.col("len") < F.col("p05")).cast("bigint").alias("is_lo"),
+            (F.col("len") > F.col("p95")).cast("bigint").alias("is_hi"),
+            F.greatest(F.least(F.col("len"), F.col("p95")), F.col("p05")).alias("wlen"),
             "p05",
             "p95",
-            "n_clipped_lo",
-            "n_clipped_hi",
-            (F.expr("(20000 * wsum + n) div (2 * n)") / 10000.0).alias(
-                "winsorized_mean_len"
-            ),
         )
-        .orderBy("source")
-    )
+        rows = (
+            clipped.groupBy("source", "p05", "p95")
+            .agg(
+                F.sum("cnt").cast("bigint").alias("n"),
+                F.sum(F.col("cnt") * F.col("is_lo")).cast("bigint").alias("n_clipped_lo"),
+                F.sum(F.col("cnt") * F.col("is_hi")).cast("bigint").alias("n_clipped_hi"),
+                F.sum(F.col("cnt") * F.col("wlen")).cast("bigint").alias("wsum"),
+            )
+            .select(
+                "source",
+                "n",
+                "p05",
+                "p95",
+                "n_clipped_lo",
+                "n_clipped_hi",
+                (F.expr("(20000 * wsum + n) div (2 * n)") / 10000.0).alias(
+                    "winsorized_mean_len"
+                ),
+            )
+            .orderBy("source")
+            .collect()
+        )
+    finally:
+        lc.unpersist()
+    return local_df(
+        spark,
+        rows,
+        "source string, n bigint, p05 int, p95 int, "
+        "n_clipped_lo bigint, n_clipped_hi bigint, winsorized_mean_len double",
+    ).orderBy("source")
 
 
 WINSORIZE_SQL = f"""

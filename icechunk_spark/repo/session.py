@@ -653,7 +653,17 @@ class Session:
         chunks skip the read (the common bulk-ingest case pays
         nothing).  Found by repo_branch_divergence: an unaligned
         region write used to clobber the untouched remainder of its
-        boundary chunks with the fill value."""
+        boundary chunks with the fill value.
+
+        Out-of-shape rows (any i{d} < 0 or >= shape[d]) are silently
+        DROPPED, not errored — the documented contract (ADVICE r11).
+        This diverges from the reference, which rejects out-of-grid
+        writes with InvalidIndex (session.rs:987): raising here would
+        require a validation pass (a Spark job) on every hot-path
+        write, so the row-level API ignores strays the way it ignores
+        unmentioned cells.  Callers that need strictness can bound-
+        check their frame themselves (one filter + isEmpty) before
+        calling; the drop is tested in test_repo_advice_fixes."""
         self._require_data_writable()
         meta = self.array_meta(path)
         self._require_regular_grid(meta, "write_array_df")
