@@ -36,6 +36,56 @@ import functools
 from collections.abc import AsyncIterator
 
 
+class AsyncCloseableIterator:
+    """Async iterator with a deterministic ``aclose()`` (reference
+    parity: icechunk-python #2240, Changelog 2.1.0 — the objects
+    returned by the async iteration APIs are typed async ITERATORS,
+    not generators: no ``asend``/``athrow``, but ``aclose()`` so
+    ``contextlib.aclosing(...)`` and early-exit cleanup work).
+
+    Wraps a zero-arg factory producing the sync iterator; the factory
+    runs lazily in a worker thread on first ``__anext__`` (so merely
+    constructing the twin never blocks the loop), each ``next()`` hops
+    to a thread (the async_ancestry pattern), and ``aclose()``
+    ``close()``s the underlying sync generator in a thread — its
+    ``finally`` blocks run deterministically instead of at GC.  After
+    ``aclose()``, ``__anext__`` raises ``StopAsyncIteration`` (the
+    closed-generator contract); ``aclose()`` is idempotent."""
+
+    _SENTINEL = object()
+
+    def __init__(self, make_sync_iter):
+        self._make = make_sync_iter
+        self._it = None
+        self._closed = False
+
+    def __aiter__(self) -> AsyncCloseableIterator:
+        return self
+
+    async def __anext__(self):
+        if self._closed:
+            raise StopAsyncIteration
+        if self._it is None:
+            self._it = iter(await asyncio.to_thread(self._make))
+        item = await asyncio.to_thread(next, self._it, self._SENTINEL)
+        if item is self._SENTINEL:
+            self._closed = True
+            raise StopAsyncIteration
+        return item
+
+    async def aclose(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        it, self._it = self._it, None
+        close = getattr(it, "close", None)
+        if close is not None:
+            await asyncio.to_thread(close)
+
+    def __class_getitem__(cls, item):
+        return cls
+
+
 def _static_wrapper(func, name: str):
     @functools.wraps(func)
     async def twin(*args, **kwargs):
@@ -89,25 +139,17 @@ def _call_wrapper(sync_name: str, name: str, *, locked: bool = False):
 
 def _gen_wrapper(sync_name: str, name: str):
     def twin(self, *args, **kwargs) -> AsyncIterator:
-        async def _agen():
-            it = iter(
-                await asyncio.to_thread(getattr(self, sync_name), *args, **kwargs)
-            )
-            sentinel = object()
-            while True:
-                item = await asyncio.to_thread(next, it, sentinel)
-                if item is sentinel:
-                    return
-                yield item
-
-        return _agen()
+        return AsyncCloseableIterator(
+            lambda: getattr(self, sync_name)(*args, **kwargs)
+        )
 
     twin.__name__ = name
     twin.__qualname__ = name
     twin.__doc__ = (
-        f"Async-generator twin of ``{sync_name}``: ``async for`` "
-        f"pulls each element via a worker thread (the async_ancestry "
-        f"pattern)."
+        f"Async-iterator twin of ``{sync_name}``: ``async for`` pulls "
+        f"each element via a worker thread (the async_ancestry "
+        f"pattern); returns an AsyncCloseableIterator whose "
+        f"``aclose()`` closes the underlying sync iterator (#2240)."
     )
     return twin
 
@@ -202,6 +244,14 @@ STORE_ASYNC: dict[str, str] = {
     "set_partial_values": "wcall",
     "getsize": "call",
     "getsize_prefix": "call",
+    # the #2240 iteration surfaces (reference store.py: list/
+    # list_prefix/list_dir/array_chunk_iterator are natively async
+    # there and return AsyncCloseableIterator; here the sync surface
+    # owns the names, so the closeable async twins take _async)
+    "list": "gen",
+    "list_prefix": "gen",
+    "list_dir": "gen",
+    "array_chunk_iterator": "gen",
 }
 
 

@@ -466,9 +466,31 @@ class Repository:
         (any Storage instance works in either slot);
         ``check_clean_root=False`` skips the leftover-object probe
         (reference repository.py create kwarg) for roots known to hold
-        unrelated files."""
+        unrelated files.
+
+        Empty-prefix object-store roots (``s3a://bucket`` with no key
+        prefix) are REJECTED at create (reference #2239: the
+        reference's native S3 backend used to write ``/chunks/...``
+        under a leading slash at an empty prefix, making repos
+        unreadable by external tools and GC lossy; it now refuses such
+        creates too).  This rebuild's parquet layout never emits a
+        leading slash — the guard exists so every repo lives under an
+        explicit prefix that external tools and bucket-wide LIST
+        tooling can scope to.  Pre-existing empty-prefix repos (none
+        can have been created here) would still OPEN fine: the guard
+        is create-only, matching the reference's stance."""
         if root is None and storage is not None:
             root = storage
+        if isinstance(root, str) and "://" in root:
+            from urllib.parse import urlsplit
+
+            parts = urlsplit(root)
+            if parts.scheme != "file" and not parts.path.strip("/"):
+                raise ValueError(
+                    f"cannot create a repository at the empty prefix of an "
+                    f"object store ({root!r}); use an explicit key prefix, "
+                    f"e.g. {root.rstrip('/')}/myrepo (reference #2239)"
+                )
         if cls.exists(root):
             from icechunk_spark.errors import AlreadyExistsError
 
@@ -863,24 +885,16 @@ class Repository:
         snapshot_id: str | None = None,
     ):
         """Async-iterator variant of :meth:`ancestry` (reference
-        repository.py:984) — a genuine async generator so async
-        frameworks can ``async for`` the history; each snapshot read
-        runs in a thread so the event loop is never blocked on
-        object-store IO."""
+        repository.py:984) — each snapshot read runs in a thread so
+        the event loop is never blocked on object-store IO.  Returns
+        an :class:`~icechunk_spark.repo.aio.AsyncCloseableIterator`
+        (reference #2240): ``aclose()``/``contextlib.aclosing`` give
+        deterministic early-exit cleanup."""
+        from icechunk_spark.repo.aio import AsyncCloseableIterator
 
-        async def _gen():
-            import asyncio
-
-            def resolve():
-                return VersionSelector(branch, tag, snapshot_id).resolve(self.root)
-
-            sid = await asyncio.to_thread(resolve)
-            while sid is not None:
-                snap = await asyncio.to_thread(fmt.read_snapshot, self.root, sid)
-                yield snap
-                sid = snap.parent_id
-
-        return _gen()
+        return AsyncCloseableIterator(
+            lambda: self.ancestry(branch=branch, tag=tag, snapshot_id=snapshot_id)
+        )
 
     def ancestry_graph(
         self,

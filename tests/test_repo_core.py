@@ -46,6 +46,16 @@ def test_create_open_exists(spark, tmp_path):
         Repository.create(spark, root)
 
 
+def test_create_rejects_empty_object_store_prefix(spark):
+    """Reference #2239 stance: creating at the empty prefix of an
+    object store is refused at the door (no network touched — the
+    guard precedes the exists probe); a file:// root or an explicit
+    key prefix is unaffected."""
+    for bad in ("s3a://bucket", "s3://bucket/", "gs://bucket", "hdfs://nn:8020/"):
+        with pytest.raises(ValueError, match="empty prefix"):
+            Repository.create(spark, bad)
+
+
 def test_array_roundtrip_and_time_travel(spark, repo):
     s = repo.writable_session()
     s.create_array("/temp", shape=[8, 8], chunk_shape=[4, 4])
