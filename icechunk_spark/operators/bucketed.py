@@ -122,30 +122,32 @@ def q5_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled cust join (one extra exchange, no OOM), with AQE free to
     re-promote the broadcast from runtime stats."""
     db = bucketed_db(spark, sf_dir)
-    t = load_tables(spark, sf_dir)
-    asia = t["region"].filter(F.col("r_name") == "ASIA")
-    nat = t["nation"].join(
-        broadcast(asia), F.col("n_regionkey") == F.col("r_regionkey")
-    ).select("n_nationkey", "n_name")
-    cust = t["customer"].join(
-        broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
-    ).select("c_custkey", "c_nationkey", "n_name")
-    if _table_bytes(sf_dir, "customer") <= BROADCAST_SRC_CAP_BYTES:
-        cust = broadcast(cust)
+    cust = _q5_cust_side(spark, sf_dir)
     orders = spark.table(f"{db}.orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
     )
+    return _q5_shape(spark, sf_dir, spark.table(f"{db}.lineitem"), orders, cust)
+
+
+def _q5_shape(
+    spark: SparkSession, sf_dir: str, li, orders, cust
+) -> DataFrame:
+    """The shared q5 join/agg spine over pre-filtered co-located facts
+    (q5_bucketed / q5_partitioned differ only in which layout and
+    which date/partition predicates feed ``li``/``orders``; ``cust``
+    is the dimension-chain-filtered, size-gated-broadcast customer
+    side).  SHUFFLE_HASH on ob (same rationale as q3: exchange-free
+    hash join over buckets beats the merge's per-row comparisons; the
+    r9 global-conf probe said SHJ was worse for q5 — that toggle also
+    changed OTHER joins; the per-join hint measured 0.84 s vs 1.13 s
+    SMJ interleaved at sf10, identical values)."""
+    t = load_tables(spark, sf_dir)
     ob = orders.join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
         "o_orderkey", "c_nationkey", "n_name"
     )
-    # SHUFFLE_HASH on ob (same rationale as q3: exchange-free hash join
-    # over buckets beats the merge's per-row comparisons; the r9
-    # global-conf probe said SHJ was worse for q5 — that toggle also
-    # changed OTHER joins; the per-join hint measured 0.84 s vs 1.13 s
-    # SMJ interleaved at sf10, identical values)
     return (
-        spark.table(f"{db}.lineitem")
+        li
         .join(ob.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             broadcast(t["supplier"]),
@@ -162,6 +164,22 @@ def q5_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q5_cust_side(spark: SparkSession, sf_dir: str):
+    """q5's dimension chain (region→nation→customer), size-gated for
+    broadcast — shared by the bucketed and partitioned variants."""
+    t = load_tables(spark, sf_dir)
+    asia = t["region"].filter(F.col("r_name") == "ASIA")
+    nat = t["nation"].join(
+        broadcast(asia), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    cust = t["customer"].join(
+        broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey", "n_name")
+    if _table_bytes(sf_dir, "customer") <= BROADCAST_SRC_CAP_BYTES:
+        cust = broadcast(cust)
+    return cust
+
+
 def q9_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q9 over bucketed facts: the lineitem ⋈ orders spine is
     co-located; the part join still exchanges once its side outgrows
@@ -174,22 +192,34 @@ def q9_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (co-located), part after.  Delegation measured 5.9 s vs 2.8 s at
     sf10 — the different join order is the point of this variant."""
     db = bucketed_db(spark, sf_dir)
+    return _q9_shape(
+        spark,
+        sf_dir,
+        spark.table(f"{db}.lineitem"),
+        spark.table(f"{db}.orders"),
+        F.year("o_orderdate").cast("bigint"),
+    )
+
+
+def _q9_shape(
+    spark: SparkSession, sf_dir: str, li, orders, o_year_col
+) -> DataFrame:
+    """The shared q9 join/agg spine over co-located facts
+    (q9_bucketed / q9_partitioned differ only in layout and in where
+    ``o_year`` comes from — computed vs read off the partition
+    directory).  Per-join SHUFFLE_HASH (see q3/q5): 2.1-2.3 s vs
+    2.3-3.3 s SMJ interleaved at sf10, identical values."""
     t = load_tables(spark, sf_dir)
     green = t["part"].filter(F.col("p_name").contains("e")).select(
         "p_partkey", "p_retailprice"
     )
     df = (
-        spark.table(f"{db}.lineitem")
-        # per-join SHUFFLE_HASH (see q3/q5): 2.1-2.3 s vs 2.3-3.3 s SMJ
-        # interleaved at sf10, identical values
-        .join(
-            spark.table(f"{db}.orders").hint("shuffle_hash"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
+        li
+        .join(orders.hint("shuffle_hash"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(green, F.col("l_partkey") == F.col("p_partkey"))
         .join(broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
-        .withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+        .withColumn("o_year", o_year_col)
         .withColumn(
             "amount",
             F.col("l_extendedprice") * (1 - F.col("l_discount"))
