@@ -30,6 +30,17 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"].select(
         "doc_id", F.length("text").alias("len")
     )
+    return survivorship_over_labels(labels, docs)
+
+
+def survivorship_over_labels(labels: DataFrame, docs: DataFrame) -> DataFrame:
+    """Survivor pick + retirement census over ANY (doc_id, cluster_id)
+    labeling.  Both registered labelers converge to component-minimum
+    labels — min-label propagation (dedup_cluster) and large/small-
+    star (dedup_cluster_star, the O(log n) web-scale form) — so this
+    is labeling-agnostic by construction; tests/test_new_ops_r11.py
+    pins that both labelings produce identical survivors (VERDICT r11
+    #9), which makes the star variant the drop-in scale path."""
     labeled = labels.join(docs, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(F.desc("len"), F.asc("doc_id"))
     ranked = labeled.withColumn("rn", F.row_number().over(w))

@@ -160,6 +160,29 @@ def test_survivorship_consistent_with_clusters(spark):
         assert r["chars_retired"] == sum(lens[d] for d in members) - lens[best]
 
 
+def test_survivorship_identical_under_star_labels(spark):
+    """VERDICT r11 #9: min-label propagation (dedup_cluster) and
+    large/small-star (dedup_cluster_star) both converge to component-
+    minimum labels, so survivorship over either labeling must produce
+    IDENTICAL rows — making the O(log n) star variant the drop-in
+    scale path for the registered query."""
+    from icechunk_spark.operators.dedup import dedup_cluster_star
+    from icechunk_spark.operators.survivorship import (
+        dedup_survivorship,
+        survivorship_over_labels,
+    )
+
+    docs = load_tables(spark, SF_DIR)["documents"].select(
+        "doc_id", F.length("text").alias("len")
+    )
+    via_star = survivorship_over_labels(
+        dedup_cluster_star(spark, SF_DIR), docs
+    ).collect()
+    registered = dedup_survivorship(spark, SF_DIR).collect()
+    assert [tuple(r) for r in via_star] == [tuple(r) for r in registered]
+    assert registered
+
+
 def test_stream_quantile_state_equals_batch_sketch(spark):
     """The streaming sketch accumulated across micro-batches must
     equal the batch-computed (day, bin) histogram exactly — the
