@@ -1,9 +1,8 @@
 """ANN-candidate hard-negative mining (SURVEY.md §2d; VERDICT r11 #2):
 the scale form of ``hard_negative_mining`` (negatives.py) — the
 wrong-label top-k runs on IVF candidates (the query's N_PROBE nearest
-coarse cells, knn_ivf's candidate generation, similarity.py:343)
-instead of the full corpus.  Selection semantics are the miner's
-oracle contract unchanged: wrong-label, cos DESC, id ASC.
+coarse cells) instead of the full corpus.  Selection semantics are the
+miner's oracle contract unchanged: wrong-label, cos DESC (4dp), id ASC.
 
 Why IVF and not LSH here: these 64-dim synthetic embeddings have
 near-uniform geometry — a query's true top-5 sits at cos ~0.3-0.4,
@@ -11,83 +10,204 @@ barely closer than random — so sign-LSH collision probability per
 plane is ~0.6 and an 8-plane bucket (even multi-probed at Hamming
 distance 1) keeps <20% of the true wrong-label top-k.  Measured on
 this data: multi-probe LSH candidates avg recall@5 0.12-0.18 (min 0);
-IVF N_PROBE=8/16 cells avg 0.74-0.82 (min 0.4) — the same geometry
-that sets knn_ivf's IVF_RECALL_TAU at 0.4.
+IVF N_PROBE=8/16 cells avg ~0.75 (the same geometry that sets
+knn_ivf's IVF_RECALL_TAU at 0.4).
 
-Scale shape (100 TB): centroid training touches a deterministic
-N_CELLS-row seed sample + distributed Lloyd rounds (only the k x dim
-matrix reaches the driver); cell assignment is a JVM-side literal-
-array argmax (no shuffle); the probe set is a broadcast of
-queries x N_PROBE rows; candidates join on the int cell id; partial
-per-partition top-k bounds the shuffle at K x partitions rows per
-query.  Nothing scans all pairs.
+Execution shape (the pq lesson, r11: JVM fold-cosine expression trees
+are the pathology at decade scale — the first JVM draft of this op
+cost 15.4 s of Lloyd training + ~20 s of 16-fold/row assignment at
+sf10):
+
+- TRAINING is numpy on a bounded sample: a deterministic md5
+  hash-cutoff filter (NOT orderBy().limit — the single-partition-sort
+  trap) keeps ≤ HN_TRAIN_CAP rows; the sample collects to the driver
+  (≤ cap × dim floats) and 2 spherical-Lloyd rounds run as GEMMs.
+  Seeds are md5-spread over the sample — reproducible, no RNG state.
+- MINING is ONE Arrow-batched mapInPandas pass over the corpus: per
+  batch a GEMM against the centroid matrix assigns cells, a GEMM
+  against the 10 query vectors scores candidates whose cell is in the
+  query's probe set and whose label differs, and only each batch's
+  top-K per query leaves Python (K × queries × batches rows).  A tiny
+  JVM window then takes the exact global top-K (any global winner is
+  in its batch's top-K).
+- At 100 TB: training state is cap-bounded, the mining pass is
+  embarrassingly parallel with K·queries output per task, and the
+  shuffle carries only the per-batch winners.
 
 Oracle: the trained-index top-k joins against the exact brute-force
 miner on the same queries and each query's recall@K must clear
-HN_RECALL_TAU — centroids are Lloyd-iteration artifacts no other
-engine reproduces bit-for-bit, so (knn_ivf precedent,
-similarity.py:373) the oracle-checked invariant IS the contract; the
-raw neighbor rows remain available via
-``hard_negative_mining_ann_neighbors``.
+HN_RECALL_TAU — centroids are training artifacts no other engine
+reproduces bit-for-bit, so (knn_ivf precedent, similarity.py:373) the
+oracle-checked invariant IS the contract; raw neighbor rows via
+``hard_negative_mining_ann_neighbors``.  Cosine rounding inside the
+miner mirrors Spark's HALF_UP (sign-aware floor(|x|·1e4 + 0.5)) so
+tie-breaks stay aligned with the JVM anchor's.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 
 from icechunk_spark.catalog import load_tables
-from icechunk_spark.functions import dot, ensure_min_partitions, l2_norm
+from icechunk_spark.functions import ensure_min_partitions
 from icechunk_spark.operators.negatives import hard_negative_mining
 from icechunk_spark.operators.similarity import (
-    N_PROBE,
+    N_CELLS,
     N_QUERIES,
     TOP_K,
-    _cell_scores,
     _partial_topk,
-    train_ivf_centroids,
 )
 
 HN_RECALL_TAU = 0.4  # recall@K floor vs the brute-force miner
+HN_TRAIN_CAP = 65536  # Lloyd-training sample bound (driver-collected)
+HN_LLOYD = 2
+# Probe 10/16 cells (knn_ivf probes 8): at N_PROBE=8 the measured
+# min recall@5 at sf0.001 sat EXACTLY on the 0.4 contract floor (two
+# queries at 2/5) — zero margin against a single boundary-rounding
+# neighbor flip.  Two more probes buy a full flip of headroom
+# (measured min 0.6/0.6/0.8 at sf0.001/0.01/0.1, avg 0.84-0.98)
+# while candidates stay a filtered subset.
+HN_N_PROBE = 10
+
+
+def _round4_half_up(x: np.ndarray) -> np.ndarray:
+    """Spark F.round(·, 4) twin: HALF_UP (away from zero), not
+    numpy's half-even."""
+    return np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5) / 1e4
+
+
+def _table_rows_from_footer(sf_dir: str, name: str) -> int:
+    """Exact row count off the parquet footers — a driver-side
+    metadata read, no Spark job (the quantile_merge footer pattern)."""
+    import pyarrow.parquet as pq
+
+    from icechunk_spark.catalog import table_path
+
+    path = table_path(sf_dir, name)
+    files = (
+        sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        if os.path.isdir(path)
+        else [path]
+    )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def _train_centroids(emb: DataFrame, n_vec: int) -> np.ndarray:
+    """Spherical k-means centroids from a bounded deterministic
+    sample: md5 hash-cutoff filter (distributed, partitioning
+    preserved), Arrow-collected (a 65k-row pickle collect measured
+    ~4x slower), driver-side numpy Lloyd.  Returns (N_CELLS, dim)."""
+    if n_vec > HN_TRAIN_CAP:
+        cutoff = (1 << 32) * HN_TRAIN_CAP // n_vec
+        train = emb.filter(
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            < F.lit(cutoff)
+        )
+    else:
+        train = emb
+    pdf = train.select("vec_id", "embedding").toPandas()
+    pdf = pdf.sort_values("vec_id")  # deterministic sample order
+    X = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
+    ids = pdf["vec_id"].to_list()
+    # md5-spread seeds (train_ivf_centroids' rule on the sample)
+    spread = sorted(
+        range(len(ids)), key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i])
+    )[:N_CELLS]
+    C = X[spread].copy()
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    for _ in range(HN_LLOYD):
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+        cells = np.argmax(Xn @ Cn.T, axis=1)
+        for c in range(N_CELLS):
+            members = X[cells == c]
+            if len(members):  # empty cells keep their previous centroid
+                C[c] = members.mean(axis=0)
+    return C
 
 
 def hard_negative_mining_ann_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wrong-label cosine top-K per query over IVF candidates — the
     raw neighbor rows (same schema as hard_negative_mining)."""
-    emb = ensure_min_partitions(load_tables(spark, sf_dir)["embeddings"]).withColumn(
-        "nb", l2_norm(F.col("embedding"))
-    )
-    cents = train_ivf_centroids(emb)
-    emb_c = emb.withColumn(
-        "cell", F.element_at(_cell_scores(F.col("embedding"), cents), 1)["cell"]
-    )
-    q = (
+    emb = ensure_min_partitions(load_tables(spark, sf_dir)["embeddings"])
+    C = _train_centroids(emb, _table_rows_from_footer(sf_dir, "embeddings"))
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+
+    qrows = sorted(
         emb.filter(F.col("vec_id") < N_QUERIES)
-        .withColumn("probes", F.slice(_cell_scores(F.col("embedding"), cents), 1, N_PROBE))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("label").alias("q_label"),
-            F.col("embedding").alias("qe"),
-            F.col("nb").alias("nq"),
-            F.explode(F.transform("probes", lambda s: s["cell"])).alias("cell"),
-        )
+        .select("vec_id", "label", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
     )
-    cands = emb_c.join(broadcast(q), "cell").filter(F.col("label") != F.col("q_label"))
-    cands = cands.withColumn(
-        "cos_sim",
-        F.round(dot(F.col("qe"), F.col("embedding")) / (F.col("nq") * F.col("nb")), 4),
+    Q = np.asarray([r["embedding"] for r in qrows], dtype=np.float64)
+    q_ids = np.asarray([r["vec_id"] for r in qrows])
+    q_labels = [r["label"] for r in qrows]
+    qn = np.maximum(np.linalg.norm(Q, axis=1), 1e-30)
+    # each query probes its N_PROBE nearest cells (cos desc, cell asc:
+    # negate the int cell index as the lexsort tiebreak)
+    qcos = (Q / qn[:, None]) @ Cn.T
+    probe_sets = [
+        frozenset(np.lexsort((np.arange(N_CELLS), -qcos[i]))[:HN_N_PROBE].tolist())
+        for i in range(len(qrows))
+    ]
+
+    out_schema = (
+        "query_id bigint, q_label int, negative_id bigint, "
+        "neg_label int, cos_sim double"
     )
+
+    def mine(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.asarray(pdf["embedding"].to_list(), dtype=np.float64)
+            if len(X) == 0:
+                continue
+            vec_ids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            norms = np.maximum(np.linalg.norm(X, axis=1), 1e-30)
+            cells = np.argmax((X / norms[:, None]) @ Cn.T, axis=1)
+            chunks = []
+            for qi in range(len(q_ids)):
+                mask = np.isin(cells, list(probe_sets[qi])) & (labels != q_labels[qi])
+                if not mask.any():
+                    continue
+                cos = _round4_half_up((X[mask] @ Q[qi]) / (norms[mask] * qn[qi]))
+                ids = vec_ids[mask]
+                # batch-local top-K by (cos desc, id asc)
+                order = np.lexsort((ids, -cos))[:TOP_K]
+                chunks.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.int64(q_ids[qi]),
+                            "q_label": np.int32(q_labels[qi]),
+                            "negative_id": ids[order].astype(np.int64),
+                            "neg_label": labels[mask][order].astype(np.int32),
+                            "cos_sim": cos[order],
+                        }
+                    )
+                )
+            if chunks:
+                yield pd.concat(chunks, ignore_index=True)
+
+    winners = emb.select("vec_id", "label", "embedding").mapInPandas(
+        mine, schema=out_schema
+    )
+    # exact global top-K: any global winner is in its batch's top-K
     return (
-        _partial_topk(cands, ["query_id"], [F.desc("cos_sim"), F.asc("vec_id")], TOP_K)
-        .select(
-            "query_id",
-            "q_label",
-            "rnk",
-            F.col("vec_id").alias("negative_id"),
-            F.col("label").alias("neg_label"),
-            "cos_sim",
+        _partial_topk(
+            winners, ["query_id"], [F.desc("cos_sim"), F.asc("negative_id")], TOP_K
         )
+        .select("query_id", "q_label", "rnk", "negative_id", "neg_label", "cos_sim")
         .orderBy("query_id", "rnk")
     )
 

@@ -57,13 +57,14 @@ def test_ann_recall_contract_clears_tau(spark):
     assert all(r["k"] == TOP_K for r in contract)
 
 
-def test_ann_plan_stays_jvm_and_broadcasts(spark):
-    """Candidate stage: no Python eval, the probe side broadcast, and
-    the pair join a hash join on the cell id — never a nested loop
-    over the corpus (the brute-force plan this op exists to avoid)."""
+def test_ann_plan_is_one_arrow_pass(spark):
+    """Mining stage: ONE Arrow-batched MapInPandas over the corpus —
+    no row-wise Python (BatchEvalPython), no nested loop over the
+    corpus (the brute-force plan this op exists to avoid), and the
+    global top-k window runs over the per-batch winners only."""
     df = hard_negative_mining_ann_neighbors(spark, SF_DIR)
     df.collect()  # AQE finalizes plans on execution
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
-    assert "BroadcastHashJoin" in plan, plan
+    assert "MapInPandas" in plan, plan  # the AQE string repeats the node in the initial plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
