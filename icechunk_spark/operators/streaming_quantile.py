@@ -46,7 +46,18 @@ def _daily_sketch_stream(events: DataFrame) -> DataFrame:
 
 def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"squant_{uuid.uuid4().hex[:8]}"
-    ev = read_event_stream(spark, sf_dir)
+    # Trigger cadence is PROTOCOL here, not semantics: the (day, bin)
+    # count aggregation is commutative, so any file batching drains to
+    # the identical sketch state (pinned by the accumulation-equality
+    # test, which replays per-file).  The r11 sf10 drain profile
+    # (VERDICT r11 #5) measured the 1-file cadence at 27.4 s — a
+    # ~0.85 s per-micro-batch floor (planning + state store + the
+    # complete-mode full re-emission) x 32 files — vs 4.8 s at 8
+    # files/trigger and 1.5 s unthrottled.  8 keeps a genuine
+    # multi-batch accumulation at decade scale (4 batches at sf10)
+    # without paying the floor 32 times; a production monitor sizes
+    # its trigger to arrival rate, not to one file.
+    ev = read_event_stream(spark, sf_dir, max_files_per_trigger=8)
     run_to_memory(_daily_sketch_stream(ev), name, output_mode="complete")
     # the pick algebra is SHARED with the batch op (quantile_merge.py)
     # so the two registered queries cannot diverge
