@@ -4,17 +4,24 @@ per column: row count, null count, exact distinct count, lexical
 min/max (values rendered as strings so one schema fits every column
 type), and average rendered length.
 
-Scale shape: ONE aggregation pass over the table computes every
-per-column statistic (count/nulls/min/max/len are plain map-side-
-combined aggregates; the exact multi-column count_distincts share the
-pass through Spark's multi-distinct rewrite — the documented
-×n_columns price of exactness; a 100 TB profile would swap in
-approx_count_distinct and lose the multiplier).  The 1-row aggregate
-result is collected and unpivoted DRIVER-SIDE into (column, stats)
-rows (local_df — no job): a lazy per-column union of selects over the
-aggregate frame re-plans the whole corpus aggregation once per
-column (measured: 4 columns -> 8 FileScans), which is exactly the
-multi-scan trap this operator exists to avoid.
+Scale shape — measured at sf10, the plan here is the fast one of
+three candidates:
+- ONE map-side-combined stats pass (count/nulls/min/max/len — all
+  hash-aggregate friendly), plus
+- ONE expand-based exact-distinct pass: explode each row into
+  (col_idx, rendered value) pairs, two-stage groupBy — the first
+  collapses to the distinct pairs (map-side combined), the second
+  counts them per column.  Everything stays HashAggregate.
+Folding the distincts into the stats pass instead triggers Spark's
+multi-distinct rewrite, whose first()-wrapped companions degrade the
+whole aggregate to a SortAggregate over the expanded rows — measured
+10.4 s vs 1.4 s for this shape at sf10 (4 separate per-column
+distinct aggregations: 5.4 s).  The two 1-row/4-row results are
+collected and unpivoted DRIVER-SIDE via local_df (a lazy per-column
+union of selects re-plans the corpus aggregation once per column —
+measured 8 FileScans for 4 columns — the other trap).  A 100 TB
+profile would swap exact distincts for approx_count_distinct, which
+CAN share the stats pass.
 
 Determinism: min/max/avg-length are computed on CAST(col AS STRING)
 (DuckDB: CAST AS VARCHAR) so both engines order values identically;
@@ -43,20 +50,24 @@ PROFILE_COLS = (
 def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir)["orders"]
     one = profile_agg_frame(orders)
-    r = one.collect()[0]  # the single corpus pass
+    r = one.collect()[0]  # stats pass
+    nd = {
+        int(row["i"]): int(row["nd"])
+        for row in profile_distinct_frame(orders).collect()  # distinct pass
+    }
     n = int(r["__n"])
     recs = [
         {
             "col_name": c,
             "n_rows": n,
             "n_null": int(r[f"{c}__nulls"]),
-            "n_distinct": int(r[f"{c}__distinct"]),
+            "n_distinct": nd[i],
             "min_value": r[f"{c}__min"],
             "max_value": r[f"{c}__max"],
             # integer HALF_UP 4dp mean length
             "avg_len": ((20000 * int(r[f"{c}__lensum"]) + n) // (2 * n)) / 10000.0,
         }
-        for c in PROFILE_COLS
+        for i, c in enumerate(PROFILE_COLS)
     ]
     return local_df(
         spark,
@@ -67,19 +78,40 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def profile_agg_frame(orders: DataFrame) -> DataFrame:
-    """The single-pass 1-row aggregate every statistic reads from —
-    exposed so tests can pin its plan (one FileScan)."""
+    """The 1-row stats aggregate (no distincts — see module
+    docstring) — exposed so tests can pin its plan (one FileScan,
+    HashAggregate)."""
     aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")]
     for c in PROFILE_COLS:
         s = F.col(c).cast("string")
         aggs += [
             F.sum(F.col(c).isNull().cast("bigint")).cast("bigint").alias(f"{c}__nulls"),
-            F.count_distinct(c).cast("bigint").alias(f"{c}__distinct"),
             F.min(s).alias(f"{c}__min"),
             F.max(s).alias(f"{c}__max"),
             F.sum(F.length(s).cast("bigint")).cast("bigint").alias(f"{c}__lensum"),
         ]
     return orders.agg(*aggs)
+
+
+def profile_distinct_frame(orders: DataFrame) -> DataFrame:
+    """Exact per-column distinct counts as (i, nd) rows: one expand
+    pass + two hash aggregations (the fast shape; module docstring)."""
+    pairs = orders.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), F.col(c).cast("string").alias("v"))
+                    for i, c in enumerate(PROFILE_COLS)
+                ]
+            )
+        ).alias("z")
+    ).select("z.i", "z.v")
+    return (
+        pairs.groupBy("i", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    )
 
 
 def _profile_sql() -> str:
