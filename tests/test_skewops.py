@@ -36,19 +36,20 @@ def test_salted_agg_equals_plain(spark):
 def test_salted_join_equals_plain(spark):
     salted = [tuple(r) for r in skew_salted_join(spark, SF_DIR).collect()]
     t = load_tables(spark, SF_DIR)
-    li_rev = t["lineitem"].groupBy("l_orderkey").agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("rev_cents")
-    )
     plain = [
         tuple(r)
-        for r in t["orders"]
-        .join(li_rev, F.col("o_orderkey") == F.col("l_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.sum("rev_cents").cast("bigint").alias("rev_cents"),
+        for r in t["lineitem"]
+        .select(
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("rc"),
         )
-        .orderBy("o_orderpriority")
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum("rc").cast("bigint").alias("rev_cents"),
+        )
+        .orderBy("s_nationkey")
         .collect()
     ]
     assert salted == plain and salted
