@@ -32,6 +32,20 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_parquet_files(sf_dir: str, name: str) -> list[str]:
+    """The table's parquet files for driver-side FOOTER reads (single
+    file or a flat directory of part files — the only layouts the
+    testdata and scale-up writers produce).  Shared by every
+    footer-metadata fast path (quantile domain, row counts) so a
+    layout change has one place to fix."""
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        )
+    return [path]
+
+
 # (session id, sf_dir) -> table handles.  Building the 10 DataFrames
 # costs ~0.8s of driver-side parquet footer reads; without the cache
 # EVERY query pays it, while the DuckDB oracle/baseline registers its

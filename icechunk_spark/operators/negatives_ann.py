@@ -47,7 +47,6 @@ tie-breaks stay aligned with the JVM anchor's.
 from __future__ import annotations
 
 import hashlib
-import os
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -86,19 +85,11 @@ def _table_rows_from_footer(sf_dir: str, name: str) -> int:
     metadata read, no Spark job (the quantile_merge footer pattern)."""
     import pyarrow.parquet as pq
 
-    from icechunk_spark.catalog import table_path
+    from icechunk_spark.catalog import table_parquet_files
 
-    path = table_path(sf_dir, name)
-    files = (
-        sorted(
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        )
-        if os.path.isdir(path)
-        else [path]
+    return sum(
+        pq.ParquetFile(f).metadata.num_rows for f in table_parquet_files(sf_dir, name)
     )
-    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
 def _train_centroids(emb: DataFrame, n_vec: int) -> np.ndarray:
@@ -155,10 +146,12 @@ def hard_negative_mining_ann_neighbors(spark: SparkSession, sf_dir: str) -> Data
     # each query probes its N_PROBE nearest cells (cos desc, cell asc:
     # negate the int cell index as the lexsort tiebreak)
     qcos = (Q / qn[:, None]) @ Cn.T
-    probe_sets = [
-        frozenset(np.lexsort((np.arange(N_CELLS), -qcos[i]))[:HN_N_PROBE].tolist())
-        for i in range(len(qrows))
-    ]
+    # boolean membership matrix (n_queries, N_CELLS): indexed by the
+    # batch's cell assignments in one vectorized step instead of a
+    # per-batch-per-query np.isin over a rebuilt list (review r12)
+    probe_mask = np.zeros((len(qrows), N_CELLS), dtype=bool)
+    for i in range(len(qrows)):
+        probe_mask[i, np.lexsort((np.arange(N_CELLS), -qcos[i]))[:HN_N_PROBE]] = True
 
     out_schema = (
         "query_id bigint, q_label int, negative_id bigint, "
@@ -178,7 +171,7 @@ def hard_negative_mining_ann_neighbors(spark: SparkSession, sf_dir: str) -> Data
             cells = np.argmax((X / norms[:, None]) @ Cn.T, axis=1)
             chunks = []
             for qi in range(len(q_ids)):
-                mask = np.isin(cells, list(probe_sets[qi])) & (labels != q_labels[qi])
+                mask = probe_mask[qi, cells] & (labels != q_labels[qi])
                 if not mask.any():
                     continue
                 cos = _round4_half_up((X[mask] @ Q[qi]) / (norms[mask] * qn[qi]))
@@ -219,9 +212,15 @@ def hard_negative_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = hard_negative_mining_ann_neighbors(spark, sf_dir)
     exact = hard_negative_mining(spark, sf_dir).select("query_id", "negative_id")
     hits = ann.join(exact, ["query_id", "negative_id"], "left_semi")
+    # seed the report from the QUERY SET, not from ann rows: a query
+    # whose probe cells hold zero wrong-label candidates must surface
+    # as recall_ok=False, not as a missing row the oracle's
+    # one-row-per-query shape would flag as a count mismatch
+    # (review r12)
+    emb = load_tables(spark, sf_dir)["embeddings"]
     return (
-        ann.select("query_id")
-        .distinct()
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"))
         .join(
             hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits")),
             "query_id",

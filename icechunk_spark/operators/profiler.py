@@ -107,7 +107,11 @@ def profile_distinct_frame(orders: DataFrame) -> DataFrame:
         ).alias("z")
     ).select("z.i", "z.v")
     return (
-        pairs.groupBy("i", "v")
+        # NULLs are excluded to match SQL count(DISTINCT c) semantics —
+        # without the filter a nullable column counts NULL as a value
+        # and diverges from the oracle by one (review r12)
+        pairs.filter(F.col("v").isNotNull())
+        .groupBy("i", "v")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("i")
         .agg(F.count(F.lit(1)).cast("bigint").alias("nd"))

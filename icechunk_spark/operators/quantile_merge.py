@@ -26,13 +26,12 @@ Nothing driver-side but the 2-value domain row.
 from __future__ import annotations
 
 import math
-import os
 from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from icechunk_spark.catalog import load_tables, table_path
+from icechunk_spark.catalog import load_tables, table_parquet_files
 
 N_BINS = 256
 PCTS = (50, 90, 99)
@@ -43,7 +42,10 @@ def _cents(x: float) -> int:
     IEEE doubles (identical product), then HALF_UP at scale 0 —
     Decimal(float).quantize(HALF_UP) matches BigDecimal rounding on
     every double (ties are only hit when the product is exactly
-    representable as X.5; see .claude/skills/verify/SKILL.md)."""
+    representable as X.5; see .claude/skills/verify/SKILL.md).  The
+    streaming z-score op carries its own executor-side copy of this
+    idiom (streaming/events.py update closure) — keep the two in
+    sync."""
     return int(Decimal(x * 100).quantize(Decimal(1), rounding=ROUND_HALF_UP))
 
 
@@ -57,13 +59,7 @@ def _domain_from_footer(sf_dir: str) -> tuple[int, int] | None:
     row group lacks min/max stats or carries a non-finite bound."""
     import pyarrow.parquet as pq
 
-    path = table_path(sf_dir, "events")
-    if os.path.isdir(path):
-        files = sorted(
-            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
-        )
-    else:
-        files = [path]
+    files = table_parquet_files(sf_dir, "events")
     if not files:
         return None
     mn: float | None = None

@@ -110,7 +110,11 @@ def _http_read_range(url: str, offset: int, length: int) -> bytes:
     with urllib.request.urlopen(req, timeout=30) as resp:
         status = resp.status
         data = resp.read()
-    if status == 200 and len(data) > length:
+    if status == 200:
+        # 200 (not 206) = the server ignored Range and sent the full
+        # body: ALWAYS slice the window.  data[:length] here returned
+        # head-of-file bytes whenever the body was shorter than the
+        # requested window (review r12).
         return data[offset : offset + length]
     return data[:length]
 

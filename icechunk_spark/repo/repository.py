@@ -481,15 +481,17 @@ class Repository:
         is create-only, matching the reference's stance."""
         if root is None and storage is not None:
             root = storage
-        if isinstance(root, str) and "://" in root:
+        root_str = root if isinstance(root, str) else getattr(root, "root", None)
+        if isinstance(root_str, str) and "://" in root_str:
             from urllib.parse import urlsplit
 
-            parts = urlsplit(root)
+            parts = urlsplit(root_str)
             if parts.scheme != "file" and not parts.path.strip("/"):
                 raise ValueError(
                     f"cannot create a repository at the empty prefix of an "
-                    f"object store ({root!r}); use an explicit key prefix, "
-                    f"e.g. {root.rstrip('/')}/myrepo (reference #2239)"
+                    f"object store ({root_str!r}); use an explicit key "
+                    f"prefix, e.g. {root_str.rstrip('/')}/myrepo "
+                    f"(reference #2239)"
                 )
         if cls.exists(root):
             from icechunk_spark.errors import AlreadyExistsError

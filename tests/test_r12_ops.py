@@ -74,3 +74,27 @@ def test_profile_table_invariants_and_one_scan(spark):
     final = plan.split("== Initial Plan ==")[0]  # AQE repeats the tree
     assert final.count("FileScan parquet") == 1, final
     assert "BatchEvalPython" not in final
+
+
+def test_profile_distinct_excludes_nulls(spark):
+    """count(DISTINCT c) semantics: NULL is not a value (review r12 —
+    the first shape counted the NULL group and diverged from the
+    oracle by one on nullable columns)."""
+    from icechunk_spark.engine import local_df
+    from icechunk_spark.operators.profiler import (
+        PROFILE_COLS,
+        profile_distinct_frame,
+    )
+
+    rows = [
+        {"o_orderkey": 1, "o_custkey": None, "o_orderstatus": "F", "o_orderpriority": "1-URGENT"},
+        {"o_orderkey": 2, "o_custkey": 7, "o_orderstatus": None, "o_orderpriority": "1-URGENT"},
+        {"o_orderkey": 3, "o_custkey": 7, "o_orderstatus": "F", "o_orderpriority": None},
+    ]
+    df = local_df(
+        spark,
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_orderpriority string",
+    )
+    nd = {r["i"]: r["nd"] for r in profile_distinct_frame(df).collect()}
+    assert nd == {0: 3, 1: 1, 2: 1, 3: 1}, (nd, PROFILE_COLS)

@@ -54,6 +54,11 @@ def test_create_rejects_empty_object_store_prefix(spark):
     for bad in ("s3a://bucket", "s3://bucket/", "gs://bucket", "hdfs://nn:8020/"):
         with pytest.raises(ValueError, match="empty prefix"):
             Repository.create(spark, bad)
+    # the storage-instance slot must not bypass the guard (review r12)
+    from types import SimpleNamespace
+
+    with pytest.raises(ValueError, match="empty prefix"):
+        Repository.create(spark, storage=SimpleNamespace(root="s3a://bucket"))
 
 
 def test_array_roundtrip_and_time_travel(spark, repo):

@@ -121,10 +121,12 @@ def test_userinfo_becomes_basic_auth_and_200_fallback(
     srv2 = ThreadingHTTPServer(("127.0.0.1", 0), _NoRange)
     threading.Thread(target=srv2.serve_forever, daemon=True).start()
     try:
-        got = fsio.read_range(
-            f"http://127.0.0.1:{srv2.server_address[1]}/f?q=2", 5, 3
-        )
-        assert got == BLOB[5:8]
+        base = f"http://127.0.0.1:{srv2.server_address[1]}/f?q=2"
+        assert fsio.read_range(base, 5, 3) == BLOB[5:8]
+        # window past EOF on a Range-ignoring server: must slice from
+        # OFFSET, not return head-of-file bytes (review r12 — the
+        # first fallback returned data[:length] when body <= length)
+        assert fsio.read_range(base, 60, 10) == BLOB[60:64]
     finally:
         srv2.shutdown()
         srv2.server_close()
