@@ -486,7 +486,10 @@ class Repository:
             from urllib.parse import urlsplit
 
             parts = urlsplit(root_str)
-            if parts.scheme != "file" and not parts.path.strip("/"):
+            # file:// and memory:// are not the #2239 surface (no
+            # external-tool-readability or bucket-wide-LIST concern);
+            # the reference's gate is likewise object-store-specific
+            if parts.scheme not in ("file", "memory") and not parts.path.strip("/"):
                 raise ValueError(
                     f"cannot create a repository at the empty prefix of an "
                     f"object store ({root_str!r}); use an explicit key "
