@@ -26,7 +26,14 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"].select(
         F.to_date("ts").alias("day"), "user_id"
     )
-    day_user = ev.distinct()
+    return census_over_day_user(ev.distinct())
+
+
+def census_over_day_user(day_user: DataFrame) -> DataFrame:
+    """The census algebra over ANY distinct (day, user_id) frame —
+    shared by the batch op and the streaming twin
+    (streaming_active.py) so the two registered queries cannot
+    diverge (the quantiles_over_sketch precedent)."""
     active = day_user.groupBy("day").agg(
         F.count(F.lit(1)).cast("bigint").alias("active_users")
     )

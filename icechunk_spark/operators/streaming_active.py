@@ -1,0 +1,45 @@
+"""Streaming daily active/new/returning users (SURVEY.md §2g
+extension): the streaming twin of ``daily_active_users``
+(activeusers.py).  The STREAM maintains the distinct (day, user)
+pairs incrementally — a streaming groupBy(day, user_id) count whose
+state is bounded by users × days, not event volume (the census class;
+a production monitor would watermark old days closed) — and the
+active/new/returning/cumulative algebra runs over the DRAINED pairs
+with the batch op's shared implementation (census_over_day_user), so
+the two registered queries cannot diverge.
+
+Trigger cadence is protocol, not semantics — distinct-pair
+maintenance is idempotent/commutative, so any file batching drains to
+identical state (the stream_quantile_sketch precedent; 8
+files/trigger keeps the drain off the per-micro-batch floor while
+staying genuinely multi-batch at decade scale).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from icechunk_spark.operators.activeusers import DAILY_ACTIVE_SQL, census_over_day_user
+from icechunk_spark.streaming.events import read_event_stream, run_to_memory
+
+
+def _day_user_stream(events: DataFrame) -> DataFrame:
+    return events.groupBy(
+        F.to_date("ts").alias("day"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"sdau_{uuid.uuid4().hex[:8]}"
+    ev = read_event_stream(spark, sf_dir, max_files_per_trigger=8)
+    run_to_memory(_day_user_stream(ev), name, output_mode="complete")
+    return census_over_day_user(spark.table(name).select("day", "user_id"))
+
+
+QUERIES = {"stream_active_users": stream_active_users}
+# identical contract to the batch twin (the drained distinct pairs
+# are the same set the batch DISTINCT computes)
+ORACLES = {"stream_active_users": DAILY_ACTIVE_SQL}

@@ -19,7 +19,7 @@ def _modules():
     from icechunk_spark.operators import tpch
 
     mods = [tpch]
-    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "semdedup", "linedup", "refine_ext", "sampling_ext", "pii", "bucketed", "curate_pipeline", "anomaly_ext", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "profile_ext", "curation_ext", "multimodal", "medianear", "runlength", "changepoint", "incremental", "bpetrain", "chunking", "nbclassify", "projection", "bpeencode", "bpesegment", "cooccur", "pq", "partitioned_tight", "partitioned_spine", "negatives", "negatives_ann", "rfm", "profiler", "skewops", "activeusers", "pca", "quantile_merge", "winsorize", "survivorship", "streaming_quantile", "streaming_hll", "streaming_drift", "conformal", "hllmerge", "retrieval", "ttest", "hybridrrf", "repo_branching", "repo_queries", "streaming_queries"):
+    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "semdedup", "linedup", "refine_ext", "sampling_ext", "pii", "bucketed", "curate_pipeline", "anomaly_ext", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "profile_ext", "curation_ext", "multimodal", "medianear", "runlength", "changepoint", "incremental", "bpetrain", "chunking", "nbclassify", "projection", "bpeencode", "bpesegment", "cooccur", "pq", "partitioned_tight", "partitioned_spine", "negatives", "negatives_ann", "rfm", "profiler", "skewops", "activeusers", "pca", "quantile_merge", "winsorize", "survivorship", "streaming_quantile", "streaming_hll", "streaming_active", "streaming_drift", "conformal", "hllmerge", "retrieval", "ttest", "hybridrrf", "repo_branching", "repo_queries", "streaming_queries"):
         try:
             mods.append(__import__(f"icechunk_spark.operators.{name}", fromlist=[name]))
         except ImportError:
@@ -124,6 +124,7 @@ PRIORITY: list[str] = [
     "bpe_segment_ids",
     "daily_active_users",
     "pca_project",
+    "stream_active_users",
     # oldest-first fill: r9 rows (alphabetical); overflow heads the r13 window
     "cluster_size_distribution",
     "curate_select",

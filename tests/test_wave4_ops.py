@@ -52,3 +52,13 @@ def test_pca_moments_match_numpy_and_audit_green(spark):
     assert row["beats_uniform_share"]
     assert row["axes_orthonormal"]
     assert row["energy_conserved"]
+
+
+def test_stream_active_users_matches_batch_twin(spark):
+    """Distinct-pair maintenance is idempotent across micro-batches:
+    the streaming census rows must equal the batch twin's exactly."""
+    from icechunk_spark.operators.streaming_active import stream_active_users
+
+    stream_rows = [tuple(r) for r in stream_active_users(spark, SF_DIR).collect()]
+    batch_rows = [tuple(r) for r in daily_active_users(spark, SF_DIR).collect()]
+    assert stream_rows == batch_rows and stream_rows
