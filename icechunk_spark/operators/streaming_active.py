@@ -1,9 +1,10 @@
 """Streaming daily active/new/returning users (SURVEY.md §2g
 extension): the streaming twin of ``daily_active_users``
 (activeusers.py).  The STREAM maintains the distinct (day, user)
-pairs incrementally — a streaming groupBy(day, user_id) count whose
-state is bounded by users × days, not event volume (the census class;
-a production monitor would watermark old days closed) — and the
+pairs incrementally — a streaming dropDuplicates over (day, user_id)
+whose state is bounded by users × days, not event volume (the census
+class; a production monitor would watermark old days closed), each
+pair emitted exactly once in append mode — and the
 active/new/returning/cumulative algebra runs over the DRAINED pairs
 with the batch op's shared implementation (census_over_day_user), so
 the two registered queries cannot diverge.
@@ -27,15 +28,21 @@ from icechunk_spark.streaming.events import read_event_stream, run_to_memory
 
 
 def _day_user_stream(events: DataFrame) -> DataFrame:
-    return events.groupBy(
-        F.to_date("ts").alias("day"), "user_id"
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # streaming dropDuplicates in APPEND mode: each distinct (day,
+    # user) pair is emitted EXACTLY ONCE across all micro-batches —
+    # the first draft's complete-mode groupBy re-emitted the FULL
+    # pair state every batch (state here is users x days, ~10M rows
+    # at sf10, unlike the 256-bin sketch twins) and measured 36.9 s;
+    # append-once is the census-state shape
+    return events.select(F.to_date("ts").alias("day"), "user_id").dropDuplicates(
+        ["day", "user_id"]
+    )
 
 
 def stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"sdau_{uuid.uuid4().hex[:8]}"
     ev = read_event_stream(spark, sf_dir, max_files_per_trigger=8)
-    run_to_memory(_day_user_stream(ev), name, output_mode="complete")
+    run_to_memory(_day_user_stream(ev), name, output_mode="append")
     return census_over_day_user(spark.table(name).select("day", "user_id"))
 
 
