@@ -91,9 +91,17 @@ def bpe_segment_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("wpos", "spos", "id"))),
-                lambda t: t["id"],
+            # Rendered as a comma-joined string (the session_paths corpus
+            # convention): the driver's pandas canonicalizer sorts on every
+            # output column and a raw array<int> is unhashable there.  The
+            # array semantics stay pinned by the losslessness test, which
+            # splits this back into ids.
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "spos", "id"))),
+                    lambda t: t["id"].cast("string"),
+                ),
+                ",",
             ).alias("token_ids"),
         )
         .orderBy("doc_id")
@@ -165,7 +173,7 @@ def _segment_ids_sql(k: int = N_MERGES) -> str:
 )
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
-       list(v.id ORDER BY wpos, spos) AS token_ids
+       array_to_string(list(v.id ORDER BY wpos, spos), ',') AS token_ids
 FROM symrows JOIN vocab v USING (sym)
 GROUP BY doc_id
 ORDER BY doc_id

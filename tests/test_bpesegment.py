@@ -39,9 +39,12 @@ def test_segment_ids_detokenize_losslessly(spark):
         for r in docs.filter(F.col("doc_id") < SEG_DOCS).collect()
     }
     for r in out:
-        assert r["n_tokens"] == len(r["token_ids"]) > 0
-        assert all(1 <= i <= len(vocab) for i in r["token_ids"])
-        detok = "".join(sym_of[i] for i in r["token_ids"])
+        # registered shape is the comma-joined rendering (driver
+        # canonicalizer convention); split it back to real ids here
+        ids = [int(x) for x in r["token_ids"].split(",")]
+        assert r["n_tokens"] == len(ids) > 0
+        assert all(1 <= i <= len(vocab) for i in ids)
+        detok = "".join(sym_of[i] for i in ids)
         expected = "".join(texts[r["doc_id"]].lower().split())
         assert detok == expected, r["doc_id"]
     # merges actually fire: fewer tokens than characters overall
