@@ -79,67 +79,29 @@ def _modules():
 # dedup_survivorship, stream_quantile_sketch — all judge-gateable,
 # each carrying triple-SF local gates) head the r12 overflow.
 #
-# Round 12 window (VERDICT r11 #1): 2 anchors + the 6 r11-new queries
-# that have never had a driver row + the 16 r8-stale rows + new r12
-# queries + the oldest r9 rows (alphabetical) filling to 50.  After
-# r12 no green row should be older than r9 (check.py --stale at round
-# close); the r9 rows that did not fit head the r13 window.
+# Round 13 window (VERDICT r12 #1/#2): bpe_segment_ids (the one red
+# r12 row, fixed this round) + the 2 anchors + the 9 rows whose
+# modules changed since their last driver row + ALL remaining r9-stale
+# rows (34 total r9 rows between those groups) + new r13 queries +
+# oldest r10 rows (alphabetical) filling to 50.  After r13 no green
+# row should be older than r10; the r10 rows that did not fit head
+# the r14 window.
 PRIORITY: list[str] = [
-    # ---- r12 window (first 50): anchors ----
+    # ---- r13 window (first 50): the never-green row, then anchors ----
+    "bpe_segment_ids",
     "q1_pricing_summary",
     "minhash_lsh",
-    # r11-new, never had a driver row (VERDICT r11 #1 — ALL 6 first)
-    "dedup_survivorship",
-    "hard_negative_mining",
-    "q3_partitioned_tight",
-    "quantile_sketch_mergeable",
-    "stream_quantile_sketch",
-    "winsorize_scores",
-    # r8-stale rotation (VERDICT r11 #1 — all 16)
-    "multimodal_features",
-    "ngram_diversity",
-    "pii_redact",
-    "pii_stats",
-    "quality_quantile_norm",
-    "repo_changed_cells",
-    "repo_manifest_stats",
-    "repo_time_travel",
-    "semdedup",
-    "shard_assign",
-    "source_vocab_overlap",
-    "stratified_sample",
-    "ttr_stats",
-    "vector_quantize_error",
-    "weighted_sample",
-    "zipf_slope",
-    # new r12 queries land HERE (above the r9 fill)
-    "hard_negative_mining_ann",
-    "q5_partitioned",
-    "q9_partitioned",
-    "stream_hll_distinct",
-    "rfm_segments",
-    "profile_table",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "bpe_segment_ids",
-    "daily_active_users",
-    "pca_project",
-    "stream_active_users",
-    # oldest-first fill: r9 rows (alphabetical); overflow heads the r13 window
-    "cluster_size_distribution",
-    "curate_select",
-    "doc_token_histogram",
-    "embedding_covariance",
-    "embedding_outliers",
-    "event_interarrival_stats",
-    "event_type_markov",
-    "kmeans_clusters",
-    "knn_ivf",
-    "knn_lsh",
-    "label_centroids",
-    "media_neardup",
-    "pairwise_topk",
-    "pmi_phrases",
+    # changed-module rows (module edited since last driver row)
+    "q5_bucketed",
+    "q9_bucketed",
+    "simhash",
+    "rolling_zscore_anomalies",
+    "value_drift_psi",
+    "bpe_encode_corpus",
+    "bpe_train_merges",
+    "q3_bucketed",
+    "q3_partitioned",
+    # remaining r9-stale rows (alphabetical)
     "q10_returned_items",
     "q11_important_stock",
     "q12_priority_class",
@@ -154,14 +116,10 @@ PRIORITY: list[str] = [
     "q21_waiting_suppliers",
     "q22_global_sales",
     "q2_min_cost_supplier",
-    "q5_bucketed",
     "q6_forecast_revenue",
     "q8_market_share",
-    "q9_bucketed",
     "retention_cohorts",
-    "rolling_zscore_anomalies",
     "session_paths",
-    "simhash",
     "source_kl_divergence",
     "source_mixture_weights",
     "split_leakage_rate",
@@ -170,10 +128,59 @@ PRIORITY: list[str] = [
     "stream_sessionize",
     "stream_topk_users",
     "stream_windowed_agg",
-    "value_drift_psi",
     "vector_norm_stats",
     "vocab_coverage",
     "winnowing_fingerprint",
+    # new r13 queries land HERE (above the r10 fill)
+    # oldest-first fill: r10 rows (alphabetical); overflow heads r14
+    "array_store_roundtrip_distributed",
+    "asof_join",
+    "bpe_pair_counts",
+    "ccnet_perplexity_buckets",
+    "cross_doc_spans",
+    "customer_retention_setops",
+    "cusum_changepoint",
+    "dedup_exact_keep_first",
+    "distinct_count_approx",
+    "distinct_count_exact",
+    "dsir_importance",
+    "dup_span_fraction",
+    "embedding_neardup",
+    "fingerprint",
+    "first_last_in_group",
+    "gopher_quality_filters",
+    "histogram_value",
+    "hypertable_rollup",
+    "incremental_dedup",
+    "json_extract_agg",
+    "lang_id",
+    "mixture_sample",
+    "ngram_freq",
+    "ngram_jaccard",
+    "pack_sequences",
+    "percentiles",
+    "pipeline_clean_corpus",
+    "pivot_events",
+    "q3_shipping_priority",
+    "quality_score",
+    "range_join",
+    "rank_distribution",
+    "repetition_runs",
+    "repo_cdc_changes",
+    "rollup_cube",
+    "running_agg",
+    "sessionize",
+    "sketch_event_counts",
+    "split_train_val",
+    "stats_agg",
+    "stream_zscore_alerts",
+    "string_agg_ordered",
+    "tfidf_top_terms",
+    "time_resample",
+    "token_count",
+    "topk_per_group",
+    "window_lead_lag",
+    "word_entropy",
 ]
 
 
