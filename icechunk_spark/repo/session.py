@@ -591,7 +591,18 @@ class Session:
     def move(self, from_path: str, to_path: str) -> None:
         """Rename a node (and descendants).  Pure metadata: manifests
         key chunks by node_id, so no chunk or manifest rewrite happens
-        (same design as icechunk-types Move / session.move)."""
+        (same design as icechunk-types Move / session.move).
+
+        Validation parity with the reference's move_node
+        (icechunk/src/session.rs:857-900, #2102 / Changelog 2.0.5),
+        checked in the reference's order: source exists →
+        self/descendant → destination overwrite → destination under an
+        array.  The reference additionally requires the destination's
+        immediate parent group to exist ("move never creates
+        intermediate groups"); this tree allows implicit parents
+        everywhere (create_group("/a/b") without "/a"), so the analog
+        here is the array-ancestor check alone: no EXISTING ancestor
+        of the destination may be an array."""
         self._require_writable()
         from icechunk_spark.repo.admin import check_flag
 
@@ -599,11 +610,26 @@ class Session:
             fmt.read_repo_info(self.root).get("feature_flags", {}), "move_node", "move()"
         )
         src, dst = _norm(from_path), _norm(to_path)
-        if dst in self._nodes:
-            raise RefError(f"destination {dst} exists")
         moved = {p: n for p, n in self._nodes.items() if p == src or p.startswith(src.rstrip("/") + "/")}
         if not moved:
             raise RefError(f"no node at {src}")
+        if dst == src or dst.startswith(src.rstrip("/") + "/"):
+            raise RefError(
+                f"cannot move `{src}` into itself or its own descendant `{dst}`: "
+                f"this would require `{src}` to be both an ancestor and a "
+                "descendant of itself"
+            )
+        if dst in self._nodes:
+            raise RefError(f"move cannot overwrite existing node at `{dst}`")
+        anc = dst.rsplit("/", 1)[0]
+        while anc:
+            node = self._nodes.get(anc)
+            if node is not None and node.get("kind") == "array":
+                raise RefError(
+                    f"cannot move to `{dst}`: the destination's parent "
+                    f"`{anc}` is an array, not a group"
+                )
+            anc = anc.rsplit("/", 1)[0]
         for p, node in moved.items():
             np_ = dst + p[len(src) :]
             del self._nodes[p]
