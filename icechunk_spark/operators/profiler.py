@@ -56,16 +56,24 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         for row in profile_distinct_frame(orders).collect()  # distinct pass
     }
     n = int(r["__n"])
+    # All-NULL columns (ADVICE r12): the distinct pass emits no (i, nd)
+    # row (count(DISTINCT) = 0) and sum(length(...)) is NULL — DuckDB
+    # renders avg_len as NULL there too, so propagate None rather than
+    # fabricating 0.0.
     recs = [
         {
             "col_name": c,
             "n_rows": n,
             "n_null": int(r[f"{c}__nulls"]),
-            "n_distinct": nd[i],
+            "n_distinct": nd.get(i, 0),
             "min_value": r[f"{c}__min"],
             "max_value": r[f"{c}__max"],
             # integer HALF_UP 4dp mean length
-            "avg_len": ((20000 * int(r[f"{c}__lensum"]) + n) // (2 * n)) / 10000.0,
+            "avg_len": (
+                None
+                if r[f"{c}__lensum"] is None
+                else ((20000 * int(r[f"{c}__lensum"]) + n) // (2 * n)) / 10000.0
+            ),
         }
         for i, c in enumerate(PROFILE_COLS)
     ]

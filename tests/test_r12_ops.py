@@ -98,3 +98,30 @@ def test_profile_distinct_excludes_nulls(spark):
     )
     nd = {r["i"]: r["nd"] for r in profile_distinct_frame(df).collect()}
     assert nd == {0: 3, 1: 1, 2: 1, 3: 1}, (nd, PROFILE_COLS)
+
+
+def test_profile_table_all_null_column(spark, monkeypatch):
+    """An all-NULL profiled column must profile, not crash (ADVICE
+    r12): the distinct pass emits no row for it (n_distinct = 0, the
+    count(DISTINCT) answer) and avg_len propagates NULL like the
+    oracle's sum(length(...)) does."""
+    import icechunk_spark.operators.profiler as prof
+    from icechunk_spark.engine import local_df
+
+    rows = [
+        {"o_orderkey": 1, "o_custkey": None, "o_orderstatus": "F", "o_orderpriority": "1-URGENT"},
+        {"o_orderkey": 2, "o_custkey": None, "o_orderstatus": "O", "o_orderpriority": "2-HIGH"},
+    ]
+    df = local_df(
+        spark,
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_orderpriority string",
+    )
+    monkeypatch.setattr(prof, "load_tables", lambda s, d: {"orders": df})
+    out = {r["col_name"]: r for r in prof.profile_table(spark, "ignored").collect()}
+    nullcol = out["o_custkey"]
+    assert nullcol["n_rows"] == 2 and nullcol["n_null"] == 2
+    assert nullcol["n_distinct"] == 0
+    assert nullcol["min_value"] is None and nullcol["max_value"] is None
+    assert nullcol["avg_len"] is None
+    assert out["o_orderkey"]["n_distinct"] == 2
