@@ -33,7 +33,14 @@ def census_over_day_user(day_user: DataFrame) -> DataFrame:
     """The census algebra over ANY distinct (day, user_id) frame —
     shared by the batch op and the streaming twin
     (streaming_active.py) so the two registered queries cannot
-    diverge (the quantiles_over_sketch precedent)."""
+    diverge (the quantiles_over_sketch precedent).
+
+    NULL days (from NULL event timestamps) are dropped HERE, in the
+    shared algebra (ADVICE r12): a NULL day is not a day, and leaving
+    it in diverges cross-engine — Spark's Window.orderBy puts NULLS
+    FIRST where DuckDB's ORDER BY puts them LAST, skewing the running
+    cumulative sum and the row order."""
+    day_user = day_user.filter(F.col("day").isNotNull())
     active = day_user.groupBy("day").agg(
         F.count(F.lit(1)).cast("bigint").alias("active_users")
     )
@@ -71,6 +78,7 @@ def census_over_day_user(day_user: DataFrame) -> DataFrame:
 DAILY_ACTIVE_SQL = """
 WITH du AS (
   SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+  WHERE ts IS NOT NULL
 ), active AS (
   SELECT day, CAST(count(*) AS BIGINT) AS active_users FROM du GROUP BY day
 ), firsts AS (

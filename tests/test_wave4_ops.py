@@ -62,3 +62,27 @@ def test_stream_active_users_matches_batch_twin(spark):
     stream_rows = [tuple(r) for r in stream_active_users(spark, SF_DIR).collect()]
     batch_rows = [tuple(r) for r in daily_active_users(spark, SF_DIR).collect()]
     assert stream_rows == batch_rows and stream_rows
+
+
+def test_census_drops_null_days(spark):
+    """NULL event timestamps must not produce a NULL-day census row
+    (ADVICE r12: Spark windows order NULLS FIRST vs DuckDB's NULLS
+    LAST — the cumulative running sum would diverge cross-engine)."""
+    from icechunk_spark.engine import local_df
+    from icechunk_spark.operators.activeusers import census_over_day_user
+
+    du = local_df(
+        spark,
+        [
+            {"day": "2024-01-01", "user_id": 1},
+            {"day": None, "user_id": 2},
+            {"day": "2024-01-02", "user_id": 1},
+            {"day": "2024-01-02", "user_id": 2},
+        ],
+        "day string, user_id bigint",
+    )
+    rows = census_over_day_user(du).collect()
+    assert [r["day"] for r in rows] == ["2024-01-01", "2024-01-02"]
+    # user 2's NULL-day sighting does not count: first seen 2024-01-02
+    assert [r["new_users"] for r in rows] == [1, 1]
+    assert rows[-1]["cumulative_distinct_users"] == 2
