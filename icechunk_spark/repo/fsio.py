@@ -91,8 +91,18 @@ def _http_read_range(url: str, offset: int, length: int) -> bytes:
     (``http://user:pw@host/``) becomes a basic-auth header (urllib
     refuses credentialed netlocs); the #fragment is client-side only
     and is never sent.  A server that ignores Range and answers 200
-    with the full body is sliced locally."""
+    with the full body is sliced locally.
+
+    Redirects are NOT followed (ADVICE r12): urllib's default handler
+    re-sends every injected header — including Authorization — to the
+    redirect target, so a 3xx could leak the userinfo credentials to a
+    different host.  A 3xx answer raises instead.  A 206 answer must
+    carry a Content-Range matching the requested offset, else it is an
+    error — silently trusting a mispositioned partial body corrupts
+    the chunk."""
     import base64
+    import re
+    import urllib.error
     import urllib.request
     from urllib.parse import urlsplit, urlunsplit
 
@@ -107,15 +117,40 @@ def _http_read_range(url: str, offset: int, length: int) -> bytes:
         netloc = host
     clean = urlunsplit((parts.scheme, netloc, parts.path, parts.query, ""))
     req = urllib.request.Request(clean, headers=headers)
-    with urllib.request.urlopen(req, timeout=30) as resp:
-        status = resp.status
-        data = resp.read()
+
+    class _NoRedirect(urllib.request.HTTPRedirectHandler):
+        def redirect_request(self, req, fp, code, msg, hdrs, newurl):  # noqa: ARG002
+            return None  # urllib raises HTTPError(code) instead of following
+
+    opener = urllib.request.build_opener(_NoRedirect)
+    try:
+        with opener.open(req, timeout=30) as resp:
+            status = resp.status
+            content_range = resp.headers.get("Content-Range", "")
+            data = resp.read()
+    except urllib.error.HTTPError as e:
+        if 300 <= e.code < 400:
+            raise OSError(
+                f"ranged read of {clean}: server redirected ({e.code}) to "
+                f"{e.headers.get('Location')!r}; redirects are not followed "
+                "on credentialed ranged reads (Authorization would be "
+                "re-sent to the target)"
+            ) from e
+        raise
     if status == 200:
         # 200 (not 206) = the server ignored Range and sent the full
         # body: ALWAYS slice the window.  data[:length] here returned
         # head-of-file bytes whenever the body was shorter than the
         # requested window (review r12).
         return data[offset : offset + length]
+    if status == 206:
+        m = re.match(r"bytes (\d+)-(\d+)/(?:\d+|\*)", content_range)
+        if not m or int(m.group(1)) != offset:
+            raise OSError(
+                f"ranged read of {clean}: 206 Content-Range "
+                f"{content_range!r} does not start at requested offset "
+                f"{offset}"
+            )
     return data[:length]
 
 

@@ -130,3 +130,50 @@ def test_userinfo_becomes_basic_auth_and_200_fallback(
     finally:
         srv2.shutdown()
         srv2.server_close()
+
+
+def test_redirect_is_refused_and_bad_content_range_rejected():
+    """ADVICE r12: a 3xx must NOT be followed (urllib would re-send
+    the Authorization header to the redirect target — cross-host
+    credential leak), and a 206 whose Content-Range does not start at
+    the requested offset is an error, not silently-corrupt data."""
+    import pytest
+
+    import icechunk_spark.repo.fsio as fsio
+
+    class _Redirector(_RangeHandler):
+        def do_GET(self):  # noqa: N802
+            self.send_response(302)
+            self.send_header("Location", "http://evil.example/steal")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Redirector)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://u:p@127.0.0.1:{srv.server_address[1]}/f"
+        with pytest.raises(OSError, match="redirects are not followed"):
+            fsio.read_range(url, 0, 4)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    class _WrongRange(_RangeHandler):
+        def do_GET(self):  # noqa: N802
+            body = BLOB[:4]
+            self.send_response(206)
+            # lies: says the window starts at 0 when 8 was requested
+            self.send_header("Content-Range", f"bytes 0-3/{len(BLOB)}")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv2 = ThreadingHTTPServer(("127.0.0.1", 0), _WrongRange)
+    threading.Thread(target=srv2.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv2.server_address[1]}/f"
+        with pytest.raises(OSError, match="does not start at requested offset"):
+            fsio.read_range(url, 8, 4)
+    finally:
+        srv2.shutdown()
+        srv2.server_close()
