@@ -92,6 +92,17 @@ def _table_rows_from_footer(sf_dir: str, name: str) -> int:
     )
 
 
+def _corpus_rows(emb: DataFrame, sf_dir: str) -> int:
+    """Corpus row count for the training-cap decision.  The footer
+    read is free but non-recursive: a nested/partitioned layout lists
+    zero files and would silently report 0 rows, DISABLING the
+    HN_TRAIN_CAP cutoff so Lloyd toPandas()-collects the whole corpus
+    (ADVICE r12).  Zero is therefore treated as unknown → one Spark
+    count job, never an uncapped collect."""
+    n = _table_rows_from_footer(sf_dir, "embeddings")
+    return n if n > 0 else emb.count()
+
+
 def _train_centroids(emb: DataFrame, n_vec: int) -> np.ndarray:
     """Spherical k-means centroids from a bounded deterministic
     sample: md5 hash-cutoff filter (distributed, partitioning
@@ -130,7 +141,7 @@ def hard_negative_mining_ann_neighbors(spark: SparkSession, sf_dir: str) -> Data
     """Wrong-label cosine top-K per query over IVF candidates — the
     raw neighbor rows (same schema as hard_negative_mining)."""
     emb = ensure_min_partitions(load_tables(spark, sf_dir)["embeddings"])
-    C = _train_centroids(emb, _table_rows_from_footer(sf_dir, "embeddings"))
+    C = _train_centroids(emb, _corpus_rows(emb, sf_dir))
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
 
     qrows = sorted(

@@ -68,3 +68,19 @@ def test_ann_plan_is_one_arrow_pass(spark):
     assert "BatchEvalPython" not in plan
     assert "MapInPandas" in plan, plan  # the AQE string repeats the node in the initial plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_zero_footer_count_falls_back_to_spark_count(spark, monkeypatch):
+    """A nested/partitioned layout lists zero parquet footers; that
+    must read as UNKNOWN (→ Spark count), not as a 0-row corpus that
+    disables the Lloyd training cap (ADVICE r12)."""
+    import icechunk_spark.operators.negatives_ann as na
+    from icechunk_spark.catalog import load_tables
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    true_n = emb.count()
+    monkeypatch.setattr(na, "_table_rows_from_footer", lambda d, n: 0)
+    assert na._corpus_rows(emb, SF_DIR) == true_n
+    # and the footer path is untouched when it works
+    monkeypatch.undo()
+    assert na._corpus_rows(emb, SF_DIR) == true_n
