@@ -79,3 +79,74 @@ def salted_join(
     small_r = small.select("*", salts)
     joined = big_s.join(small_r, on & (F.col("__salt_b") == F.col("__salt_s")), how)
     return joined.drop("__salt_b", "__salt_s")
+
+
+def key_frequency_stats(
+    df: DataFrame, keys: list[str], sample_fraction: float | None = None
+) -> dict:
+    """One map-side-combined aggregation over ``keys``: total rows,
+    distinct keys, hottest key's rows, and the skew ratio
+    (hottest / average).  The groupBy collapses to n_keys rows before
+    the shuffle, so this is cheap exactly in the regime salting
+    matters (few hot keys); pass ``sample_fraction`` for
+    high-cardinality keys where even n_keys rows are expensive."""
+    base = df.select(*keys)
+    if sample_fraction is not None:
+        base = base.sample(fraction=sample_fraction, seed=42)
+    r = (
+        base.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_key_rows"),
+        )
+        .collect()[0]
+    )
+    n, k, mx = int(r["n_rows"] or 0), int(r["n_keys"] or 0), int(r["max_key_rows"] or 0)
+    return {
+        "n_rows": n,
+        "n_keys": k,
+        "max_key_rows": mx,
+        "skew_ratio": (mx * k / n) if n else 0.0,
+    }
+
+
+def suggest_salts(
+    df: DataFrame,
+    keys: list[str],
+    threshold: float = 4.0,
+    max_salts: int = 64,
+    sample_fraction: float | None = None,
+) -> int:
+    """Salt count justified by OBSERVED key-frequency stats: 0 when no
+    key exceeds ``threshold``× the average key's rows (salting
+    unskewed data is strictly worse — the sf10 measurement in
+    operators/skewops.py), else the next power of two ≥ the skew
+    ratio, capped — enough salts to bring the hottest key's reducer
+    share down to ~the average key."""
+    import math
+
+    stats = key_frequency_stats(df, keys, sample_fraction=sample_fraction)
+    if stats["n_keys"] < 2 or stats["skew_ratio"] <= threshold:
+        return 0
+    return min(max_salts, 1 << math.ceil(math.log2(stats["skew_ratio"])))
+
+
+def gated_salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Column,
+    keys: list[str],
+    threshold: float = 4.0,
+    how: str = "inner",
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """The production wrapper (VERDICT r12 #4): plain join unless
+    ``suggest_salts`` observes a hot key in the big side, salted join
+    otherwise.  Values are identical either way (the skew_salted_join
+    oracle contract); only the physical shuffle changes."""
+    n = suggest_salts(big, keys, threshold=threshold, sample_fraction=sample_fraction)
+    if n == 0:
+        return big.join(small, on, how)
+    return salted_join(big, small, on, n_salts=n, how=how)

@@ -1,0 +1,91 @@
+"""Skew gating made executable (VERDICT r12 #4): suggest_salts
+returns 0 on uniform keys — so the gated join takes the PLAIN plan
+(no salt machinery; on unskewed data the salted join is strictly
+worse, measured 2.8 s vs ~1 s at sf10) — and a positive,
+ratio-matched salt count on hot keys, where the gated join must stay
+value-identical to the plain join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from icechunk_spark.engine import local_df
+from icechunk_spark.functions.skew import (
+    gated_salted_join,
+    key_frequency_stats,
+    suggest_salts,
+)
+
+
+def _uniform(spark, n=1000, k=10):
+    return spark.range(n).select(
+        (F.col("id") % k).alias("key"), F.col("id").alias("v")
+    )
+
+
+def _skewed(spark, n=1000):
+    # key 0 carries 90% of rows, keys 1..10 split the rest
+    return spark.range(n).select(
+        F.when(F.col("id") < n * 9 // 10, F.lit(0))
+        .otherwise((F.col("id") % 10) + 1)
+        .alias("key"),
+        F.col("id").alias("v"),
+    )
+
+
+def test_uniform_keys_suggest_zero_salts(spark):
+    assert suggest_salts(_uniform(spark), ["key"]) == 0
+
+
+def test_skewed_keys_suggest_ratio_matched_salts(spark):
+    stats = key_frequency_stats(_skewed(spark), ["key"])
+    assert stats["skew_ratio"] > 4.0
+    n = suggest_salts(_skewed(spark), ["key"])
+    # next pow2 >= ratio (11 keys, hottest 900/1000 -> ratio 9.9 -> 16)
+    assert n == 16
+
+
+def test_gated_join_takes_plain_plan_on_uniform_data(spark):
+    big = _uniform(spark)
+    dim = local_df(
+        spark,
+        [{"key": i, "name": f"k{i}"} for i in range(10)],
+        "key bigint, name string",
+    ).withColumnRenamed("key", "dkey")
+    out = gated_salted_join(big, dim, F.col("key") == F.col("dkey"), ["key"])
+    out.collect()  # finalize AQE before reading the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" not in plan  # the salted machinery is NOT used
+    assert out.count() == 1000
+
+
+def test_gated_join_salts_hot_keys_and_stays_value_identical(spark):
+    big = _skewed(spark)
+    dim = local_df(
+        spark,
+        [{"dkey": i, "name": f"k{i}"} for i in range(11)],
+        "dkey bigint, name string",
+    )
+    on = F.col("key") == F.col("dkey")
+    gated = gated_salted_join(big, dim, on, ["key"])
+    gated.collect()
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan  # salting engaged on the hot key
+    plain = (
+        big.join(dim, on)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+    )
+    salted = gated.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_all_null_or_single_key_never_salts(spark):
+    one_key = spark.range(100).select(F.lit(1).alias("key"), F.col("id").alias("v"))
+    # one key has no RELATIVE skew (ratio 1) — the answer there is a
+    # broadcast of the other side, not salt
+    assert suggest_salts(one_key, ["key"]) == 0
+    empty = one_key.filter(F.lit(False))
+    assert suggest_salts(empty, ["key"]) == 0
