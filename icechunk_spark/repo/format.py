@@ -26,7 +26,7 @@ import json
 import os
 import time
 import uuid
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass, field, fields
 from typing import Any
 
 from icechunk_spark.repo.errbase import ErrorKind, IcechunkError
@@ -161,6 +161,14 @@ class SnapshotInfo:
     # after the snapshots themselves are reclaimed.  Additive field:
     # old snapshot docs parse fine (default []).
     pruned_ancestor_tx_logs: list[str] = field(default_factory=list)
+    # Reserved extensibility (design-docs/015, "extra data in
+    # manifests and snapshots"): top-level JSON keys this version does
+    # not know are collected here on read and re-emitted AT TOP LEVEL
+    # on write, so a snapshot rewrite by an old reader (expiration's
+    # re-parenting, amend) round-trips a future writer's fields in
+    # place instead of crashing or dropping them.  Opaque by design —
+    # nothing in this version interprets the contents.
+    extra: dict[str, Any] = field(default_factory=dict)
 
     @property
     def written_at_iso(self) -> str:
@@ -200,7 +208,13 @@ _ZMAGIC = b"ICZ1"
 
 def write_snapshot(root: "str | Storage", snap: SnapshotInfo) -> None:
     s = resolve_storage(root)
-    raw = json.dumps(asdict(snap)).encode()
+    doc = asdict(snap)
+    # design-docs/015: unknown keys captured at read time go back at
+    # top level (known fields win any collision), so rewrites preserve
+    # a future writer's fields byte-placement-compatibly
+    extra = doc.pop("extra", None) or {}
+    doc = {**{k: v for k, v in extra.items() if k not in doc}, **doc}
+    raw = json.dumps(doc).encode()
     doc = read_config_doc(s)
     comp = (doc or {}).get("compression") or {}
     if comp.get("algorithm") == "zlib":
@@ -219,7 +233,16 @@ def read_snapshot(root: "str | Storage", snapshot_id: str) -> SnapshotInfo:
         import zlib
 
         raw = zlib.decompress(raw[4:])
-    return SnapshotInfo(**json.loads(raw.decode()))
+    data = json.loads(raw.decode())
+    # design-docs/015 tolerance: a future writer's unknown top-level
+    # keys are not an error — they ride in .extra and write_snapshot
+    # re-emits them, so this version can rewrite (expire/amend) newer
+    # snapshots without destroying what it doesn't understand
+    known = {f.name for f in fields(SnapshotInfo)}
+    unknown = {k: data.pop(k) for k in [k for k in data if k not in known]}
+    if unknown:
+        data["extra"] = {**unknown, **data.get("extra", {})}
+    return SnapshotInfo(**data)
 
 
 def delete_snapshot(root: "str | Storage", snapshot_id: str) -> None:

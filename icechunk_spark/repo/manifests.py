@@ -23,10 +23,37 @@ def manifest_dir(root: str) -> str:
     return data_path(root, "manifests")
 
 
-def read_manifest_files(spark: SparkSession, root: str, relpaths: list[str]) -> DataFrame:
+def _manifest_out_columns(df: DataFrame) -> list[str]:
+    """Write column set: the known MANIFEST_SCHEMA columns plus any
+    ADDITIVE columns present on the frame (design-docs/015: additive
+    nullable columns are the extensibility mechanism for this parquet
+    layout — the virtual-ref checksum column set the precedent).
+    "__"-prefixed columns are internal helpers (never persisted
+    data), so they are excluded."""
+    known = [c.strip().split(" ")[0] for c in MANIFEST_SCHEMA.split(",")]
+    extras = [c for c in df.columns if c not in known and not c.startswith("__")]
+    return known + extras
+
+
+def read_manifest_files(
+    spark: SparkSession,
+    root: str,
+    relpaths: list[str],
+    with_extra_columns: bool = False,
+) -> DataFrame:
+    """Fixed-schema read by default (column pruning; a future writer's
+    additive columns are simply not scanned).  ``with_extra_columns``
+    reads the UNION schema instead (design-docs/015: additive nullable
+    columns are the manifest extensibility mechanism here) so a
+    rewrite can carry columns this version doesn't interpret."""
     if not relpaths:
         return spark.createDataFrame([], MANIFEST_SCHEMA)
     paths = [data_path(root, p) for p in relpaths]
+    if with_extra_columns:
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        # "__"-prefixed names are this engine's own helper columns
+        # (split partition dirs), never future-format data
+        return df.select(*[c for c in df.columns if not c.startswith("__")])
     return spark.read.schema(MANIFEST_SCHEMA).parquet(*paths)
 
 
@@ -36,11 +63,17 @@ def resolve_manifests(
     snap: SnapshotInfo,
     node_id: str | None = None,
     chunk_filter: Column | None = None,
+    with_extra_columns: bool = False,
 ) -> DataFrame:
     """Live chunk refs at a snapshot: latest row per (node_id,
     chunk_key), tombstones dropped.  ``chunk_filter`` (over c0..c3)
     prunes before the dedup shuffle and pushes down to the scan."""
-    df = read_manifest_files(spark, root, prune_manifest_paths(snap.manifests, node_id))
+    df = read_manifest_files(
+        spark,
+        root,
+        prune_manifest_paths(snap.manifests, node_id),
+        with_extra_columns=with_extra_columns,
+    )
     if node_id is not None:
         df = df.filter(F.col("node_id") == node_id)
     if chunk_filter is not None:
@@ -57,7 +90,7 @@ def write_manifest(df: DataFrame, root: str, n_files: int = 1) -> str:
     """Write manifest rows as a new immutable manifest file (dir of
     parquet parts); returns the snapshot-relative path."""
     rel = os.path.join("manifests", f"{new_id()}.parquet")
-    out = df.select(*[c.strip().split(" ")[0] for c in MANIFEST_SCHEMA.split(",")])
+    out = df.select(*_manifest_out_columns(df))
     writer = out.repartition(n_files) if n_files else out
     writer.write.parquet(data_path(root, rel))
     return rel
@@ -102,8 +135,7 @@ def write_manifests(
     if not splitting.get("split_by_array") and max_refs is None and not rules:
         return [write_manifest(df, root, n_files)]
     base = os.path.join("manifests", f"{new_id()}.parquet")
-    cols = [c.strip().split(" ")[0] for c in MANIFEST_SCHEMA.split(",")]
-    out = df.select(*cols).withColumn("__node", F.col("node_id"))
+    out = df.select(*_manifest_out_columns(df)).withColumn("__node", F.col("node_id"))
     if rules and node_paths:
         # Per-rule caps (the reference's ManifestSplittingConfig,
         # _icechunk_python.pyi:921+): the FIRST condition matching an

@@ -1764,7 +1764,10 @@ class Repository:
             raise ValueError(f"invalid commit_method {commit_method!r}")
         gen, tip_id = fmt.branch_tip(self.root, branch)
         tip = fmt.read_snapshot(self.root, tip_id)
-        resolved = mf.resolve_manifests(self.spark, self.root, tip)
+        # union-schema read (design-docs/015): a future writer's
+        # additive nullable manifest columns ride through compaction
+        # untouched instead of being dropped with their file
+        resolved = mf.resolve_manifests(self.spark, self.root, tip, with_extra_columns=True)
         compacted = resolved.withColumn("seq", F.lit(0).cast("bigint")).sortWithinPartitions(
             "node_id", "c0", "c1", "c2", "c3"
         )
@@ -1798,6 +1801,9 @@ class Repository:
                 manifests=rels,
                 nodes=tip.nodes,
                 pruned_ancestor_tx_logs=list(tip.pruned_ancestor_tx_logs),
+                # design-docs/015: an amend REWRITES the tip — carry a
+                # future writer's unknown fields through untouched
+                extra=dict(tip.extra),
             )
         else:
             snap = SnapshotInfo(

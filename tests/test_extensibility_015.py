@@ -1,0 +1,164 @@
+"""Design-docs/015 analog ("extra data in manifests and snapshots"):
+the reference reserves opaque extensibility fields on snapshots,
+manifests, and manifest refs.  This layout's mechanisms, pinned here:
+
+- Snapshot JSON: unknown top-level keys from a future writer are NOT
+  an error — they round-trip through read_snapshot/write_snapshot in
+  place, survive this version's snapshot rewrites (expire re-parent,
+  amend), and commit/GC never disturb other snapshots' docs.
+- Manifest parquet: additive NULLABLE columns are the mechanism (the
+  virtual-ref checksum column set the precedent).  A manifest with a
+  column this version doesn't know still reads (fixed-schema scans
+  prune it), existing files are immutable through commit/GC, and
+  compaction (rewrite_manifests) carries the unknown column into the
+  compacted file instead of dropping it.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+import icechunk_spark.repo.format as fmt
+from icechunk_spark.repo import Repository
+from icechunk_spark.repo import manifests as mf
+
+
+@pytest.fixture
+def repo(spark, tmp_path):
+    r = Repository.create(spark, str(tmp_path / "repo"))
+    with r.transaction(message="init") as s:
+        s.create_array("/a", shape=[4], chunk_shape=[2])
+        s.write_array_df(
+            "/a",
+            spark.range(4).select(F.col("id").alias("i0"), F.lit(1.0).alias("value")),
+        )
+    return r
+
+
+def _inject_snapshot_key(root, snap_id, key, value):
+    """Simulate a FUTURE writer: add an unknown top-level key to the
+    snapshot doc on disk."""
+    storage = fmt.resolve_storage(root)
+    raw = storage.get(f"snapshots/{snap_id}.json")
+    doc = json.loads(raw.decode())
+    doc[key] = value
+    storage.put(f"snapshots/{snap_id}.json", json.dumps(doc).encode())
+
+
+def test_unknown_snapshot_keys_roundtrip_and_survive_maintenance(spark, repo):
+    tip_id = repo.lookup_branch("main")
+    _inject_snapshot_key(repo.root, tip_id, "future_stats", {"rows": 99, "v": [1, 2]})
+
+    # read tolerance: the unknown key lands in .extra, nothing crashes
+    snap = fmt.read_snapshot(repo.root, tip_id)
+    assert snap.extra == {"future_stats": {"rows": 99, "v": [1, 2]}}
+
+    # a rewrite by THIS version re-emits the key at top level
+    fmt.write_snapshot(repo.root, snap)
+    raw = json.loads(fmt.resolve_storage(repo.root).get(f"snapshots/{tip_id}.json").decode())
+    assert raw["future_stats"] == {"rows": 99, "v": [1, 2]}
+    assert "extra" not in raw  # emitted in place, not under a wrapper key
+
+    # commit + GC leave the doc untouched
+    with repo.transaction(message="later") as s:
+        s.write_array_df(
+            "/a",
+            spark.range(2).select(F.col("id").alias("i0"), F.lit(2.0).alias("value")),
+        )
+    repo.garbage_collect(older_than_seconds=-1)
+    raw2 = json.loads(
+        fmt.resolve_storage(repo.root).get(f"snapshots/{tip_id}.json").decode()
+    )
+    assert raw2["future_stats"] == {"rows": 99, "v": [1, 2]}
+
+    # amend-compaction REWRITES the tip: extra must be carried
+    new_tip = repo.rewrite_manifests(commit_method="amend")
+    carried = fmt.read_snapshot(repo.root, new_tip)
+    # (the injected key was on the OLD tip; inject on the new one and amend again)
+    _inject_snapshot_key(repo.root, new_tip, "future_flag", True)
+    newer = repo.rewrite_manifests(commit_method="amend")
+    assert fmt.read_snapshot(repo.root, newer).extra == {"future_flag": True}
+    assert carried is not None
+
+
+def _append_future_manifest(root, snap, name, value):
+    """Simulate a FUTURE writer: a NEW immutable manifest file (the
+    real extension path — manifest files are never rewritten in place)
+    whose rows shadow the old ones (higher seq) and carry an additive
+    nullable column, registered on the snapshot."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    src = fmt.data_path(root, snap.manifests[0])
+    table = ds.dataset(src, format="parquet").to_table()
+    seq = pa.compute.add(table["seq"], 1_000_000)
+    table = table.set_column(table.schema.get_field_index("seq"), "seq", seq)
+    table = table.append_column(name, pa.array([value] * len(table), pa.string()))
+    # drop the footer metadata inherited from the Spark-written source
+    # file: it embeds Spark's OLD 17-column schema JSON
+    # (org.apache.spark.sql.parquet.row.metadata), which Spark prefers
+    # over the physical parquet schema on read — a real future writer
+    # embeds metadata matching its own columns
+    table = table.replace_schema_metadata(None)
+    rel = f"manifests/{fmt.new_id()}.parquet"
+    full = fmt.data_path(root, rel)
+    os.makedirs(full)
+    pq.write_table(table, os.path.join(full, "part-0.parquet"))
+    snap.manifests = [*snap.manifests, rel]
+    fmt.write_snapshot(root, snap)
+    return rel
+
+
+def test_unknown_manifest_columns_read_fine_and_survive_compaction(spark, repo):
+    tip = fmt.read_snapshot(repo.root, repo.lookup_branch("main"))
+    assert len(tip.manifests) == 1
+    _append_future_manifest(repo.root, tip, "future_col", "opaque")
+    tip = fmt.read_snapshot(repo.root, tip.id)
+
+    # fixed-schema read path: the unknown column is pruned, not fatal
+    assert repo.readonly_session().read_array_df("/a").count() == 4
+
+    # union-schema read exposes it
+    extra = mf.read_manifest_files(
+        spark, repo.root, tip.manifests, with_extra_columns=True
+    )
+    assert "future_col" in extra.columns
+
+    # compaction carries the column into the compacted manifest
+    snap_id = repo.rewrite_manifests()
+    compacted = fmt.read_snapshot(repo.root, snap_id)
+    out = mf.read_manifest_files(
+        spark, repo.root, compacted.manifests, with_extra_columns=True
+    )
+    assert "future_col" in out.columns
+    vals = [r["future_col"] for r in out.select("future_col").collect()]
+    assert vals and all(v == "opaque" for v in vals)
+
+    # GC after compaction: the array still reads, values intact
+    repo.expire_snapshots(older_than_seconds=-1)
+    repo.garbage_collect(older_than_seconds=-1)
+    rows = repo.readonly_session().read_array_df("/a").collect()
+    assert len(rows) == 4 and all(r["value"] == 1.0 for r in rows)
+
+
+def test_commit_path_frames_gain_no_stray_columns(spark, repo):
+    """The additive-column mechanism must not let INTERNAL helper
+    columns leak into written manifests: a fresh commit's manifest has
+    exactly the known schema."""
+    with repo.transaction(message="w2") as s:
+        s.write_array_df(
+            "/a",
+            spark.range(2).select(F.col("id").alias("i0"), F.lit(3.0).alias("value")),
+        )
+    tip = fmt.read_snapshot(repo.root, repo.lookup_branch("main"))
+    df = mf.read_manifest_files(
+        spark, repo.root, tip.manifests, with_extra_columns=True
+    )
+    known = [c.strip().split(" ")[0] for c in mf.MANIFEST_SCHEMA.split(",")]
+    assert sorted(df.columns) == sorted(known)
