@@ -9,6 +9,7 @@ inspect / config / maintenance from a shell).
     python -m icechunk_spark.cli tags <root>
     python -m icechunk_spark.cli ancestry <root> [--branch main] [-n 10]
     python -m icechunk_spark.cli config <root>
+    python -m icechunk_spark.cli inspect-file <root> snapshots/<id>.json
     python -m icechunk_spark.cli migrate <root> [--dry-run]
     python -m icechunk_spark.cli expire <root> --older-than 86400
     python -m icechunk_spark.cli gc <root> [--older-than 86400] [--dry-run]
@@ -137,6 +138,13 @@ def cmd_gc(args) -> int:
     return 0
 
 
+def cmd_inspect_file(args) -> int:
+    """Header inspection of any metadata file (reference #2216):
+    kind/format/compression discovered from content, no Spark."""
+    _emit(_repo(args.root).inspect_metadata_file(args.relpath))
+    return 0
+
+
 def cmd_graph(args) -> int:
     """Terminal commit graph (reference parity: the ancestry_graph
     display — display.rs); --plain for ASCII-only output."""
@@ -188,6 +196,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp = add("graph", cmd_graph, "commit graph across all refs (terminal tree)")
     sp.add_argument("--plain", action="store_true", help="ASCII bullets (CI/logs)")
     add("config", cmd_config, "persisted repository config")
+    sp = add("inspect-file", cmd_inspect_file, "metadata file header: kind/compression")
+    sp.add_argument("relpath", help="repo-relative file path (e.g. snapshots/<id>.json)")
     sp = add("migrate", cmd_migrate, "upgrade the layout to the current spec")
     sp.add_argument("--dry-run", action="store_true")
     sp = add("expire", cmd_expire, "expire history older than a cutoff")

@@ -245,6 +245,125 @@ def read_snapshot(root: "str | Storage", snapshot_id: str) -> SnapshotInfo:
     return SnapshotInfo(**data)
 
 
+def inspect_metadata_file(root: "str | Storage", relpath: str) -> dict[str, Any]:
+    """Read-only header inspection of ANY repo metadata file
+    (reference #2216: AssetManager.fetch_header / parse_file_header —
+    icechunk/src/asset_manager.rs:601, icechunk-format/src/lib.rs:575).
+
+    Like the reference, the kind is DISCOVERED from content, never
+    asserted from the path: the zlib magic prefix, the JSON document's
+    keys, or the parquet footer's columns decide.  Returns::
+
+        {"path", "kind", "format", "compression", "spec_version"}
+
+    kind ∈ {repo-info, snapshot, ref, ref-tombstone, config,
+    manifest, transaction-log, chunk-data, unknown}; format ∈
+    {json, parquet, unknown}; compression is "zlib"/"none" for JSON
+    docs and the parquet codec (e.g. "snappy") for parquet files.
+    spec_version is the repo's pinned format_version (this layout
+    versions the REPO, not each file — the header-analog field)."""
+    s = resolve_storage(root)
+    out: dict[str, Any] = {
+        "path": relpath,
+        "kind": "unknown",
+        "format": "unknown",
+        "compression": "none",
+        "spec_version": None,
+    }
+    try:
+        out["spec_version"] = int(read_repo_info(s).get("format_version"))
+    except Exception:
+        pass
+
+    raw: bytes | None = None
+    if s.exists(relpath):
+        try:
+            raw = s.get(relpath)
+        except OSError:
+            pass  # a directory (parquet dataset) — handled below
+    if raw is not None and raw[:4] == _ZMAGIC:
+        import zlib
+
+        out["compression"] = "zlib"
+        raw = zlib.decompress(raw[4:])
+    if raw is not None and raw[:4] == b"PAR1":
+        return {**out, **_inspect_parquet_bytes(raw)}
+    if raw is not None:
+        try:
+            doc = json.loads(raw.decode())
+        except (UnicodeDecodeError, ValueError):
+            return out
+        out["format"] = "json"
+        out["kind"] = _classify_json_doc(doc, relpath)
+        return out
+
+    # not a storage key: a parquet dir on the bulk plane (manifest /
+    # txlog / chunk files are directories of part files)
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow.parquet as pq
+
+        dataset = ds.dataset(data_path(s, relpath), format="parquet")
+        cols = set(dataset.schema.names)
+        files = list(dataset.files)
+        comp = None
+        if files:
+            md = pq.ParquetFile(files[0]).metadata
+            if md.num_row_groups:
+                comp = md.row_group(0).column(0).compression
+        out["format"] = "parquet"
+        out["kind"] = _classify_parquet_columns(cols)
+        out["compression"] = (comp or "none").lower()
+    except Exception:
+        pass
+    return out
+
+
+def _inspect_parquet_bytes(raw: bytes) -> dict[str, Any]:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(pa.BufferReader(raw))
+    comp = (
+        f.metadata.row_group(0).column(0).compression
+        if f.metadata.num_row_groups
+        else None
+    )
+    return {
+        "format": "parquet",
+        "kind": _classify_parquet_columns(set(f.schema_arrow.names)),
+        "compression": (comp or "none").lower(),
+    }
+
+
+def _classify_parquet_columns(cols: set) -> str:
+    if {"node_id", "chunk_key", "chunk_id"} <= cols:
+        return "manifest"
+    if cols == {c.strip().split(" ")[0] for c in TXLOG_SCHEMA.split(",")}:
+        return "transaction-log"
+    if {"chunk_id", "payload"} <= cols:
+        return "chunk-data"
+    return "unknown"
+
+
+def _classify_json_doc(doc: Any, relpath: str) -> str:
+    if not isinstance(doc, dict):
+        return "unknown"
+    if {"parent_id", "manifests", "nodes"} <= doc.keys():
+        return "snapshot"
+    if "snapshot_id" in doc:
+        return "ref"
+    if "format_version" in doc:
+        return "repo-info"
+    # content can't distinguish an EMPTY tombstone doc — the one
+    # path-based tiebreak (the doc is {} by construction)
+    if not doc and "/refs/tag-deleted." in f"/{relpath}":
+        return "ref-tombstone"
+    if relpath.rstrip("/").endswith("config.json"):
+        return "config"
+    return "unknown"
+
+
 def delete_snapshot(root: "str | Storage", snapshot_id: str) -> None:
     resolve_storage(root).delete(_snapshot_key(snapshot_id))
 

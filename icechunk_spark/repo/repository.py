@@ -692,6 +692,14 @@ class Repository:
 
     # --- inspection (testing/debugging surface) ---------------------------
 
+    def inspect_metadata_file(self, relpath: str) -> dict[str, Any]:
+        """Header inspection of ANY metadata file by repo-relative path
+        (reference #2216: fetch_header works for every metadata file
+        kind).  Kind/format/compression are discovered from content;
+        spec_version is the repo's pinned format version.  Read-only,
+        no SparkSession needed."""
+        return fmt.inspect_metadata_file(self.root, relpath)
+
     def inspect_repo_info(self) -> dict[str, Any]:
         """Top-level repo metadata: branch→snapshot map, tags, deleted
         tags, all snapshot ids, repo metadata (reference parity:
