@@ -39,6 +39,29 @@ def _day_user_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def day_user_stream_watermarked(events: DataFrame, late: str = "1 day") -> DataFrame:
+    """The PRODUCTION census shape (VERDICT r12 #8): watermark closed
+    days so dedup state holds only the open-day window instead of
+    growing with history.  ``dropDuplicatesWithinWatermark`` keeps a
+    (day, user) pair's state only until the event-time watermark
+    passes its day + ``late`` — users × open-days state, constant over
+    an unbounded stream, where the registered twin's plain
+    dropDuplicates state is users × ALL days (fine for a bounded
+    replay, unbounded on a real stream).
+
+    Semantics contract (pinned in tests/test_stream_active_watermark):
+    with event-time disorder ≤ ``late``, the drained pairs are exactly
+    the distinct (day, user) pairs — each emitted once, none dropped —
+    so the census over them matches the batch oracle on every closed
+    day."""
+    return (
+        events.withWatermark("ts", late)
+        .select(F.to_date("ts").alias("day"), "user_id", "ts")
+        .dropDuplicatesWithinWatermark(["day", "user_id"])
+        .select("day", "user_id")
+    )
+
+
 def stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"sdau_{uuid.uuid4().hex[:8]}"
     ev = read_event_stream(spark, sf_dir, max_files_per_trigger=8)
