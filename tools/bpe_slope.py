@@ -26,19 +26,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF10 = os.environ.get("SF10_DIR", "/tmp/sf10_synth")
 SF30 = os.environ.get("SF30_DIR", "/tmp/sf30_docs")
+SF50 = os.environ.get("SF50_DIR", "/tmp/sf50_docs")  # VERDICT r12 #6
 RUNS = 3
 
 
-def build_sf30(spark) -> None:
+def build_replica(spark, factor: int, dest: str) -> None:
+    """documents × factor, doc_id shifted — identical vocabulary,
+    factor× token volume (how a BPE corpus scales)."""
     from pyspark.sql import functions as F
 
-    out = os.path.join(SF30, "documents.parquet")
+    out = os.path.join(dest, "documents.parquet")
     if os.path.exists(os.path.join(out, "_SUCCESS")):
         return
     docs = spark.read.parquet(os.path.join(SF10, "documents.parquet"))
     n = docs.count()
     reps = docs.crossJoin(
-        spark.range(3).withColumnRenamed("id", "__r")
+        spark.range(factor).withColumnRenamed("id", "__r")
     ).withColumn("doc_id", F.col("doc_id") + F.col("__r") * (2 * n)).drop("__r")
     reps.repartition(32).write.mode("overwrite").parquet(out)
 
@@ -81,26 +84,35 @@ def main() -> None:
 
     spark = get_spark("bpe-slope")
     spark.sparkContext.setLogLevel("ERROR")
-    if not os.path.exists(os.path.join(SF30, "documents.parquet", "_SUCCESS")):
+    missing = [
+        (d, f)
+        for d, f in ((SF30, 3), (SF50, 5))
+        if not os.path.exists(os.path.join(d, "documents.parquet", "_SUCCESS"))
+    ]
+    if missing:
         # Build, then REFUSE to time in the same session: the first run
         # of this script timed sf30 Spark at 8.9 s right after the
         # in-session 730 MB replica write vs 1.9 s in a clean session —
         # a 4.85x phantom slope from build-session GC/page-cache state.
-        build_sf30(spark)
-        print(json.dumps({"built": True, "note": "re-run for timings"}))
+        for d, f in missing:
+            build_replica(spark, f, d)
+        print(json.dumps({"built": [d for d, _ in missing], "note": "re-run for timings"}))
         spark.stop()
         return
     con = duckdb.connect()
     con.execute("SET threads TO 32")
     res: dict = {"metric": "bpe_corpus_stage_slope", "unit": "sec", "runs": RUNS}
-    for label, d in (("sf10", SF10), ("sf30", SF30)):
+    for label, d in (("sf10", SF10), ("sf30", SF30), ("sf50", SF50)):
         sp = dd = 9e9
         for _ in range(RUNS):  # interleaved min-of-N
             sp = min(sp, spark_stage(spark, d))
             dd = min(dd, duck_stage(con, d))
         res[label] = {"spark": round(sp, 3), "duckdb": round(dd, 3)}
-    res["spark_slope"] = round(res["sf30"]["spark"] / res["sf10"]["spark"], 2)
-    res["duckdb_slope"] = round(res["sf30"]["duckdb"] / res["sf10"]["duckdb"], 2)
+    for hi in ("sf30", "sf50"):
+        res[f"spark_slope_{hi}"] = round(res[hi]["spark"] / res["sf10"]["spark"], 2)
+        res[f"duckdb_slope_{hi}"] = round(res[hi]["duckdb"] / res["sf10"]["duckdb"], 2)
+        res[f"ratio_{hi}"] = round(res[hi]["spark"] / res[hi]["duckdb"], 2)
+    res["ratio_sf10"] = round(res["sf10"]["spark"] / res["sf10"]["duckdb"], 2)
     print(json.dumps(res))
     spark.stop()
 
