@@ -215,8 +215,8 @@ def write_snapshot(root: "str | Storage", snap: SnapshotInfo) -> None:
     extra = doc.pop("extra", None) or {}
     doc = {**{k: v for k, v in extra.items() if k not in doc}, **doc}
     raw = json.dumps(doc).encode()
-    doc = read_config_doc(s)
-    comp = (doc or {}).get("compression") or {}
+    cfg = read_config_doc(s)
+    comp = (cfg or {}).get("compression") or {}
     if comp.get("algorithm") == "zlib":
         import zlib
 

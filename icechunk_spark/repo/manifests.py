@@ -53,7 +53,15 @@ def read_manifest_files(
         df = spark.read.option("mergeSchema", "true").parquet(*paths)
         # "__"-prefixed names are this engine's own helper columns
         # (split partition dirs), never future-format data
-        return df.select(*[c for c in df.columns if not c.startswith("__")])
+        df = df.select(*[c for c in df.columns if not c.startswith("__")])
+        # a fixed-schema read fills ABSENT known columns (e.g. a
+        # pre-vchecksum manifest) with NULLs; the union read must do
+        # the same or compaction of old repos would fail to select
+        for spec in MANIFEST_SCHEMA.split(","):
+            name, typ = spec.strip().split(" ", 1)
+            if name not in df.columns:
+                df = df.withColumn(name, F.lit(None).cast(typ))
+        return df
     return spark.read.schema(MANIFEST_SCHEMA).parquet(*paths)
 
 

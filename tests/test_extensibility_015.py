@@ -162,3 +162,32 @@ def test_commit_path_frames_gain_no_stray_columns(spark, repo):
     )
     known = [c.strip().split(" ")[0] for c in mf.MANIFEST_SCHEMA.split(",")]
     assert sorted(df.columns) == sorted(known)
+
+
+def test_compaction_fills_absent_known_columns(spark, repo):
+    """The union-schema compaction read must behave like the fixed-
+    schema read for columns an OLD manifest lacks (pre-vchecksum
+    files): filled as NULL, never an AnalysisException (review r13)."""
+    import os
+
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    tip = fmt.read_snapshot(repo.root, repo.lookup_branch("main"))
+    src = fmt.data_path(repo.root, tip.manifests[0])
+    table = ds.dataset(src, format="parquet").to_table()
+    table = table.drop_columns(["vchecksum"]).replace_schema_metadata(None)
+    rel = f"manifests/{fmt.new_id()}.parquet"
+    full = fmt.data_path(repo.root, rel)
+    os.makedirs(full)
+    pq.write_table(table, os.path.join(full, "part-0.parquet"))
+    # an "old-writer" snapshot referencing ONLY the legacy-shaped file
+    tip.manifests = [rel]
+    fmt.write_snapshot(repo.root, tip)
+
+    snap_id = repo.rewrite_manifests()
+    compacted = fmt.read_snapshot(repo.root, snap_id)
+    out = mf.read_manifest_files(spark, repo.root, compacted.manifests)
+    rows = out.collect()
+    assert rows and all(r["vchecksum"] is None for r in rows)
+    assert repo.readonly_session().read_array_df("/a").count() == 4
