@@ -73,7 +73,22 @@ def salted_join(
 ) -> DataFrame:
     """Skew-safe equi-join: salt the big side, replicate the small side
     once per salt value, join on (key AND salt).  ``on`` is the key
-    equality predicate referencing columns of both inputs."""
+    equality predicate referencing columns of both inputs.
+
+    ``how`` must preserve small-side multiplicity under replication:
+    inner/left/left_semi/left_anti are equivalent to the plain join
+    (each big row carries exactly ONE salt; a big row matches iff its
+    key matches, since the small side carries every salt).  right and
+    full are REJECTED — an unmatched small row would surface once per
+    salt replica (n_salts null-extended rows instead of one), so the
+    salted plan would not be value-invisible (review r13)."""
+    if how not in ("inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join cannot preserve {how!r} semantics: the replicated "
+            "small side would emit one null-extended row PER SALT for every "
+            "unmatched small row; use a plain join (or broadcast) for "
+            "right/full outer joins"
+        )
     big_s = with_salt(big, n_salts, "__salt_b")
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt_s")
     small_r = small.select("*", salts)
@@ -146,6 +161,10 @@ def gated_salted_join(
     ``suggest_salts`` observes a hot key in the big side, salted join
     otherwise.  Values are identical either way (the skew_salted_join
     oracle contract); only the physical shuffle changes."""
+    if how in ("right", "rightouter", "right_outer", "full", "outer", "fullouter", "full_outer"):
+        # salting cannot preserve right/full-outer multiplicity (see
+        # salted_join) — the gate falls back to the plain plan
+        return big.join(small, on, how)
     n = suggest_salts(big, keys, threshold=threshold, sample_fraction=sample_fraction)
     if n == 0:
         return big.join(small, on, how)

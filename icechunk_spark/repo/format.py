@@ -213,7 +213,7 @@ def write_snapshot(root: "str | Storage", snap: SnapshotInfo) -> None:
     # top level (known fields win any collision), so rewrites preserve
     # a future writer's fields byte-placement-compatibly
     extra = doc.pop("extra", None) or {}
-    doc = {**{k: v for k, v in extra.items() if k not in doc}, **doc}
+    doc = {**extra, **doc}  # known fields win any collision
     raw = json.dumps(doc).encode()
     cfg = read_config_doc(s)
     comp = (cfg or {}).get("compression") or {}
@@ -285,7 +285,12 @@ def inspect_metadata_file(root: "str | Storage", relpath: str) -> dict[str, Any]
         import zlib
 
         out["compression"] = "zlib"
-        raw = zlib.decompress(raw[4:])
+        try:
+            raw = zlib.decompress(raw[4:])
+        except zlib.error:
+            # truncated/bit-rotted compressed doc: best-effort unknown —
+            # an inspection tool must survive exactly these files
+            return out
     if raw is not None and raw[:4] == b"PAR1":
         return {**out, **_inspect_parquet_bytes(raw)}
     if raw is not None:
@@ -339,7 +344,10 @@ def _inspect_parquet_bytes(raw: bytes) -> dict[str, Any]:
 def _classify_parquet_columns(cols: set) -> str:
     if {"node_id", "chunk_key", "chunk_id"} <= cols:
         return "manifest"
-    if cols == {c.strip().split(" ")[0] for c in TXLOG_SCHEMA.split(",")}:
+    # SUBSET test (manifest already ruled out above): additive nullable
+    # columns are the extensibility mechanism, so a future txlog column
+    # must not demote the kind to unknown (review r13)
+    if {c.strip().split(" ")[0] for c in TXLOG_SCHEMA.split(",")} <= cols:
         return "transaction-log"
     if {"chunk_id", "payload"} <= cols:
         return "chunk-data"

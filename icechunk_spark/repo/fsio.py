@@ -93,13 +93,15 @@ def _http_read_range(url: str, offset: int, length: int) -> bytes:
     and is never sent.  A server that ignores Range and answers 200
     with the full body is sliced locally.
 
-    Redirects are NOT followed (ADVICE r12): urllib's default handler
-    re-sends every injected header — including Authorization — to the
-    redirect target, so a 3xx could leak the userinfo credentials to a
-    different host.  A 3xx answer raises instead.  A 206 answer must
-    carry a Content-Range matching the requested offset, else it is an
-    error — silently trusting a mispositioned partial body corrupts
-    the chunk."""
+    CREDENTIALED reads refuse redirects (ADVICE r12): urllib's default
+    handler re-sends every injected header — including Authorization —
+    to the redirect target, so a 3xx could leak the userinfo
+    credentials to a different host; a 3xx answer raises instead.
+    Uncredentialed reads follow redirects normally (an http→https
+    upgrade must keep working; only the Range header travels, which
+    is the request's point).  A 206 answer must carry a Content-Range
+    matching the requested offset, else it is an error — silently
+    trusting a mispositioned partial body corrupts the chunk."""
     import base64
     import re
     import urllib.error
@@ -118,11 +120,15 @@ def _http_read_range(url: str, offset: int, length: int) -> bytes:
     clean = urlunsplit((parts.scheme, netloc, parts.path, parts.query, ""))
     req = urllib.request.Request(clean, headers=headers)
 
-    class _NoRedirect(urllib.request.HTTPRedirectHandler):
-        def redirect_request(self, req, fp, code, msg, hdrs, newurl):  # noqa: ARG002
-            return None  # urllib raises HTTPError(code) instead of following
+    if "Authorization" in headers:
 
-    opener = urllib.request.build_opener(_NoRedirect)
+        class _NoRedirect(urllib.request.HTTPRedirectHandler):
+            def redirect_request(self, req, fp, code, msg, hdrs, newurl):  # noqa: ARG002
+                return None  # urllib raises HTTPError(code) instead of following
+
+        opener = urllib.request.build_opener(_NoRedirect)
+    else:
+        opener = urllib.request.build_opener()
     try:
         with opener.open(req, timeout=30) as resp:
             status = resp.status

@@ -1688,6 +1688,10 @@ class Session:
             seq=tip.seq + 1,
             manifests=manifests,
             nodes=self._nodes,
+            pruned_ancestor_tx_logs=list(tip.pruned_ancestor_tx_logs),
+            # amend REPLACES the tip: a future writer's unknown fields
+            # (design-docs/015) and the expire carry-list must survive
+            extra=dict(tip.extra),
         )
         fmt.write_snapshot(self.root, snap)
         fmt.update_branch(self.root, self._branch, snap_id, expected_gen=gen)

@@ -191,3 +191,21 @@ def test_compaction_fills_absent_known_columns(spark, repo):
     rows = out.collect()
     assert rows and all(r["vchecksum"] is None for r in rows)
     assert repo.readonly_session().read_array_df("/a").count() == 4
+
+
+def test_session_amend_carries_extra_and_pruned_logs(spark, repo):
+    """Session.amend REPLACES the tip: a future writer's unknown
+    fields and the expire carry-list must ride along (review r13 —
+    the rewrite_manifests amend path carried them, this one didn't)."""
+    tip_id = repo.lookup_branch("main")
+    _inject_snapshot_key(repo.root, tip_id, "future_flag", {"x": 1})
+    snap = fmt.read_snapshot(repo.root, tip_id)
+    snap.pruned_ancestor_tx_logs = ["txdead"]
+    fmt.write_snapshot(repo.root, snap)
+
+    s = repo.writable_session("main")
+    s.update_attrs("/a", {"k": "v"})
+    new_id = s.amend(message="amended")
+    amended = fmt.read_snapshot(repo.root, new_id)
+    assert amended.extra == {"future_flag": {"x": 1}}
+    assert amended.pruned_ancestor_tx_logs == ["txdead"]

@@ -94,3 +94,28 @@ def test_cli_inspect_file(spark, repo, capsys):
     assert main(["inspect-file", repo.root, f"snapshots/{tip_id}.json"]) == 0
     doc = json.loads(capsys.readouterr().out)
     assert doc["kind"] == "snapshot" and doc["format"] == "json"
+
+
+def test_corrupt_zlib_and_additive_txlog_columns(spark, repo):
+    """Best-effort contract under damage and extension (review r13):
+    a truncated ICZ1 doc reports zlib/unknown instead of crashing, and
+    an additive txlog column must not demote the kind."""
+    fmt.resolve_storage(repo.root).put("snapshots/broken.json", b"ICZ1\x01trunc")
+    out = repo.inspect_metadata_file("snapshots/broken.json")
+    assert (out["kind"], out["compression"]) == ("unknown", "zlib")
+
+    import os
+
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    tip_id = repo.lookup_branch("main")
+    src = fmt.data_path(repo.root, f"txlogs/{tip_id}.parquet")
+    t = ds.dataset(src, format="parquet").to_table()
+    t = t.append_column("reason", pa.array(["r"] * len(t), pa.string()))
+    dest = fmt.data_path(repo.root, "txlogs/future.parquet")
+    os.makedirs(dest)
+    pq.write_table(t.replace_schema_metadata(None), os.path.join(dest, "p0.parquet"))
+    out = repo.inspect_metadata_file("txlogs/future.parquet")
+    assert out["kind"] == "transaction-log"

@@ -89,3 +89,29 @@ def test_all_null_or_single_key_never_salts(spark):
     assert suggest_salts(one_key, ["key"]) == 0
     empty = one_key.filter(F.lit(False))
     assert suggest_salts(empty, ["key"]) == 0
+
+
+def test_right_and_full_outer_never_salt(spark):
+    """salted_join cannot preserve right/full-outer multiplicity (an
+    unmatched small row would emit once PER REPLICA): the helper
+    rejects those modes and the gate falls back to the plain plan
+    (review r13)."""
+    import pytest
+
+    from icechunk_spark.functions.skew import salted_join
+
+    big = _skewed(spark)
+    dim = local_df(
+        spark,
+        [{"dkey": i, "name": f"k{i}"} for i in range(13)],  # 2 unmatched keys
+        "dkey bigint, name string",
+    )
+    on = F.col("key") == F.col("dkey")
+    with pytest.raises(ValueError, match="cannot preserve"):
+        salted_join(big, dim, on, how="full")
+
+    gated = gated_salted_join(big, dim, on, ["key"], how="full")
+    plain = big.join(dim, on, "full")
+    assert gated.count() == plain.count()  # unmatched dkeys emit ONCE
+    gated.collect()
+    assert "__salt" not in gated._jdf.queryExecution().executedPlan().toString()

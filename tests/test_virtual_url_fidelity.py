@@ -177,3 +177,32 @@ def test_redirect_is_refused_and_bad_content_range_rejected():
     finally:
         srv2.shutdown()
         srv2.server_close()
+
+
+def test_uncredentialed_redirect_is_followed():
+    """Redirect refusal is SCOPED to credentialed reads (review r13):
+    an http→https-style 3xx with no Authorization in play must keep
+    working like it did before the hardening."""
+    import icechunk_spark.repo.fsio as fsio
+
+    target = ThreadingHTTPServer(("127.0.0.1", 0), _RangeHandler)
+    threading.Thread(target=target.serve_forever, daemon=True).start()
+    tport = target.server_address[1]
+
+    class _Redirector(_RangeHandler):
+        def do_GET(self):  # noqa: N802
+            self.send_response(307)
+            self.send_header("Location", f"http://127.0.0.1:{tport}{self.path}")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+    hop = ThreadingHTTPServer(("127.0.0.1", 0), _Redirector)
+    threading.Thread(target=hop.serve_forever, daemon=True).start()
+    try:
+        _RangeHandler.requests = []
+        url = f"http://127.0.0.1:{hop.server_address[1]}/f"
+        assert fsio.read_range(url, 3, 5) == BLOB[3:8]
+        assert _RangeHandler.requests[-1]["auth"] is None
+    finally:
+        hop.shutdown(); hop.server_close()
+        target.shutdown(); target.server_close()
