@@ -209,3 +209,41 @@ def test_session_amend_carries_extra_and_pruned_logs(spark, repo):
     amended = fmt.read_snapshot(repo.root, new_id)
     assert amended.extra == {"future_flag": {"x": 1}}
     assert amended.pruned_ancestor_tx_logs == ["txdead"]
+
+
+def test_unknown_key_roundtrip_property(spark, tmp_path):
+    """Property: ANY JSON-representable unknown top-level key set
+    round-trips byte-placement-compatibly through read/write — module-
+    scoped repo, pure driver-side loop (no per-example Spark jobs)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    r = Repository.create(spark, str(tmp_path / "prop"))
+    tip_id = r.lookup_branch("main")
+    storage = fmt.resolve_storage(r.root)
+    pristine = storage.get(f"snapshots/{tip_id}.json")
+    known = {f.name for f in __import__("dataclasses").fields(fmt.SnapshotInfo)}
+
+    json_vals = st.recursive(
+        st.none() | st.booleans() | st.integers(-1e9, 1e9) | st.text(max_size=8),
+        lambda c: st.lists(c, max_size=3) | st.dictionaries(st.text(max_size=6), c, max_size=3),
+        max_leaves=6,
+    )
+
+    @settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(extra=st.dictionaries(st.text(min_size=1, max_size=10).filter(lambda k: k not in known), json_vals, max_size=4))
+    def prop(extra):
+        doc = {**json.loads(pristine.decode()), **extra}
+        storage.put(f"snapshots/{tip_id}.json", json.dumps(doc).encode())
+        snap = fmt.read_snapshot(r.root, tip_id)
+        assert snap.extra == extra
+        fmt.write_snapshot(r.root, snap)
+        back = json.loads(storage.get(f"snapshots/{tip_id}.json").decode())
+        for k, v in extra.items():
+            assert back[k] == v
+        assert "extra" not in back
+
+    try:
+        prop()
+    finally:
+        storage.put(f"snapshots/{tip_id}.json", pristine)
