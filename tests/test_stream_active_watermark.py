@@ -34,9 +34,14 @@ def _stage_weekly_files(spark, tmp_path) -> str:
     mtimes, so the file stream replays them as one micro-batch per
     week and the watermark genuinely advances between batches."""
     ev = load_tables(spark, SF_DIR)["events"].select("ts", "user_id")
+    # chunk key = the week's actual START timestamp (not weekofyear,
+    # which folds Dec 29-31 into week 1 and would interleave year-
+    # boundary days across files, breaking the time-ordering the
+    # 1-day watermark depends on)
+    wk = F.date_trunc("week", F.col("ts"))
     weeks = sorted(
         r["w"]
-        for r in ev.select(F.weekofyear("ts").alias("w")).distinct().collect()
+        for r in ev.select(wk.alias("w")).distinct().collect()
         if r["w"] is not None
     )
     root = str(tmp_path / "sfwm")
@@ -44,7 +49,7 @@ def _stage_weekly_files(spark, tmp_path) -> str:
     os.makedirs(stream_dir)
     for i, w in enumerate(weeks):
         part_dir = os.path.join(root, f"_part{i}")
-        ev.filter(F.weekofyear("ts") == w).coalesce(1).write.parquet(part_dir)
+        ev.filter(wk == F.lit(w)).coalesce(1).write.parquet(part_dir)
         (src,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
         dst = os.path.join(stream_dir, f"{i:04d}.parquet")
         shutil.move(src, dst)
