@@ -247,3 +247,25 @@ def test_unknown_key_roundtrip_property(spark, tmp_path):
         prop()
     finally:
         storage.put(f"snapshots/{tip_id}.json", pristine)
+
+
+def test_extension_never_taxes_the_hot_read_path(spark, repo):
+    """Scale pin: with a future-writer column PRESENT in the manifest,
+    the default (fixed-schema) resolve still reads ONLY the known
+    columns and still pushes the chunk-grid filter down to the parquet
+    scan — extensibility costs nothing on the hot path."""
+    from pyspark.sql import functions as F
+
+    tip = fmt.read_snapshot(repo.root, repo.lookup_branch("main"))
+    _append_future_manifest(repo.root, tip, "future_col", "opaque")
+    tip = fmt.read_snapshot(repo.root, tip.id)
+
+    resolved = mf.resolve_manifests(
+        spark, repo.root, tip, chunk_filter=F.col("c0") >= 1
+    )
+    assert "future_col" not in resolved.columns
+    resolved.collect()  # finalize AQE before reading the plan
+    plan = resolved._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan") :].split("\n")[0]
+    assert "future_col" not in scan  # pruned out of ReadSchema
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(c0,1)" in plan
