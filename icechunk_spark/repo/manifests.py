@@ -45,7 +45,11 @@ def read_manifest_files(
     additive columns are simply not scanned).  ``with_extra_columns``
     reads the UNION schema instead (design-docs/015: additive nullable
     columns are the manifest extensibility mechanism here) so a
-    rewrite can carry columns this version doesn't interpret."""
+    rewrite can carry columns this version doesn't interpret.  The
+    union read costs one distributed footer-merge pass over the
+    manifest files — acceptable for the maintenance ops that use it
+    (compaction); the hot read path keeps the fixed schema and pays
+    nothing (plan-pinned in test_extensibility_015)."""
     if not relpaths:
         return spark.createDataFrame([], MANIFEST_SCHEMA)
     paths = [data_path(root, p) for p in relpaths]
