@@ -29,11 +29,12 @@ from icechunk_spark.streaming.events import read_event_stream
 from .conftest import SF_DIR
 
 
-def _stage_weekly_files(spark, tmp_path) -> str:
+def _stage_weekly_files(spark, tmp_path, ev=None, name="sfwm") -> str:
     """events split into time-ordered weekly files with increasing
     mtimes, so the file stream replays them as one micro-batch per
     week and the watermark genuinely advances between batches."""
-    ev = load_tables(spark, SF_DIR)["events"].select("ts", "user_id")
+    if ev is None:
+        ev = load_tables(spark, SF_DIR)["events"].select("ts", "user_id")
     # chunk key = the week's actual START timestamp (not weekofyear,
     # which folds Dec 29-31 into week 1 and would interleave year-
     # boundary days across files, breaking the time-ordering the
@@ -44,7 +45,7 @@ def _stage_weekly_files(spark, tmp_path) -> str:
         for r in ev.select(wk.alias("w")).distinct().collect()
         if r["w"] is not None
     )
-    root = str(tmp_path / "sfwm")
+    root = str(tmp_path / name)
     stream_dir = os.path.join(root, "events.parquet")
     os.makedirs(stream_dir)
     for i, w in enumerate(weeks):
@@ -116,3 +117,46 @@ def test_watermark_bounds_state_and_matches_census(spark, tmp_path):
     got = [tuple(r) for r in census_over_day_user(drained).collect()]
     want = [tuple(r) for r in daily_active_users(spark, SF_DIR).collect()]
     assert got == want
+
+
+def test_watermark_state_constant_as_history_grows(spark, tmp_path):
+    """The O() claim, MEASURED: doubling the HISTORY LENGTH (same
+    users, a disjoint second span appended) roughly doubles the
+    unwatermarked twin's users × days state but leaves the watermarked
+    variant's open-window state essentially unchanged — the property
+    that makes it the unbounded-stream shape."""
+    ev1 = load_tables(spark, SF_DIR)["events"].select("ts", "user_id").filter(
+        F.col("ts").isNotNull()
+    )
+    span = ev1.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    shift_days = (span["hi"] - span["lo"]).days + 8  # disjoint second half
+    ev2 = ev1.unionByName(
+        ev1.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {shift_days} DAYS"))
+    )
+
+    root1, _ = _stage_weekly_files(spark, tmp_path, ev=ev1, name="h1")
+    root2, _ = _stage_weekly_files(spark, tmp_path, ev=ev2, name="h2")
+
+    wm1 = _drain(
+        day_user_stream_watermarked(read_event_stream(spark, root1, max_files_per_trigger=1)),
+        spark, "wm_h1",
+    )
+    wm2 = _drain(
+        day_user_stream_watermarked(read_event_stream(spark, root2, max_files_per_trigger=1)),
+        spark, "wm_h2",
+    )
+    pl1 = _drain(
+        _day_user_stream(read_event_stream(spark, root1, max_files_per_trigger=1)),
+        spark, "pl_h1",
+    )
+    pl2 = _drain(
+        _day_user_stream(read_event_stream(spark, root2, max_files_per_trigger=1)),
+        spark, "pl_h2",
+    )
+    # twin: state tracks total history (the doubled span doubles pairs)
+    assert pl2 >= 1.8 * pl1
+    # watermarked: state tracks the OPEN WINDOW, not history length
+    assert wm2 <= 1.3 * wm1
+    assert wm1 < pl1  # and is strictly smaller to begin with
