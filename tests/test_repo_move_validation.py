@@ -72,3 +72,89 @@ def test_valid_move_still_works_across_commits(repo):
         s.move("/g/sub", "/other/sub")
     nodes = repo.readonly_session().list_nodes()
     assert "/other/sub" in nodes and "/g/sub" not in nodes
+
+
+# --- model-based sequence test (review r13 follow-through) ------------------
+# The move-validation gap lived in exactly this plane: random sequences
+# of tree ops where each op may legitimately FAIL.  The dict model must
+# predict success/failure identically to the engine, and a predicted
+# failure must leave the tree untouched.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_PATHS = ["/a", "/a/b", "/a/b/c", "/g", "/g/x", "/h"]
+
+_op_st = st.one_of(
+    st.tuples(st.just("group"), st.sampled_from(_PATHS)),
+    st.tuples(st.just("array"), st.sampled_from(_PATHS)),
+    st.tuples(st.just("delete"), st.sampled_from(_PATHS)),
+    st.tuples(st.just("move"), st.sampled_from(_PATHS), st.sampled_from(_PATHS)),
+)
+
+
+def _model_apply(nodes: dict, op) -> bool:
+    """Mirror of the engine's documented semantics; True = succeeds."""
+    kind = op[0]
+    if kind in ("group", "array"):
+        p = op[1]
+        if p in nodes:
+            return False
+        nodes[p] = "group" if kind == "group" else "array"
+        return True
+    if kind == "delete":
+        p = op[1]
+        doomed = [q for q in nodes if q == p or q.startswith(p + "/")]
+        if not doomed:
+            return False
+        for q in doomed:
+            del nodes[q]
+        return True
+    _, src, dst = op
+    moved = [p for p in nodes if p == src or p.startswith(src + "/")]
+    if not moved:
+        return False
+    if dst == src or dst.startswith(src + "/"):
+        return False
+    if dst in nodes:
+        return False
+    anc = dst.rsplit("/", 1)[0]
+    while anc:
+        if nodes.get(anc) == "array":
+            return False
+        anc = anc.rsplit("/", 1)[0]
+    for p in moved:
+        nodes[dst + p[len(src):]] = nodes.pop(p)
+    return True
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(ops=st.lists(_op_st, min_size=1, max_size=12))
+def test_tree_ops_match_dict_model(spark, tmp_path_factory, ops):
+    root = str(tmp_path_factory.mktemp("treeprop"))
+    r = Repository.create(spark, root)
+    model: dict[str, str] = {"/": "group"}
+    s = r.writable_session("main")
+    for op in ops:
+        expect_ok = _model_apply(model, op)
+        try:
+            if op[0] == "group":
+                s.create_group(op[1])
+            elif op[0] == "array":
+                s.create_array(op[1], shape=[4], chunk_shape=[2])
+            elif op[0] == "delete":
+                s.delete_node(op[1])
+            else:
+                s.move(op[1], op[2])
+            ok = True
+        except RefError:
+            ok = False
+        assert ok == expect_ok, (op, model)
+        assert s.list_nodes() == model, (op,)
+    # an all-failures sequence legitimately has nothing to commit
+    s.commit("seq", allow_empty=True)
+    assert r.readonly_session().list_nodes() == model
