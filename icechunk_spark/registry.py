@@ -19,7 +19,7 @@ def _modules():
     from icechunk_spark.operators import tpch
 
     mods = [tpch]
-    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "semdedup", "linedup", "refine_ext", "sampling_ext", "pii", "bucketed", "curate_pipeline", "anomaly_ext", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "profile_ext", "curation_ext", "multimodal", "medianear", "runlength", "changepoint", "incremental", "bpetrain", "chunking", "nbclassify", "projection", "bpeencode", "bpesegment", "cooccur", "pq", "partitioned_tight", "partitioned_spine", "negatives", "negatives_ann", "rfm", "profiler", "skewops", "activeusers", "pca", "quantile_merge", "winsorize", "survivorship", "streaming_quantile", "streaming_hll", "streaming_active", "streaming_drift", "conformal", "hllmerge", "retrieval", "ttest", "hybridrrf", "repo_branching", "repo_queries", "streaming_queries"):
+    for name in ("tpch_ext", "analytics_ext", "windows", "dedup", "similarity", "semdedup", "linedup", "refine_ext", "sampling_ext", "pii", "bucketed", "curate_pipeline", "anomaly_ext", "textstats", "textquality", "pipeline_ext", "corpus_ext", "training_ext", "profile_ext", "curation_ext", "multimodal", "medianear", "runlength", "changepoint", "incremental", "bpetrain", "chunking", "nbclassify", "projection", "bpeencode", "bpesegment", "cooccur", "pq", "partitioned_tight", "partitioned_spine", "negatives", "negatives_ann", "rfm", "profiler", "skewops", "activeusers", "pca", "quantile_merge", "winsorize", "survivorship", "streaming_quantile", "streaming_hll", "streaming_active", "streaming_active_wm", "streaming_drift", "conformal", "hllmerge", "retrieval", "ttest", "hybridrrf", "repo_branching", "repo_queries", "streaming_queries"):
         try:
             mods.append(__import__(f"icechunk_spark.operators.{name}", fromlist=[name]))
         except ImportError:
@@ -79,69 +79,30 @@ def _modules():
 # dedup_survivorship, stream_quantile_sketch — all judge-gateable,
 # each carrying triple-SF local gates) head the r12 overflow.
 #
-# Round 13 window (VERDICT r12 #1/#2): bpe_segment_ids (the one red
-# r12 row, fixed this round) + the 2 anchors + the 9 rows whose
-# modules changed since their last driver row + ALL remaining r9-stale
-# rows (34 total r9 rows between those groups) + new r13 queries +
-# oldest r10 rows (alphabetical) filling to 50.  After r13 no green
-# row should be older than r10; the r10 rows that did not fit head
-# the r14 window.
+# Round 13 window (VERDICT r12 #1/#2) was: bpe_segment_ids (the one
+# red r12 row, fixed that round) + 2 anchors + 9 changed-module rows
+# + ALL remaining r9-stale rows + oldest r10 fill — 50/50 green.
+#
+# Round 14 window (VERDICT r13 #1): 2 anchors + the 4 r12 rows whose
+# modules changed in r13 (daily_active_users, hard_negative_mining_ann,
+# profile_table, stream_active_users) + the new r14 query
+# (stream_active_users_watermarked — VERDICT #3's promotion of the
+# test-only watermarked census to the registered surface) + ALL 39
+# r10-stale rows + the 4 stalest r11 rows (alphabetical) filling to
+# 50.  After r14 no green row should be older than r11; the remaining
+# r11 rows head the r15 window, then the r12 rows, then r13.
 PRIORITY: list[str] = [
-    # ---- r13 window (first 50): the never-green row, then anchors ----
-    "bpe_segment_ids",
+    # ---- r14 window (first 50): anchors ----
     "q1_pricing_summary",
     "minhash_lsh",
-    # changed-module rows (module edited since last driver row)
-    "q5_bucketed",
-    "q9_bucketed",
-    "simhash",
-    "rolling_zscore_anomalies",
-    "value_drift_psi",
-    "bpe_encode_corpus",
-    "bpe_train_merges",
-    "q3_bucketed",
-    "q3_partitioned",
-    # remaining r9-stale rows (alphabetical)
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_class",
-    "q13_order_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_part_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_discounted_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "q22_global_sales",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "retention_cohorts",
-    "session_paths",
-    "source_kl_divergence",
-    "source_mixture_weights",
-    "split_leakage_rate",
-    "stream_dedup",
-    "stream_interval_join",
-    "stream_sessionize",
-    "stream_topk_users",
-    "stream_windowed_agg",
-    "vector_norm_stats",
-    "vocab_coverage",
-    "winnowing_fingerprint",
-    # new r13 queries land HERE (above the r10 fill)
-    # oldest-first fill: r10 rows (alphabetical); overflow heads r14
-    "array_store_roundtrip_distributed",
-    "asof_join",
-    "bpe_pair_counts",
-    "ccnet_perplexity_buckets",
-    "cross_doc_spans",
-    "customer_retention_setops",
-    "cusum_changepoint",
-    "dedup_exact_keep_first",
-    "distinct_count_approx",
+    # r12 rows whose modules changed in r13
+    "daily_active_users",
+    "hard_negative_mining_ann",
+    "profile_table",
+    "stream_active_users",
+    # new r14 queries land HERE (above the stale blocks)
+    "stream_active_users_watermarked",
+    # ALL 39 r10-stale rows (alphabetical)
     "distinct_count_exact",
     "dsir_importance",
     "dup_span_fraction",
@@ -181,6 +142,97 @@ PRIORITY: list[str] = [
     "topk_per_group",
     "window_lead_lag",
     "word_entropy",
+    # stalest r11 fill (alphabetical) — window slot 47-50
+    "array_store_roundtrip",
+    "bigram_logprob_score",
+    "chunk_documents",
+    "clean_reassemble",
+    # ---- r15 overflow head: remaining r11 rows (alphabetical) ----
+    "conformal_outliers",
+    "decontaminate",
+    "dedup_cascade",
+    "dedup_cluster",
+    "dedup_cluster_star",
+    "dedup_exact",
+    "event_decay_score",
+    "fps_sample",
+    "frame_sample",
+    "funnel_conversion",
+    "hll_mergeable_distinct",
+    "hybrid_retrieval_rrf",
+    "idf_doc_score",
+    "incremental_dedup_indexed",
+    "knn_brute_force",
+    "label_pair_similarity",
+    "length_mad_outliers",
+    "length_mad_outliers_approx",
+    "length_percentile_filter",
+    "line_dedup",
+    "lsh_quality",
+    "media_dedup",
+    "media_resize",
+    "mmr_diversify",
+    "nb_source_classifier",
+    "ngram_containment",
+    "pq_quantize",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "random_projection",
+    "repo_branch_divergence",
+    "seasonal_profile_anomalies",
+    "sparse_retrieval",
+    "stream_psi_drift",
+    "stream_running_totals",
+    "stream_static_enrich",
+    "type_cooccurrence",
+    "welch_drift_ttest",
+    # ---- then r12 rows (alphabetical, minus the 4 in-window) ----
+    "cluster_size_distribution",
+    "curate_select",
+    "dedup_survivorship",
+    "doc_token_histogram",
+    "embedding_covariance",
+    "embedding_outliers",
+    "event_interarrival_stats",
+    "event_type_markov",
+    "hard_negative_mining",
+    "kmeans_clusters",
+    "knn_ivf",
+    "knn_lsh",
+    "label_centroids",
+    "media_neardup",
+    "multimodal_features",
+    "ngram_diversity",
+    "pairwise_topk",
+    "pca_project",
+    "pii_redact",
+    "pii_stats",
+    "pmi_phrases",
+    "q3_partitioned_tight",
+    "q5_partitioned",
+    "q9_partitioned",
+    "quality_quantile_norm",
+    "quantile_sketch_mergeable",
+    "repo_changed_cells",
+    "repo_manifest_stats",
+    "repo_time_travel",
+    "rfm_segments",
+    "semdedup",
+    "shard_assign",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "source_vocab_overlap",
+    "stratified_sample",
+    "stream_hll_distinct",
+    "stream_quantile_sketch",
+    "ttr_stats",
+    "vector_quantize_error",
+    "weighted_sample",
+    "winsorize_scores",
+    "zipf_slope",
+    # r13 rows follow in module-insertion order via all_queries()
 ]
 
 
