@@ -82,7 +82,11 @@ def salted_join(
     full are REJECTED — an unmatched small row would surface once per
     salt replica (n_salts null-extended rows instead of one), so the
     salted plan would not be value-invisible (review r13)."""
-    if how not in ("inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "left_anti", "leftanti"):
+    # normalize Spark's join-type aliases (ADVICE r13: "semi"/"anti"
+    # are valid Spark spellings of left_semi/left_anti and salting
+    # preserves their semantics identically)
+    norm = how.lower().replace("_", "")
+    if norm not in ("inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti"):
         raise ValueError(
             f"salted_join cannot preserve {how!r} semantics: the replicated "
             "small side would emit one null-extended row PER SALT for every "
@@ -161,7 +165,7 @@ def gated_salted_join(
     ``suggest_salts`` observes a hot key in the big side, salted join
     otherwise.  Values are identical either way (the skew_salted_join
     oracle contract); only the physical shuffle changes."""
-    if how in ("right", "rightouter", "right_outer", "full", "outer", "fullouter", "full_outer"):
+    if how.lower().replace("_", "") in ("right", "rightouter", "full", "outer", "fullouter"):
         # salting cannot preserve right/full-outer multiplicity (see
         # salted_join) — the gate falls back to the plain plan
         return big.join(small, on, how)

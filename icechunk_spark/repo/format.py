@@ -250,9 +250,13 @@ def inspect_metadata_file(root: "str | Storage", relpath: str) -> dict[str, Any]
     (reference #2216: AssetManager.fetch_header / parse_file_header —
     icechunk/src/asset_manager.rs:601, icechunk-format/src/lib.rs:575).
 
-    Like the reference, the kind is DISCOVERED from content, never
-    asserted from the path: the zlib magic prefix, the JSON document's
-    keys, or the parquet footer's columns decide.  Returns::
+    Like the reference, the kind is DISCOVERED from content wherever
+    content can decide: the zlib magic prefix, the JSON document's
+    keys, or the parquet footer's columns.  Two JSON kinds are
+    content-indistinguishable and fall back to PATH tiebreaks (ADVICE
+    r13 — both named here): an EMPTY doc is a ref-tombstone only under
+    `/refs/tag-deleted.`, and an otherwise-unrecognized doc is
+    "config" only when the path ends in `config.json`.  Returns::
 
         {"path", "kind", "format", "compression", "spec_version"}
 

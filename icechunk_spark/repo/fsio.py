@@ -150,7 +150,11 @@ def _http_read_range(url: str, offset: int, length: int) -> bytes:
         # requested window (review r12).
         return data[offset : offset + length]
     if status == 206:
-        m = re.match(r"bytes (\d+)-(\d+)/(?:\d+|\*)", content_range)
+        # RFC 9110 range units are case-insensitive ("Bytes 3-7/64" is
+        # a valid reply), and surrounding whitespace is tolerated
+        m = re.match(
+            r"\s*bytes\s+(\d+)-(\d+)/(?:\d+|\*)", content_range, re.IGNORECASE
+        )
         if not m or int(m.group(1)) != offset:
             raise OSError(
                 f"ranged read of {clean}: 206 Content-Range "

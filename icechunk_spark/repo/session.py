@@ -588,7 +588,9 @@ class Session:
             node = self._nodes.pop(p)
             self._node_ops.append({"op": "delete", "path": p, "node_id": node["node_id"]})
 
-    def move(self, from_path: str, to_path: str) -> None:
+    def move(
+        self, from_path: str, to_path: str, *, require_parent: bool = False
+    ) -> None:
         """Rename a node (and descendants).  Pure metadata: manifests
         key chunks by node_id, so no chunk or manifest rewrite happens
         (same design as icechunk-types Move / session.move).
@@ -599,10 +601,14 @@ class Session:
         self/descendant → destination overwrite → destination under an
         array.  The reference additionally requires the destination's
         immediate parent group to exist ("move never creates
-        intermediate groups"); this tree allows implicit parents
-        everywhere (create_group("/a/b") without "/a"), so the analog
-        here is the array-ancestor check alone: no EXISTING ancestor
-        of the destination may be an array."""
+        intermediate groups" — MoveDestinationParentMissing); this
+        tree allows implicit parents everywhere (create_group("/a/b")
+        without "/a"), so by default the analog is the array-ancestor
+        check alone: no EXISTING ancestor of the destination may be an
+        array.  Pass ``require_parent=True`` for strict reference
+        parity: the destination's immediate parent must then be an
+        existing group (ADVICE r13 — documented divergence made
+        opt-in)."""
         self._require_writable()
         from icechunk_spark.repo.admin import check_flag
 
@@ -621,7 +627,14 @@ class Session:
             )
         if dst in self._nodes:
             raise RefError(f"move cannot overwrite existing node at `{dst}`")
-        anc = dst.rsplit("/", 1)[0]
+        parent = dst.rsplit("/", 1)[0]
+        if require_parent and parent and parent not in self._nodes:
+            raise RefError(
+                f"cannot move to `{dst}`: the destination's parent "
+                f"`{parent}` does not exist (strict reference-parity "
+                "mode: move never creates intermediate groups)"
+            )
+        anc = parent
         while anc:
             node = self._nodes.get(anc)
             if node is not None and node.get("kind") == "array":

@@ -51,6 +51,12 @@ def to_icechunk(
     The caller commits (or the surrounding ``transaction`` does), same
     as the reference where ``to_icechunk`` stages and the session
     commit publishes.
+
+    Reference #2312 (xarray half) is N/A here by construction: the
+    removed ``synchronizer``/``zarr_version`` passthrough params never
+    existed in this signature — this Spark-first form has no zarr
+    library underneath to pass them to (keyword-only signature pinned
+    in tests/test_glue_modules.py::test_no_legacy_zarr_passthrough).
     """
     if mode not in ("w", "a", "r+"):
         raise IcechunkError(f"unsupported mode {mode!r}; use 'w', 'a' or 'r+'")

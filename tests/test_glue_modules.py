@@ -141,3 +141,17 @@ def test_store_dask_regions(spark, repo):
         )
     with pytest.raises(IcechunkError, match="pair"):
         store_dask(sources=[_rows(spark, 0, 5)], targets=[], session=w2)
+
+
+def test_no_legacy_zarr_passthrough():
+    """Reference #2312 (xarray half) pinned N/A: the reference fix
+    REMOVED dead ``synchronizer``/``zarr_version`` passthrough from
+    its ``to_icechunk``; this signature never accepted them (there is
+    no zarr library underneath), so the fix has no analog — and this
+    pin fails if someone ever adds them back."""
+    import inspect
+
+    from icechunk_spark.xarray import to_icechunk
+
+    params = set(inspect.signature(to_icechunk).parameters)
+    assert params.isdisjoint({"synchronizer", "zarr_version", "zarr_format"})

@@ -158,3 +158,24 @@ def test_tree_ops_match_dict_model(spark, tmp_path_factory, ops):
     # an all-failures sequence legitimately has nothing to commit
     s.commit("seq", allow_empty=True)
     assert r.readonly_session().list_nodes() == model
+
+
+def test_strict_mode_requires_destination_parent(repo):
+    """ADVICE r13: opt-in reference parity for move_node's
+    MoveDestinationParentMissing — by default this tree's
+    implicit-parent model lets `move('/x', '/ghost/x')` succeed, but
+    ``require_parent=True`` demands the destination's immediate
+    parent group already exist."""
+    with pytest.raises(RefError, match="does not exist"):
+        with repo.transaction(message="mv") as s:
+            s.move("/other", "/ghost/other", require_parent=True)
+    # existing parent group: strict mode passes
+    with repo.transaction(message="mv") as s:
+        s.move("/other", "/g/other", require_parent=True)
+    # root-level destination always has a parent
+    with repo.transaction(message="mv") as s:
+        s.move("/g/other", "/other2", require_parent=True)
+    # default (implicit-parent) mode still allows the ghost parent
+    with repo.transaction(message="mv") as s:
+        s.move("/other2", "/ghost/other", require_parent=False)
+    assert "/ghost/other" in repo.readonly_session("main").list_nodes()

@@ -115,3 +115,29 @@ def test_right_and_full_outer_never_salt(spark):
     assert gated.count() == plain.count()  # unmatched dkeys emit ONCE
     gated.collect()
     assert "__salt" not in gated._jdf.queryExecution().executedPlan().toString()
+
+
+def test_semi_anti_aliases_accepted_and_value_identical(spark):
+    """ADVICE r13: Spark's short 'semi'/'anti' aliases are as valid as
+    'left_semi'/'left_anti' and salting preserves their semantics —
+    the how-validation must not reject them."""
+    import pytest
+
+    from icechunk_spark.functions.skew import salted_join
+
+    big = _skewed(spark)
+    dim = local_df(
+        spark,
+        [{"dkey": i, "name": f"k{i}"} for i in range(5)],
+        "dkey bigint, name string",
+    )
+    on = F.col("key") == F.col("dkey")
+    for short, long in (("semi", "left_semi"), ("anti", "left_anti")):
+        got = sorted(tuple(r) for r in salted_join(big, dim, on, how=short).collect())
+        want = sorted(tuple(r) for r in big.join(dim, on, long).collect())
+        assert got == want and len(got) > 0
+    # spelled-out variants still pass validation too
+    for ok in ("LEFT_SEMI", "leftanti", "Left"):
+        salted_join(big, dim, on, how=ok)
+    with pytest.raises(ValueError, match="cannot preserve"):
+        salted_join(big, dim, on, how="right_outer")

@@ -206,3 +206,30 @@ def test_uncredentialed_redirect_is_followed():
     finally:
         hop.shutdown(); hop.server_close()
         target.shutdown(); target.server_close()
+
+
+def test_capitalized_range_unit_accepted():
+    """ADVICE r13 / RFC 9110: range units are case-insensitive — a
+    server replying ``Bytes 3-7/64`` (or with leading whitespace) is
+    conformant and must not be rejected as corrupt."""
+    import icechunk_spark.repo.fsio as fsio
+
+    class _CapitalBytes(_RangeHandler):
+        def do_GET(self):  # noqa: N802
+            rng = self.headers.get("Range")
+            lo, _, hi = rng[len("bytes=") :].partition("-")
+            body = BLOB[int(lo) : int(hi) + 1]
+            self.send_response(206)
+            self.send_header("Content-Range", f" Bytes {lo}-{hi}/{len(BLOB)}")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _CapitalBytes)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/f"
+        assert fsio.read_range(url, 3, 5) == BLOB[3:8]
+    finally:
+        srv.shutdown()
+        srv.server_close()
