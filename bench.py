@@ -42,6 +42,34 @@ REPLICATE = 10  # x10 lineitem for the floor-amortization probe
 N_RUNS = 3  # per-query repetitions; min reported (see timed())
 
 
+def _steal_ticks() -> int | None:
+    """Cumulative steal-time ticks from /proc/stat (hypervisor took
+    the CPU while this guest was runnable) — nonzero growth during a
+    bench run means the numbers measured the neighbors, not the
+    plans."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])  # cpu: user nice system idle iowait irq softirq STEAL
+    except Exception:
+        return None
+
+
+def _floor_probe_ms() -> float:
+    """A fixed ~20-50 ms single-thread CPU workload, timed.  On an
+    idle box the probe is flat run-to-run; under contention it
+    inflates with the same multiplier the queries suffer — repeated
+    between queries, it makes a contaminated run self-identifying
+    (VERDICT r13 #2: the 2.4x BENCH_r13 anomaly needed forensics
+    because the official record carried no load evidence)."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(400_000):
+        acc += i * i
+    _ = acc
+    return round((time.perf_counter() - t0) * 1000, 2)
+
+
 def _replicated_lineitem_dir(spark, sf_dir: str) -> str:
     """Materialize lineitem replicated REPLICATE x (keys shifted) into
     a cached temp dir; the write is NOT part of any timing."""
@@ -122,9 +150,14 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
+    load_before = os.getloadavg()
+    steal_before = _steal_ticks()
+    probes: list[float] = [_floor_probe_ms()]
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         timings[name] = timed(lambda name=name: queries[name](spark, sf_dir).count())
+        probes.append(_floor_probe_ms())
 
     # floor-amortization probe: same plan, 10x the rows (built outside
     # the timed region)
@@ -139,6 +172,30 @@ def main() -> None:
     except Exception as ex:  # pragma: no cover - never fail the bench line
         print(f"replicated probe skipped: {ex}", file=sys.stderr)
 
+    probes.append(_floor_probe_ms())
+    probes_sorted = sorted(probes)
+    steal_after = _steal_ticks()
+    # load evidence (VERDICT r13 #2): enough context to tell "the code
+    # got slower" from "the box was busy" on the record's face.  An
+    # idle run shows probe max/min near 1 and zero steal growth; the
+    # contaminated-r13 pattern (everything uniformly 1.7-7x slower)
+    # would show inflated probes and/or steal growth instead.
+    env = {
+        "cpus": os.cpu_count(),
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "steal_ticks_delta": (
+            steal_after - steal_before
+            if steal_before is not None and steal_after is not None
+            else None
+        ),
+        "floor_probe_ms": {
+            "n": len(probes),
+            "min": probes_sorted[0],
+            "p50": probes_sorted[len(probes) // 2],
+            "max": probes_sorted[-1],
+        },
+    }
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -148,6 +205,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "env": env,
             }
         )
     )
