@@ -1931,6 +1931,32 @@ class Session:
                 kept = staged.join(chunk_conf, ["node_id", "chunk_key"], "left_anti")
                 self._replace_staging(kept)
             # use_ours: nothing to do — our staged rows get a higher seq
+            if node_conflicts and solver.on_node_conflict == "use_theirs":
+                # metadata double-update (or update-vs-delete) where
+                # THEIR op wins: drop OUR node ops on the conflicted
+                # nodes so the merge below keeps tip's entry — or its
+                # absence, when their op was the delete.  Without this
+                # the merge loop replayed our op regardless, so
+                # use_theirs silently behaved as use_ours for the
+                # plain "node" kind (found by the r14 model-based
+                # conflict sequence test).
+                self._node_ops = [
+                    op
+                    for op in self._node_ops
+                    if op["node_id"] not in node_conflicts
+                ]
+                # our staged chunk writes into a conflicted node THEY
+                # deleted would become unreachable manifest orphans
+                # (the node id leaves the merged node table) — drop
+                # them, mirroring the deleted_node_write resolution
+                doomed_ids = sorted(node_conflicts & their_deleted & ours_chunk_nodes)
+                if doomed_ids and self._staged:
+                    doomed = local_df(
+                        self.spark, [(n,) for n in doomed_ids], "node_id string"
+                    )
+                    self._replace_staging(
+                        self._staged_manifest_df().join(doomed, "node_id", "left_anti")
+                    )
             if deleted_write and solver.on_node_conflict == "use_theirs" and self._staged:
                 # their delete wins: drop our writes into deleted nodes
                 doomed = local_df(
