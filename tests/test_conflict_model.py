@@ -250,3 +250,119 @@ def test_two_session_conflicts_match_model(spark, tmp_path_factory, a_side, b_si
             got = sess.get_chunk_bytes(path, str(c))
             want = PAY[who] if who else None
             assert got == want, (path, c, who, a, b, solver)
+
+
+# --- the path-conflict plane (r14 extension): both sessions CREATE the
+# same fresh path with different node ids — the reference's
+# NewNodeConflictsWithExisting, invisible to node-id matching ---
+
+FRESH = "/z"
+
+_create_st = st.one_of(
+    st.none(),
+    st.tuples(
+        st.just("C"),
+        st.frozensets(st.sampled_from(CHUNKS), max_size=3),
+    ),
+)
+
+
+def _apply_create(session, bundle, who):
+    if bundle is None:
+        return
+    session.create_array(FRESH, shape=[BASE_SHAPE], chunk_shape=[2])
+    for c in sorted(bundle[1]):
+        session.set_chunk_bytes(FRESH, str(c), PAY[who])
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    a_create=_create_st,
+    b_create=_create_st,
+    a_base=_bundle_st,  # one base array keeps the planes interacting
+    b_base=_bundle_st,
+    solver=st.tuples(_mode_st, _mode_st),
+)
+def test_path_conflicts_match_model(
+    spark, tmp_path_factory, a_create, b_create, a_base, b_base, solver
+):
+    root = str(tmp_path_factory.mktemp("pathmodel"))
+    repo = Repository.create(spark, root)
+    with repo.transaction(message="base") as s:
+        s.create_array("/x", shape=[BASE_SHAPE], chunk_shape=[2])
+
+    sa = repo.writable_session("main")
+    sb = repo.writable_session("main")
+    _apply_create(sb, b_create, "B")
+    _apply_bundle(sb, "/x", b_base, "B")
+    sb.commit("b", allow_empty=True)
+    _apply_create(sa, a_create, "A")
+    _apply_bundle(sa, "/x", a_base, "A")
+
+    base_conf = _predict_conflicts(a_base, b_base)
+    path_c = a_create is not None and b_create is not None
+    kinds = _predicted_kinds({"x": base_conf})
+    if path_c:
+        kinds.add("path")
+    on_chunk, on_node = solver
+    node_kinds = kinds & (_NODE_KINDS | {"path"})
+    if node_kinds and on_node == "fail":
+        want_raise = node_kinds
+    elif "chunk" in kinds and on_chunk == "fail":
+        want_raise = {"chunk"}
+    else:
+        want_raise = None
+
+    try:
+        sa.commit(
+            "a",
+            allow_empty=True,
+            rebase_with=ConflictSolver(
+                on_chunk_conflict=on_chunk, on_node_conflict=on_node
+            ),
+        )
+        raised = None
+    except ConflictError as e:
+        raised = {c["kind"] for c in e.conflicts}
+    assert raised == want_raise, (a_create, b_create, a_base, b_base, solver)
+
+    if raised is not None:
+        sa.commit(
+            "a retry",
+            allow_empty=True,
+            rebase_with=ConflictSolver(
+                on_chunk_conflict="use_ours", on_node_conflict="use_ours"
+            ),
+        )
+        on_chunk = on_node = "use_ours"
+
+    sess = repo.readonly_session()
+    nodes = sess.list_nodes()
+
+    # the fresh path: winner's node AND winner's chunks — the loser's
+    # chunks must not bleed through (different node ids)
+    if a_create is None and b_create is None:
+        assert FRESH not in nodes
+    else:
+        if path_c:
+            winner, bundle = ("A", a_create) if on_node == "use_ours" else ("B", b_create)
+        else:
+            winner, bundle = ("A", a_create) if a_create else ("B", b_create)
+        assert FRESH in nodes
+        for c in CHUNKS:
+            got = sess.get_chunk_bytes(FRESH, str(c))
+            want = PAY[winner] if c in bundle[1] else None
+            assert got == want, (FRESH, c, winner, a_create, b_create, solver)
+
+    # the base array still follows the original model
+    present, shape, owners = _predict_final(a_base, b_base, base_conf, on_chunk, on_node)
+    assert ("/x" in nodes) == present, (a_base, b_base, solver)
+    if present:
+        assert sess.array_meta("/x").shape == [shape]
+        for c, who in owners.items():
+            got = sess.get_chunk_bytes("/x", str(c))
+            assert got == (PAY[who] if who else None), (c, who, a_base, b_base, solver)
