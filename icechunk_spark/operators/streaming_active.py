@@ -40,26 +40,30 @@ def _day_user_stream(events: DataFrame) -> DataFrame:
 
 
 _INTERVAL_SECS = {
-    "week": 604800,
-    "day": 86400,
-    "hour": 3600,
-    "minute": 60,
-    "second": 1,
+    "week": 604800.0,
+    "day": 86400.0,
+    "hour": 3600.0,
+    "minute": 60.0,
+    "second": 1.0,
+    "millisecond": 0.001,
+    "microsecond": 0.000001,
 }
 
 
 def _delay_seconds(late: str) -> float:
     """Parse a Spark delay-threshold string ("1 day", "36 hours",
     "1 day 12 hours") into seconds.  Only the calendar-free units are
-    accepted — the same set dropDuplicatesWithinWatermark's threshold
-    meaningfully uses here."""
+    accepted — the set dropDuplicatesWithinWatermark's threshold
+    meaningfully uses here.  The WHOLE string must be value-unit
+    pairs (review r14): findall-style scanning would let a sign or
+    trailing junk ("-2 days", "1 day blahblah") slip past validation
+    only to fail — or worse, pass — inside Spark."""
     import re
 
-    parts = re.findall(r"(\d+(?:\.\d+)?)\s*([a-zA-Z]+)", late)
-    if not parts:
+    if not re.fullmatch(r"\s*(?:\d+(?:\.\d+)?\s*[a-zA-Z]+\s*)+", late):
         raise ValueError(f"unparseable delay threshold: {late!r}")
     total = 0.0
-    for value, unit in parts:
+    for value, unit in re.findall(r"(\d+(?:\.\d+)?)\s*([a-zA-Z]+)", late):
         unit = unit.lower().rstrip("s")
         if unit not in _INTERVAL_SECS:
             raise ValueError(f"unsupported delay unit {unit!r} in {late!r}")

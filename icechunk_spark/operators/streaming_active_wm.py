@@ -34,6 +34,7 @@ bearing.
 
 from __future__ import annotations
 
+import atexit
 import glob
 import hashlib
 import os
@@ -48,6 +49,17 @@ from icechunk_spark.catalog import load_tables
 from icechunk_spark.operators.activeusers import DAILY_ACTIVE_SQL, census_over_day_user
 from icechunk_spark.operators.streaming_active import day_user_stream_watermarked
 from icechunk_spark.streaming.events import read_event_stream
+
+#: per-call pair outputs created by THIS process; reaped at exit
+_PAIR_DIRS: set[str] = set()
+
+
+def _reap_pair_dirs() -> None:
+    for d in _PAIR_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_reap_pair_dirs)
 
 N_CHUNKS = 8  # fixed replay-chunk count: flat drain cost at any SF
 FILES_PER_TRIGGER = 2  # 8 chunks / 2 per trigger = 4 micro-batches —
@@ -117,7 +129,12 @@ def stream_active_users_watermarked(spark: SparkSession, sf_dir: str) -> DataFra
     deployment lands the deduped pairs in a table and runs the census
     over the table."""
     root = stage_time_ordered_events(spark, sf_dir)
+    # per-call output (the returned DataFrame lazily reads it, so it
+    # cannot be deleted here); reaped at process exit like the
+    # bucketed temp dbs (review r14: repeated gate runs would
+    # otherwise accumulate a pair set + checkpoint per call)
     out = tempfile.mkdtemp(prefix=f"icwmpairs_{uuid.uuid4().hex[:8]}_")
+    _PAIR_DIRS.add(out)
     ev = read_event_stream(spark, root, max_files_per_trigger=FILES_PER_TRIGGER)
     q = (
         day_user_stream_watermarked(ev)

@@ -161,6 +161,17 @@ def _http_read_range(url: str, offset: int, length: int) -> bytes:
                 f"{content_range!r} does not start at requested offset "
                 f"{offset}"
             )
+        # the END byte and the body must cover the requested window
+        # too — a server that honestly advertises a short partial
+        # ("bytes 3-4/64" for a 5-byte request) would otherwise
+        # silently truncate the chunk (review r14)
+        span = int(m.group(2)) - offset + 1
+        if span < length or len(data) < min(span, length):
+            raise OSError(
+                f"ranged read of {clean}: 206 Content-Range "
+                f"{content_range!r} / {len(data)}-byte body does not "
+                f"cover the requested {length}-byte window at {offset}"
+            )
     return data[:length]
 
 

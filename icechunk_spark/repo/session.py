@@ -1946,10 +1946,15 @@ class Session:
                     if op["node_id"] not in node_conflicts
                 ]
                 # our staged chunk writes into a conflicted node THEY
-                # deleted would become unreachable manifest orphans
-                # (the node id leaves the merged node table) — drop
-                # them, mirroring the deleted_node_write resolution
-                doomed_ids = sorted(node_conflicts & their_deleted & ours_chunk_nodes)
+                # deleted (unreachable orphans once the id leaves the
+                # merged table) or THEY resized (possibly out of the
+                # winning bounds) drop too, mirroring the
+                # deleted_node_write and updated_node_write
+                # resolutions — node-level use_theirs supersedes
+                # chunk-level keeps on that node (review r14)
+                doomed_ids = sorted(
+                    node_conflicts & (their_deleted | their_updated) & ours_chunk_nodes
+                )
                 if doomed_ids and self._staged:
                     doomed = local_df(
                         self.spark, [(n,) for n in doomed_ids], "node_id string"

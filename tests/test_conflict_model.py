@@ -40,11 +40,11 @@ _bundle_st = st.one_of(
         st.just("W"),
         st.frozensets(st.sampled_from(CHUNKS), min_size=1, max_size=4),
     ),
-    st.tuples(st.just("R"), st.sampled_from([10, 12])),
+    st.tuples(st.just("R"), st.sampled_from([4, 10, 12])),
     st.tuples(
         st.just("WR"),
         st.frozensets(st.sampled_from(CHUNKS), min_size=1, max_size=4),
-        st.sampled_from([10, 12]),
+        st.sampled_from([4, 10, 12]),
     ),
     st.just(("D",)),
 )
@@ -163,8 +163,11 @@ def _predict_final(a, b, conf, on_chunk, on_node):
         kept = set()
     if conf["updated_node_write"] and on_node == "use_theirs":
         kept = set()
-    if conf["node"] and kb == "D" and on_node == "use_theirs":
-        kept = set()  # the r14 handler also drops writes into their-deleted nodes
+    if conf["node"] and on_node == "use_theirs":
+        # the r14 handler drops our writes into conflicted nodes THEY
+        # deleted or resized — node-level use_theirs supersedes
+        # chunk-level keeps (conf["node"] implies their node op exists)
+        kept = set()
 
     owners = {}
     for c in CHUNKS:
@@ -247,6 +250,8 @@ def test_two_session_conflicts_match_model(spark, tmp_path_factory, a_side, b_si
             continue
         assert sess.array_meta(path).shape == [shape], (path, a, b, solver)
         for c, who in owners.items():
+            if 2 * c >= shape:
+                continue  # beyond a shrunk shape: cropped, not readable state
             got = sess.get_chunk_bytes(path, str(c))
             want = PAY[who] if who else None
             assert got == want, (path, c, who, a, b, solver)
@@ -364,5 +369,7 @@ def test_path_conflicts_match_model(
     if present:
         assert sess.array_meta("/x").shape == [shape]
         for c, who in owners.items():
+            if 2 * c >= shape:
+                continue  # beyond a shrunk shape: cropped, not readable state
             got = sess.get_chunk_bytes("/x", str(c))
             assert got == (PAY[who] if who else None), (c, who, a_base, b_base, solver)

@@ -67,7 +67,13 @@ def test_delay_parser():
     assert _delay_seconds("36 hours") == 129600
     assert _delay_seconds("1 day 12 hours") == 129600
     assert _delay_seconds("1 week") == 604800
+    assert _delay_seconds("500 milliseconds") == 0.5
     with pytest.raises(ValueError):
         _delay_seconds("fortnight")
     with pytest.raises(ValueError):
         _delay_seconds("3 parsecs")
+    # review r14: signs and trailing junk must not slip past the
+    # fullmatch validation
+    for bad in ("-2 days", "1 day blahblah", "2 days -1 hour", "", "  "):
+        with pytest.raises(ValueError):
+            _delay_seconds(bad)

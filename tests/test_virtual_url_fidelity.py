@@ -233,3 +233,34 @@ def test_capitalized_range_unit_accepted():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_short_206_body_rejected():
+    """review r14: a 206 that honestly advertises a SHORTER window
+    than requested ("bytes 3-4/64" for a 5-byte request) must raise,
+    not silently truncate the chunk."""
+    import pytest
+
+    import icechunk_spark.repo.fsio as fsio
+
+    class _ShortRange(_RangeHandler):
+        def do_GET(self):  # noqa: N802
+            rng = self.headers.get("Range")
+            lo, _, _hi = rng[len("bytes=") :].partition("-")
+            lo = int(lo)
+            body = BLOB[lo : lo + 2]  # two bytes, whatever was asked
+            self.send_response(206)
+            self.send_header("Content-Range", f"bytes {lo}-{lo + 1}/{len(BLOB)}")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _ShortRange)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/f"
+        with pytest.raises(OSError, match="does not cover"):
+            fsio.read_range(url, 3, 5)
+    finally:
+        srv.shutdown()
+        srv.server_close()
