@@ -68,6 +68,9 @@ def main() -> None:
                     q: band([r["queries"][q] for r in runs if q in r["queries"]])
                     for q in names
                 },
+                # per-run load evidence (r14): steal growth / inflated
+                # floor probes mark a contaminated run on its face
+                "env": [r.get("env") for r in runs],
             }
         )
     )
