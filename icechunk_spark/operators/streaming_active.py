@@ -18,13 +18,12 @@ staying genuinely multi-batch at decade scale).
 
 from __future__ import annotations
 
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from icechunk_spark.operators.activeusers import DAILY_ACTIVE_SQL, census_over_day_user
-from icechunk_spark.streaming.events import read_event_stream, run_to_memory
+from icechunk_spark.streaming.events import read_event_stream, run_to_parquet
 
 
 def _day_user_stream(events: DataFrame) -> DataFrame:
@@ -107,10 +106,13 @@ def day_user_stream_watermarked(events: DataFrame, late: str = "1 day") -> DataF
 
 
 def stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    name = f"sdau_{uuid.uuid4().hex[:8]}"
+    # parquet sink, not the memory test sink (r14): the drained pair
+    # set is users × days VOLUME, and the memory sink's driver-local
+    # LocalTableScan cost the census ~5 s serial at sf10's ~4M pairs;
+    # the file sink keeps the census fully distributed
     ev = read_event_stream(spark, sf_dir, max_files_per_trigger=8)
-    run_to_memory(_day_user_stream(ev), name, output_mode="append")
-    return census_over_day_user(spark.table(name).select("day", "user_id"))
+    pairs = run_to_parquet(spark, _day_user_stream(ev), prefix="icdaupairs")
+    return census_over_day_user(pairs.select("day", "user_id"))
 
 
 QUERIES = {"stream_active_users": stream_active_users}

@@ -34,7 +34,6 @@ bearing.
 
 from __future__ import annotations
 
-import atexit
 import glob
 import hashlib
 import os
@@ -48,18 +47,7 @@ from pyspark.sql import functions as F
 from icechunk_spark.catalog import load_tables
 from icechunk_spark.operators.activeusers import DAILY_ACTIVE_SQL, census_over_day_user
 from icechunk_spark.operators.streaming_active import day_user_stream_watermarked
-from icechunk_spark.streaming.events import read_event_stream
-
-#: per-call pair outputs created by THIS process; reaped at exit
-_PAIR_DIRS: set[str] = set()
-
-
-def _reap_pair_dirs() -> None:
-    for d in _PAIR_DIRS:
-        shutil.rmtree(d, ignore_errors=True)
-
-
-atexit.register(_reap_pair_dirs)
+from icechunk_spark.streaming.events import read_event_stream, run_to_parquet
 
 N_CHUNKS = 8  # fixed replay-chunk count: flat drain cost at any SF
 FILES_PER_TRIGGER = 2  # 8 chunks / 2 per trigger = 4 micro-batches —
@@ -123,30 +111,15 @@ def stream_active_users_watermarked(spark: SparkSession, sf_dir: str) -> DataFra
     """Drains to a PARQUET sink, not the memory test sink: the memory
     sink parks every pair on the driver and the census then reads a
     driver-local table (a LocalTableScan serialization bottleneck —
-    ~5 s of the twin's sf10 cost at 4M pairs), where the file sink
+    ~5 s at sf10's 4M pairs, measured r14; both census twins now use
+    run_to_parquet for exactly this reason), where the file sink
     keeps the pairs on executors end to end and the census over them
     runs fully distributed.  This is also the production shape: a real
     deployment lands the deduped pairs in a table and runs the census
     over the table."""
     root = stage_time_ordered_events(spark, sf_dir)
-    # per-call output (the returned DataFrame lazily reads it, so it
-    # cannot be deleted here); reaped at process exit like the
-    # bucketed temp dbs (review r14: repeated gate runs would
-    # otherwise accumulate a pair set + checkpoint per call)
-    out = tempfile.mkdtemp(prefix=f"icwmpairs_{uuid.uuid4().hex[:8]}_")
-    _PAIR_DIRS.add(out)
     ev = read_event_stream(spark, root, max_files_per_trigger=FILES_PER_TRIGGER)
-    q = (
-        day_user_stream_watermarked(ev)
-        .writeStream.format("parquet")
-        .option("path", os.path.join(out, "pairs"))
-        .option("checkpointLocation", os.path.join(out, "_ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    pairs = spark.read.parquet(os.path.join(out, "pairs"))
+    pairs = run_to_parquet(spark, day_user_stream_watermarked(ev), prefix="icwmpairs")
     return census_over_day_user(pairs.select("day", "user_id"))
 
 

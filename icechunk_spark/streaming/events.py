@@ -296,7 +296,15 @@ def zscore_alerts_stream(events: DataFrame) -> DataFrame:
 
 
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None:
-    """Drain a bounded stream into an in-memory table (availableNow)."""
+    """Drain a bounded stream into an in-memory table (availableNow).
+
+    The memory sink parks every row ON THE DRIVER and downstream
+    reads are a serial LocalTableScan — right for the small drained
+    states (sketches, per-window aggregates, top-k frames) most
+    streaming queries emit, wrong for VOLUME outputs: use
+    :func:`run_to_parquet` when the drained rows scale with data
+    (the census twins' users × days pair sets — ~5 s of serial scan
+    per 4M pairs at sf10, measured r14)."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -305,6 +313,57 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None
         .start()
     )
     q.awaitTermination()
+
+
+#: per-call parquet-sink outputs created by THIS process; reaped at
+#: exit (the bucketing._OWNED_LOCATIONS precedent — the returned
+#: DataFrame reads the files lazily, so they cannot be removed inline,
+#: and repeated oracle-gate runs would otherwise accumulate a pair set
+#: + checkpoint per call)
+_PARQUET_SINK_DIRS: set[str] = set()
+
+
+def _reap_parquet_sinks() -> None:
+    import shutil
+
+    for d in _PARQUET_SINK_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _register_sink_reaper() -> None:
+    import atexit
+
+    if not getattr(_register_sink_reaper, "_done", False):
+        atexit.register(_reap_parquet_sinks)
+        _register_sink_reaper._done = True  # type: ignore[attr-defined]
+
+
+def run_to_parquet(spark: SparkSession, df: DataFrame, prefix: str = "icsink") -> DataFrame:
+    """Drain a bounded append-mode stream into a PARQUET file sink and
+    return a distributed reader over the result — executors write the
+    batches and everything downstream stays parallel, where the memory
+    sink would serialize the whole output through the driver.  This is
+    also the production shape: deduped/derived rows land in a table
+    and later stages read the table.
+
+    The declared schema is passed to the read so a zero-row drain
+    (no files, only the sink's _spark_metadata log) still returns an
+    empty frame of the right shape instead of failing inference."""
+    import uuid
+
+    _register_sink_reaper()
+    out = tempfile.mkdtemp(prefix=f"{prefix}_{uuid.uuid4().hex[:8]}_")
+    _PARQUET_SINK_DIRS.add(out)
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", os.path.join(out, "data"))
+        .option("checkpointLocation", os.path.join(out, "_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(df.schema).parquet(os.path.join(out, "data"))
 
 
 def stream_append_to_repo(
