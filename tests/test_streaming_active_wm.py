@@ -77,3 +77,18 @@ def test_delay_parser():
     for bad in ("-2 days", "1 day blahblah", "2 days -1 hour", "", "  "):
         with pytest.raises(ValueError):
             _delay_seconds(bad)
+
+
+def test_run_to_parquet_zero_row_drain(spark, tmp_path):
+    """A bounded drain that emits NOTHING (all events filtered) must
+    return an empty frame with the declared schema, not fail parquet
+    schema inference on a fileless sink directory."""
+    import pyspark.sql.functions as F
+
+    from icechunk_spark.streaming.events import read_event_stream, run_to_parquet
+
+    ev = read_event_stream(spark, SF_DIR, max_files_per_trigger=None)
+    none = ev.select(F.to_date("ts").alias("day"), "user_id").filter(F.lit(False))
+    out = run_to_parquet(spark, none, prefix="icempty")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["day", "user_id"]
