@@ -518,8 +518,15 @@ class Session:
 
     def update_attrs(self, path: str, attrs: dict) -> None:
         self._require_data_writable()
-        node = self._node(path)
+        # copy-on-write (review r14): the per-node dicts are SHARED
+        # with self._base.nodes and with every ForkSession (fork()
+        # copies only the container) — mutating one in place leaked
+        # the update into the base snapshot view (discard_changes
+        # could not undo it) and into the parent/sibling forks
+        # (wall-clock application order beat merge order)
+        node = dict(self._node(path))
         node["attrs"] = {**node.get("attrs", {}), **attrs}
+        self._nodes[_norm(path)] = node
         self._node_ops.append({"op": "update", "path": _norm(path), "node_id": node["node_id"]})
 
     def update_array(
@@ -542,7 +549,9 @@ class Session:
         unreferenced.  dtype and chunk_shape are immutable — changing
         them would reinterpret existing chunk payloads."""
         self._require_data_writable()
-        node = self._node(path)
+        # copy-on-write: see update_attrs — never mutate the shared
+        # per-node dict in place
+        node = dict(self._node(path))
         if node.get("kind") != "array":
             raise RefError(f"{path} is not an array")
         if shape is not None:
@@ -558,6 +567,7 @@ class Session:
             node["dimension_names"] = list(dimension_names) or None
         if zarr_extra is not None:
             node["zarr_extra"] = dict(zarr_extra) or None
+        self._nodes[_norm(path)] = node
         self._node_ops.append(
             {"op": "update", "path": _norm(path), "node_id": node["node_id"]}
         )
@@ -567,10 +577,12 @@ class Session:
         """REPLACE a group's attributes (whole-doc rewrite semantics,
         unlike update_attrs which merges)."""
         self._require_data_writable()
-        node = self._node(path)
+        # copy-on-write: see update_attrs
+        node = dict(self._node(path))
         if node.get("kind") != "group":
             raise RefError(f"{path} is not a group")
         node["attrs"] = dict(attrs)
+        self._nodes[_norm(path)] = node
         self._node_ops.append(
             {"op": "update", "path": _norm(path), "node_id": node["node_id"]}
         )
