@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from icechunk_spark.catalog import load_tables
 from icechunk_spark.functions import tokenize
@@ -278,6 +279,73 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "x")
     ).select("vec_id", "i", F.col("x").cast("double").alias("x"))
+    # r14 optimization (guide §1/§2.3): the cost of this operator is
+    # the DECIMAL machinery, not the join — the double-sum twin of the
+    # original 3-sums-per-cell pipeline runs 2.6 s where the original
+    # runs 14-16 s at sf0.1.  Whenever every vector has the same
+    # length and no NULL components (the normal embedding-table
+    # shape), the per-cell marginals are per-INDEX constants:
+    # sx(i,j) = S(i), sy(i,j) = S(j), n(i,j) = N — so one d-row
+    # marginal aggregate replaces 2/3 of the per-pair decimal
+    # casts+adds, and the per-cell count drops entirely.  Decimal sums
+    # are order-independent and exact, so the derived cells are
+    # bit-identical to the original's; ragged or NULL-holed inputs
+    # fall back to the original full per-cell aggregation.
+    marg_rows = (
+        comps.groupBy("i")
+        .agg(
+            F.sum(F.col("x").cast("decimal(30,12)")).alias("s"),
+            F.count(F.lit(1)).alias("n_i"),
+            F.count(F.when(F.col("x").isNull(), F.lit(1))).alias("null_i"),
+        )
+        .collect()
+    )
+    counts = {int(r["n_i"]) for r in marg_rows}
+    uniform = (
+        len(marg_rows) > 0
+        and len(counts) == 1
+        and all(int(r["null_i"]) == 0 for r in marg_rows)
+    )
+    if uniform:
+        from icechunk_spark.engine import local_df
+
+        n_total = counts.pop()
+        # mean-per-index literals: double(decimal) cast then divide,
+        # the exact ops the original ran per cell
+        means = [
+            {"idx": int(r["i"]), "m": float(r["s"]) / n_total} for r in marg_rows
+        ]
+        mi = broadcast(local_df(spark, means, "idx int, m double"))
+        mj = broadcast(local_df(spark, means, "idx int, m double"))
+        prod = (
+            comps.alias("a")
+            .join(comps.alias("b"), on="vec_id")
+            .filter(F.col("a.i") <= F.col("b.i"))
+            .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+            .agg(
+                F.sum((F.col("a.x") * F.col("b.x")).cast("decimal(30,12)")).alias(
+                    "sxy"
+                )
+            )
+        )
+        return (
+            prod.join(mi, prod["i"] == mi["idx"])
+            .drop("idx")
+            .withColumnRenamed("m", "mx")
+            .join(mj, prod["j"] == mj["idx"])
+            .drop("idx")
+            .withColumnRenamed("m", "my")
+            .select(
+                "i",
+                "j",
+                F.round(
+                    F.col("sxy").cast("double") / F.lit(n_total)
+                    - F.col("mx") * F.col("my"),
+                    8,
+                ).alias("cov"),
+            )
+            .orderBy("i", "j")
+        )
     pairs = (
         comps.alias("a")
         .join(comps.alias("b"), on="vec_id")

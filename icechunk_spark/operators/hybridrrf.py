@@ -43,7 +43,13 @@ K_RRF = 60  # the standard RRF constant
 
 
 def _dense_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir)["embeddings"].withColumn(
+    from icechunk_spark.functions import ensure_min_partitions
+
+    # spread the scan before the broadcast-joined pair-dot stage: the
+    # byte-small parquet arrives as 1-2 splits and a broadcast join
+    # keeps the stream side's partitioning, so the n_docs x n_queries
+    # dot folds otherwise run nearly single-task (r14)
+    emb = ensure_min_partitions(load_tables(spark, sf_dir)["embeddings"]).withColumn(
         "nb", l2_norm(F.col("embedding"))
     )
     q = emb.filter(F.col("vec_id") < RET_QUERIES).select(

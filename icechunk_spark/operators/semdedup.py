@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from icechunk_spark.catalog import load_tables
-from icechunk_spark.functions import cosine
+from icechunk_spark.functions import dot, l2_norm
 
 SEMDEDUP_THRESHOLD = 0.30  # test embeddings are random; real corpora ~0.95+
 
@@ -29,7 +29,16 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic duplicates of an earlier cluster member, how many survive."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"].select("vec_id", "label", "embedding")
-    a, b = emb.alias("a"), emb.alias("b")
+    # r14: (1) each side's norm ONCE per row, not per pair — the
+    # cosine() hot-loop rule; dot/(na*nb) is the identical double
+    # arithmetic.  (2) spread the probe side round-robin: the pair
+    # stage otherwise runs in the byte-small scan's 1-2 partitions
+    # (broadcast join keeps the stream side's partitioning) or, under
+    # SMJ, on n_labels tasks.  Cells are bounded (the label stands in
+    # for a k-means cell), so the exchange is small by construction.
+    embn = emb.withColumn("__n", l2_norm(F.col("embedding")))
+    a = embn.repartition(spark.sparkContext.defaultParallelism).alias("a")
+    b = embn.alias("b")
     dups = (
         a.join(
             b,
@@ -37,7 +46,12 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .withColumn(
-            "cos_sim", F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4)
+            "cos_sim",
+            F.round(
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.__n") * F.col("b.__n")),
+                4,
+            ),
         )
         .filter(F.col("cos_sim") >= SEMDEDUP_THRESHOLD)
         .select(F.col("b.label").alias("label"), F.col("b.vec_id").alias("dup_id"))

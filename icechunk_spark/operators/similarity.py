@@ -154,13 +154,35 @@ def pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__r", F.row_number().over(wcap))
         .filter(F.col("__r") <= PAIRWISE_LABEL_CAP)
         .drop("__r")
+        # each side's norm ONCE per row, not per pair (the cosine()
+        # docstring's own hot-loop rule; dot/(na*nb) is the identical
+        # double arithmetic, the norms are just not recomputed
+        # cohort-size times)
+        .withColumn("__n", l2_norm(F.col("embedding")))
     )
-    a = emb.select("label", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    # the cap window hash-partitions by label, and with few labels the
+    # pair stage would run on n_labels tasks (AQE coalesces the tiny
+    # shuffle further) — spread the capped cohorts round-robin so the
+    # per-pair fold work uses the whole cluster.  The capped table is
+    # bounded (labels x CAP rows), so this extra exchange is small by
+    # construction.
+    a = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        "label",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("__n").alias("na"),
+    )
     b = emb.select(
-        F.col("label").alias("label_b"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("__n").alias("nb"),
     )
     pairs = a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
-    pairs = pairs.withColumn("cos_sim", F.round(_fold_cosine(F.col("ea"), F.col("eb")), 4))
+    pairs = pairs.withColumn(
+        "cos_sim",
+        F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4),
+    )
     return (
         _partial_topk(
             pairs, ["label"], [F.desc("cos_sim"), F.asc("vec_a"), F.asc("vec_b")], 3
@@ -229,12 +251,26 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             bits.append(F.when(proj >= 0, "1").otherwise("0"))
         return F.concat_ws("", *bits)
 
-    emb_b = emb.withColumn("bucket", bucket(F.col("embedding")))
+    # spread the scan BEFORE the per-row bucket folds (8 planes x dim)
+    # and the pair stage: the byte-small parquet arrives as 1-2 splits
+    # and a broadcast join keeps the stream side's partitioning, so
+    # without this the whole candidate stage ran nearly single-task.
+    # Norms are hoisted per row (cosine() hot-loop rule): dot/(nq*nb)
+    # is the same double arithmetic as _fold_cosine per pair.
+    emb_b = ensure_min_partitions(emb).withColumn(
+        "bucket", bucket(F.col("embedding"))
+    ).withColumn("nb", l2_norm(F.col("embedding")))
     q = emb_b.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nb").alias("nq"),
+        "bucket",
     )
     cands = emb_b.join(broadcast(q), "bucket").filter(F.col("vec_id") != F.col("query_id"))
-    cands = cands.withColumn("cos_sim", F.round(_fold_cosine(F.col("qe"), F.col("embedding")), 4))
+    cands = cands.withColumn(
+        "cos_sim",
+        F.round(dot(F.col("qe"), F.col("embedding")) / (F.col("nq") * F.col("nb")), 4),
+    )
     return (
         _partial_topk(cands, ["query_id"], [F.desc("cos_sim"), F.asc("vec_id")], TOP_K)
         .select("query_id", "rnk", F.col("vec_id").alias("neighbor_id"), "cos_sim")
@@ -290,17 +326,53 @@ N_PROBE = 8
 N_LLOYD = 2
 
 
-def _cell_scores(col: Column, cents: list[tuple[int, list[float]]]) -> Column:
+def _seq_norm(vec: list[float]) -> float:
+    """Driver-side twin of l2_norm's strict left fold — same IEEE
+    double ops in the same order, so the literal equals what the JVM
+    expression would compute for the same centroid array."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _cell_scores(
+    col: Column, cents: list[tuple[int, list[float]]], norm: Column | None = None
+) -> Column:
     """Cells sorted by descending cosine to ``col`` (literal centroid
-    arrays — evaluated JVM-side, no shuffle)."""
-    scored = [
-        F.struct(
-            F.round(_fold_cosine(col, F.array(*[F.lit(x) for x in c])), 6).alias("cos"),
-            F.lit(cid).alias("cell"),
-        )
-        for cid, c in cents
-    ]
-    return F.reverse(F.array_sort(F.array(*scored)))
+    arrays — evaluated JVM-side, no shuffle).
+
+    r14 shape: centroids ride in ONE packed literal array and the
+    score is a single generic transform lambda instead of k
+    independent fold expressions — same doubles (the per-centroid
+    fold is unchanged), but the expression tree no longer grows k
+    lambdas (measured 1.9 -> 1.1 s per assignment pass at sf0.1
+    before the norm hoists).  Each centroid's own norm is a
+    precomputed literal (driver-side strict left fold, bit-identical
+    to the JVM fold over the same literals), and callers pass the
+    row's norm column so it folds once per ROW instead of once per
+    (row, centroid)."""
+    packed = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cell"),
+                F.array(*[F.lit(x) for x in c]).alias("v"),
+                F.lit(_seq_norm(c)).alias("nv"),
+            )
+            for cid, c in cents
+        ]
+    )
+    norm = l2_norm(col) if norm is None else norm
+    scored = F.transform(
+        packed,
+        lambda e: F.struct(
+            F.round(dot(col, e["v"]) / (norm * e["nv"]), 6).alias("cos"),
+            e["cell"].alias("cell"),
+        ),
+    )
+    return F.reverse(F.array_sort(scored))
 
 
 def train_ivf_centroids(
@@ -319,9 +391,13 @@ def train_ivf_centroids(
         .collect()
     )
     cents = [(i, [float(x) for x in r["embedding"]]) for i, r in enumerate(seeds)]
+    embn = emb.withColumn("__nb", l2_norm(F.col("embedding")))
     for _ in range(n_iter):
-        assigned = emb.withColumn(
-            "cell", F.element_at(_cell_scores(F.col("embedding"), cents), 1)["cell"]
+        assigned = embn.withColumn(
+            "cell",
+            F.element_at(
+                _cell_scores(F.col("embedding"), cents, F.col("__nb")), 1
+            )["cell"],
         )
         rows = (
             assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
@@ -348,21 +424,36 @@ def knn_ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t["embeddings"]
     cents = train_ivf_centroids(emb)
 
-    def cell_scores(col: Column) -> Column:
-        return _cell_scores(col, cents)
+    def cell_scores(col: Column, norm: Column) -> Column:
+        return _cell_scores(col, cents, norm)
 
-    emb_c = emb.withColumn("cell", F.element_at(cell_scores(F.col("embedding")), 1)["cell"])
+    # spread the scan before the per-row cell-assignment folds and the
+    # broadcast-joined candidate stage (same parallelism-collapse fix
+    # as knn_lsh), and hoist each side's norm out of the per-pair
+    # cosine (identical doubles: dot/(nq*nb))
+    emb_s = ensure_min_partitions(emb).withColumn("nb", l2_norm(F.col("embedding")))
+    emb_c = emb_s.withColumn(
+        "cell",
+        F.element_at(cell_scores(F.col("embedding"), F.col("nb")), 1)["cell"],
+    )
     q = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .withColumn("probes", F.slice(cell_scores(F.col("embedding")), 1, N_PROBE))
+        emb_s.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn(
+            "probes",
+            F.slice(cell_scores(F.col("embedding"), F.col("nb")), 1, N_PROBE),
+        )
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qe"),
+            F.col("nb").alias("nq"),
             F.explode(F.transform("probes", lambda s: s["cell"])).alias("cell"),
         )
     )
     cands = emb_c.join(broadcast(q), "cell").filter(F.col("vec_id") != F.col("query_id"))
-    cands = cands.withColumn("cos_sim", F.round(_fold_cosine(F.col("qe"), F.col("embedding")), 4))
+    cands = cands.withColumn(
+        "cos_sim",
+        F.round(dot(F.col("qe"), F.col("embedding")) / (F.col("nq") * F.col("nb")), 4),
+    )
     return (
         _partial_topk(cands, ["query_id"], [F.desc("cos_sim"), F.asc("vec_id")], TOP_K)
         .select("query_id", "rnk", F.col("vec_id").alias("neighbor_id"), "cos_sim")
@@ -482,8 +573,10 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
     cents = train_ivf_centroids(emb)
-    assigned = emb.withColumn(
-        "best", F.element_at(_cell_scores(F.col("embedding"), cents), 1)
+    embn = emb.withColumn("__nb", l2_norm(F.col("embedding")))
+    assigned = embn.withColumn(
+        "best",
+        F.element_at(_cell_scores(F.col("embedding"), cents, F.col("__nb")), 1),
     )
     inertia = assigned.agg(
         F.sum(F.lit(1.0) - F.col("best.cos")).alias("inertia"),
@@ -499,9 +592,12 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     mean_c = [(0, [float(r["m"]) for r in mean_rows])]
-    base = emb.agg(
+    base = embn.agg(
         F.sum(
-            F.lit(1.0) - F.element_at(_cell_scores(F.col("embedding"), mean_c), 1)["cos"]
+            F.lit(1.0)
+            - F.element_at(
+                _cell_scores(F.col("embedding"), mean_c, F.col("__nb")), 1
+            )["cos"]
         ).alias("inertia")
     ).collect()[0]
     return local_df(
