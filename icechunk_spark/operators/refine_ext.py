@@ -395,6 +395,65 @@ MMR_DIVERSIFY_SQL = _mmr_sql()
 # --- farthest-point sampling -------------------------------------------
 
 FPS_K = 10  # samples returned
+#: driver fast-path pool bound (the negatives_ann 65k precedent);
+#: larger pools keep the fully distributed per-round argmax
+FPS_DRIVER_CAP = 65_536
+
+
+def _fps_driver_fast_path(spark: SparkSession, pool: DataFrame):
+    """Bounded-pool FPS on the driver, bit-identical to the
+    distributed rounds (see fps_sample docstring); returns None when
+    the pool exceeds FPS_DRIVER_CAP or contains non-finite normalized
+    components (both keep the distributed path)."""
+    import numpy as np
+
+    # limit(CAP+1) either returns the whole pool or proves it exceeds
+    # the bound in one job (the BPE-trainer pattern)
+    pdf = pool.limit(FPS_DRIVER_CAP + 1).toPandas()
+    if len(pdf) > FPS_DRIVER_CAP or len(pdf) == 0:
+        return None
+    vec_ids = pdf["vec_id"].to_numpy()
+    mat = np.vstack(pdf["nv"].to_numpy()).astype(np.float64)
+    if not np.isfinite(mat).all():
+        return None
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def spark_round6(x: float) -> Decimal:
+        return Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+
+    order = np.argsort(vec_ids, kind="stable")
+    vec_ids, mat = vec_ids[order], mat[order]
+    n = len(vec_ids)
+    seed_idx = 0  # smallest vec_id
+    chosen_mask = np.zeros(n, dtype=bool)
+    chosen_mask[seed_idx] = True
+    out: list[tuple[int, int, float | None]] = [(1, int(vec_ids[seed_idx]), None)]
+    # dmin starts from the seed's distances; each later round folds in
+    # ONE new dot column.  cumsum's last element IS the strict left
+    # fold the JVM aggregate computes, and np.minimum equals F.least
+    # on finite doubles.
+    dmin = 1.0 - np.cumsum(mat * mat[seed_idx][None, :], axis=1)[:, -1]
+    for step in range(2, FPS_K + 1):
+        # tie-break on (round(d,6) DESC, vec_id ASC) over non-chosen
+        avail = ~chosen_mask
+        raw = np.where(avail, dmin, -np.inf)
+        m = raw.max()
+        # candidates whose ROUNDED value could equal the rounded max:
+        # rounding moves a double by < 1e-6, so anything below
+        # m - 2e-6 cannot win
+        cand = np.flatnonzero(raw >= m - 2e-6)
+        best_key = None
+        best_i = -1
+        for i in cand:
+            key = (spark_round6(float(dmin[i])), -int(vec_ids[i]))
+            if best_key is None or key > best_key:
+                best_key, best_i = key, int(i)
+        chosen_mask[best_i] = True
+        out.append((step, int(vec_ids[best_i]), _dround(float(dmin[best_i]), 4)))
+        if step < FPS_K:
+            dnew = 1.0 - np.cumsum(mat * mat[best_i][None, :], axis=1)[:, -1]
+            dmin = np.minimum(dmin, dnew)
+    return local_df(spark, out, "rnk int, vec_id bigint, min_dist double")
 
 
 def fps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -427,6 +486,22 @@ def fps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # r14 fast path (the BPE-trainer bounded-aggregate pattern): the
+    # K-round distributed argmax costs K sequential job floors —
+    # 3.9 s at sf0.1 for 10 rounds over a 2k-row pool.  When the pool
+    # fits the same 65k driver cap negatives_ann uses, ONE Arrow
+    # collect + a numpy/Decimal greedy reproduces the identical
+    # selection: products and the strict left-fold dot via
+    # np.cumsum (sequential by construction), min-distance via
+    # np.minimum (exact for non-NaN doubles), and the Spark tie-break
+    # round(d, 6) via Decimal HALF_UP (the repo's established F.round
+    # mirror).  Non-finite norms (a zero vector would make nv NaN/Inf
+    # and Spark's NaN ordering diverge from numpy's) fall back to the
+    # distributed rounds, as does any pool over the cap.
+    fast = _fps_driver_fast_path(spark, pool)
+    if fast is not None:
+        pool.unpersist()
+        return fast
     seed = pool.orderBy("vec_id").limit(1).collect()[0]
     chosen: list[tuple[int, list[float]]] = [
         (int(seed["vec_id"]), [float(x) for x in seed["nv"]])

@@ -151,3 +151,20 @@ def test_dround_matches_duckdb_round():
     for x, d, want in [(0.5, 0, 1.0), (1.5, 0, 2.0), (-0.5, 0, -1.0), (2.5, 0, 3.0), (0.25, 1, 0.3), (-0.25, 1, -0.3)]:
         got = con.execute(f"SELECT round(CAST({x!r} AS DOUBLE), {d})").fetchone()[0]
         assert got == want and _dround(x, d) == want, (x, d, got)
+
+
+def test_fps_driver_fast_path_equals_distributed(spark):
+    """r14: the bounded-pool driver FPS must reproduce the distributed
+    per-round argmax selection bit-for-bit (same picks, same rounded
+    min_dist) — the fast path is a protocol change, not a semantic
+    one."""
+    import icechunk_spark.operators.refine_ext as rx
+
+    fast = rx.fps_sample(spark, SF_DIR).collect()
+    orig = rx._fps_driver_fast_path
+    rx._fps_driver_fast_path = lambda *a, **k: None  # force distributed
+    try:
+        slow = rx.fps_sample(spark, SF_DIR).collect()
+    finally:
+        rx._fps_driver_fast_path = orig
+    assert [tuple(r) for r in fast] == [tuple(r) for r in slow]
