@@ -857,7 +857,42 @@ class Session:
         return decode_chunks_to_rows(
             self.spark, self.root, manifest, meta, slices,
             vcc_map=self._virtual_container_names,
+            files=self._manifest_file_list(
+                meta.node_id, slice_chunk_filter(meta, slices)
+            ),
         )
+
+    def _manifest_file_list(self, node_id, chunk_filter) -> list[str]:
+        """Distinct chunk-file relpaths that could hold payloads for a
+        read — listed from the column-pruned PRE-dedup manifest scan
+        (+ staged overlays), not the resolved manifest.  A superset is
+        harmless (decode's left join on chunk_id drops payload rows no
+        live ref points at), and skipping the latest-row-per-chunk
+        window here avoids executing the whole resolve plan a second
+        time per read just to enumerate files (r14: 2.3 s of the
+        sf0.1 roundtrip read was this hidden job)."""
+        df = mf.read_manifest_files(
+            self.spark,
+            self.root,
+            mf.prune_manifest_paths(self._base.manifests, node_id),
+        )
+        if node_id is not None:
+            df = df.filter(F.col("node_id") == node_id)
+        if chunk_filter is not None:
+            df = df.filter(chunk_filter)
+        parts = [df.select("file")]
+        staged = self._staged_manifest_df()
+        if staged is not None:
+            s = staged
+            if node_id is not None:
+                s = s.filter(F.col("node_id") == node_id)
+            if chunk_filter is not None:
+                s = s.filter(chunk_filter)
+            parts.append(s.select("file"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return [r["file"] for r in out.distinct().collect() if r["file"] is not None]
 
     def chunk_manifest_df(self, path: str | None = None) -> DataFrame:
         """The live chunk-ref manifest (optionally for one node) as a
