@@ -81,15 +81,23 @@ def _books_lit(books: list[list[tuple[int, list[float]]]]) -> Column:
 def _argmin_struct(sub: Column, codes_for_m: Column) -> Column:
     """(d2, code) of the nearest code; ties on the rounded distance
     break to the lower code id (struct ordering).  array_min, not
-    array_sort+element_at: a single pass over the K structs."""
-    scored = [
-        F.struct(
-            F.round(_l2sq(sub, F.element_at(codes_for_m, cid + 1)), 6).alias("d2"),
-            F.lit(cid).alias("code"),
-        )
-        for cid in range(PQ_K)
-    ]
-    return F.array_min(F.array(*scored))
+    array_sort+element_at: a single pass over the K structs.
+
+    r14: ONE transform over the codes array instead of K unrolled
+    element_at expressions — the old form re-embedded the codes_for_m
+    subtree (itself an element_at of the full M x K x SUB literal) K
+    times, a ~16k-literal-node expression per assignment that
+    dominated Lloyd-round planning.  The two-argument HOF lambda's
+    index IS the code id, and the per-code fold is unchanged, so the
+    (d2, code) structs are bit-identical."""
+    scored = F.transform(
+        codes_for_m,
+        lambda c, i: F.struct(
+            F.round(_l2sq(sub, c), 6).alias("d2"),
+            i.cast("int").alias("code"),
+        ),
+    )
+    return F.array_min(scored)
 
 
 def _sub_col(m: int) -> Column:
