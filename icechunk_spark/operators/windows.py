@@ -154,15 +154,27 @@ ORDER BY l_returnflag
 
 
 def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (sort-based)."""
+    """Exact interpolated percentiles per group (sort-based).
+
+    r14: both price percentiles come from ONE percentile(col, array)
+    aggregate — two scalar percentile aggs each built their own
+    value-count map over the same column (the map build is the whole
+    cost); the array form builds it once and interpolates both
+    points from the same sorted counts, bit-identical (measured
+    1.9 -> 1.3 s at sf0.1, equality pinned)."""
     t = load_tables(spark, sf_dir)
     return (
         t["lineitem"]
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
-            F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25_qty"),
+            F.expr("percentile(l_extendedprice, array(0.5D, 0.9D))").alias("pp"),
+            F.expr("percentile(l_quantity, 0.25)").alias("pq"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("pp", 1), 4).alias("p50_price"),
+            F.round(F.element_at("pp", 2), 4).alias("p90_price"),
+            F.round("pq", 4).alias("p25_qty"),
         )
         .orderBy("l_returnflag")
     )
