@@ -68,25 +68,37 @@ def _round6(col: Column) -> Column:
 def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     signs = _signs_py()
-    ys = [
-        F.aggregate(
+    # r14: the DOUT projection columns ride ONE packed sign-matrix
+    # literal and a single transform lambda instead of DOUT unrolled
+    # fold expressions (the _cell_scores/_argmin_struct lesson: the
+    # unrolled form duplicates the lambda body and its 64-literal
+    # array DOUT times, and planning dominates this byte-small op).
+    # The per-column fold is unchanged, so y is bit-identical.
+    signs_packed = F.array(
+        *[
+            F.array(*[F.lit(float(signs[i][j])) for i in range(RP_DIN)])
+            for j in range(RP_DOUT)
+        ]
+    )
+    y_col = F.transform(
+        signs_packed,
+        lambda sv: F.aggregate(
             F.zip_with(
                 "embedding",
-                F.array(*[F.lit(float(signs[i][j])) for i in range(RP_DIN)]),
+                sv,
                 lambda x, s: x.cast("double") * s,
             ),
             F.lit(0.0),
             lambda acc, t: acc + t,
-        )
-        for j in range(RP_DOUT)
-    ]
+        ),
+    )
     # norms hoisted BEFORE the pair join (computed once per row, not
     # once per pair — the knn_brute_force lesson)
     base = emb.select(
         "vec_id",
         "label",
         "embedding",
-        F.array(*ys).alias("y"),
+        y_col.alias("y"),
     )
     # persisted: BOTH sides of the self-join consume this frame and
     # its recompute is the expensive part (16 projection folds per

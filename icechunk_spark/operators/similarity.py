@@ -240,16 +240,24 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = _hyperplanes()
 
     def bucket(col: Column) -> Column:
-        bits = []
-        for p in planes:
-            w = F.array(*[F.lit(x) for x in p])
-            proj = F.aggregate(
-                F.zip_with(col, w, lambda e, ww: e.cast("double") * ww),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(proj >= 0, "1").otherwise("0"))
-        return F.concat_ws("", *bits)
+        # one packed plane literal + one transform (r14: the unrolled
+        # form duplicated the fold lambda and its 64-literal plane
+        # array N_PLANES times); per-plane fold unchanged, so the
+        # bucket string is bit-identical
+        packed = F.array(*[F.array(*[F.lit(x) for x in p]) for p in planes])
+        bits = F.transform(
+            packed,
+            lambda w: F.when(
+                F.aggregate(
+                    F.zip_with(col, w, lambda e, ww: e.cast("double") * ww),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                "1",
+            ).otherwise("0"),
+        )
+        return F.array_join(bits, "")
 
     # spread the scan BEFORE the per-row bucket folds (8 planes x dim)
     # and the pair stage: the byte-small parquet arrives as 1-2 splits
