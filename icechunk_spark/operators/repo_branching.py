@@ -42,7 +42,8 @@ def repo_branch_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(tempfile.gettempdir(), f"icb_{uuid.uuid4().hex}")
     try:
         repo = Repository.create(spark, root)
-        rev = _daily_revenue(spark, sf_dir)
+        # persist: rev feeds three write/encode actions (r14)
+        rev = _daily_revenue(spark, sf_dir).persist()
         with repo.transaction(message="v1") as s:
             s.create_array("/revenue", shape=[N_DAYS], chunk_shape=[CHUNK])
             s.write_array_df("/revenue", rev)
@@ -100,6 +101,8 @@ def repo_branch_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_conflict_cells bigint, merge_base_is_fork_point boolean",
         )
     finally:
+        if "rev" in locals():
+            rev.unpersist()
         shutil.rmtree(root, ignore_errors=True)
 
 

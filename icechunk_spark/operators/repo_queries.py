@@ -70,6 +70,8 @@ def array_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return _materialize(spark, out, "day_idx bigint, revenue double")
     finally:
+        if "rev" in locals():
+            rev.unpersist()
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -91,7 +93,10 @@ def repo_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(tempfile.gettempdir(), f"icr_{uuid.uuid4().hex}")
     try:
         repo = Repository.create(spark, root)
-        rev = _daily_revenue(spark, sf_dir)
+        # persist: rev feeds 2+ write/encode actions in this
+        # lifecycle (the repo-wide persist rule) — one lineitem
+        # aggregation per run instead of one per commit (r14)
+        rev = _daily_revenue(spark, sf_dir).persist()
         with repo.transaction(message="v1") as s:
             s.create_array("/revenue", shape=[N_DAYS], chunk_shape=[CHUNK])
             s.write_array_df("/revenue", rev)
@@ -107,6 +112,8 @@ def repo_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return _materialize(spark, out, "day_idx bigint, revenue double")
     finally:
+        if "rev" in locals():
+            rev.unpersist()
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -135,7 +142,10 @@ def repo_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(tempfile.gettempdir(), f"icr_{uuid.uuid4().hex}")
     try:
         repo = Repository.create(spark, root)
-        rev = _daily_revenue(spark, sf_dir)
+        # persist: rev feeds 2+ write/encode actions in this
+        # lifecycle (the repo-wide persist rule) — one lineitem
+        # aggregation per run instead of one per commit (r14)
+        rev = _daily_revenue(spark, sf_dir).persist()
         with repo.transaction(message="v1") as s:
             s.create_array("/revenue", shape=[N_DAYS], chunk_shape=[CHUNK])
             s.write_array_df("/revenue", rev)
@@ -158,6 +168,8 @@ def repo_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "manifests_before_compaction bigint, manifests_after_compaction bigint",
         )
     finally:
+        if "rev" in locals():
+            rev.unpersist()
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -185,7 +197,10 @@ def repo_changed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(tempfile.gettempdir(), f"icr_{uuid.uuid4().hex}")
     try:
         repo = Repository.create(spark, root)
-        rev = _daily_revenue(spark, sf_dir)
+        # persist: rev feeds 2+ write/encode actions in this
+        # lifecycle (the repo-wide persist rule) — one lineitem
+        # aggregation per run instead of one per commit (r14)
+        rev = _daily_revenue(spark, sf_dir).persist()
         with repo.transaction(message="v1") as s:
             s.create_array("/revenue", shape=[N_DAYS], chunk_shape=[CHUNK])
             s.write_array_df("/revenue", rev)
@@ -219,6 +234,8 @@ def repo_changed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, out, "day_idx bigint, old_revenue double, new_revenue double"
         )
     finally:
+        if "rev" in locals():
+            rev.unpersist()
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -249,7 +266,10 @@ def array_store_roundtrip_distributed(spark: SparkSession, sf_dir: str) -> DataF
     root = os.path.join(tempfile.gettempdir(), f"icr_{uuid.uuid4().hex}")
     try:
         repo = Repository.create(spark, root)
-        rev = _daily_revenue(spark, sf_dir)
+        # persist: rev feeds 2+ write/encode actions in this
+        # lifecycle (the repo-wide persist rule) — one lineitem
+        # aggregation per run instead of one per commit (r14)
+        rev = _daily_revenue(spark, sf_dir).persist()
         with repo.transaction(message="distributed daily revenue") as s:
             s.create_array("/revenue", shape=[N_DAYS], chunk_shape=[CHUNK])
             forks = [s.fork() for _ in range(4)]
@@ -271,6 +291,8 @@ def array_store_roundtrip_distributed(spark: SparkSession, sf_dir: str) -> DataF
         )
         return _materialize(spark, out, "day_idx bigint, revenue double")
     finally:
+        if "rev" in locals():
+            rev.unpersist()
         shutil.rmtree(root, ignore_errors=True)
 
 
@@ -299,7 +321,10 @@ def repo_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(tempfile.gettempdir(), f"icr_{uuid.uuid4().hex}")
     try:
         repo = Repository.create(spark, root)
-        rev = _daily_revenue(spark, sf_dir)
+        # persist: rev feeds 2+ write/encode actions in this
+        # lifecycle (the repo-wide persist rule) — one lineitem
+        # aggregation per run instead of one per commit (r14)
+        rev = _daily_revenue(spark, sf_dir).persist()
         with repo.transaction(message="v1") as s:
             s.create_array("/revenue", shape=[N_DAYS], chunk_shape=[CHUNK])
             s.write_array_df("/revenue", rev)
@@ -331,6 +356,8 @@ def repo_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return _materialize(spark, out, "commit_seq bigint, op string, n_chunks bigint")
     finally:
+        if "rev" in locals():
+            rev.unpersist()
         shutil.rmtree(root, ignore_errors=True)
 
 
