@@ -33,6 +33,14 @@ from icechunk_spark.functions import (
     l2_norm,
     money_avg,
 )
+from icechunk_spark.operators.pairblocks import (
+    PAIR_FAST_MIN_ROWS,
+    PAIRWISE_KERNEL_SCHEMA,
+    block_pair_tasks,
+    emb_rows,
+    packed_blocks,
+    pairwise_topk_kernel,
+)
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -146,11 +154,26 @@ def pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     PAIRWISE_LABEL_CAP vec_ids (deterministic, mirrored in the oracle),
     bounding the join at labels * CAP^2/2 pairs regardless of table
     size.  For unbounded cohorts use embedding_neardup's banded
-    sign-LSH candidates and re-rank."""
+    sign-LSH candidates and re-rank.
+
+    Two value-identical forms (equality pinned in
+    tests/test_pairblocks.py), dispatched on pool size: the JVM pair
+    join below for small pools, pairblocks' blocked numpy pass at
+    scale — the kernel only PRE-SELECTS candidate pairs (per-task
+    rounded-top-3 coverage with a margin wider than round-4 can move
+    a value) and the JVM re-ranks them with the original
+    F.round/window expressions, so no ordering or rounding semantics
+    leave Spark."""
     t = load_tables(spark, sf_dir)
+    if emb_rows(t["embeddings"], sf_dir) >= PAIR_FAST_MIN_ROWS:
+        return _pairwise_topk_blocked(t["embeddings"])
+    return _pairwise_topk_join(spark, t["embeddings"])
+
+
+def _pairwise_topk_join(spark: SparkSession, embeddings: DataFrame) -> DataFrame:
     wcap = Window.partitionBy("label").orderBy("vec_id")
     emb = (
-        t["embeddings"]
+        embeddings
         .withColumn("__r", F.row_number().over(wcap))
         .filter(F.col("__r") <= PAIRWISE_LABEL_CAP)
         .drop("__r")
@@ -187,6 +210,26 @@ def pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _partial_topk(
             pairs, ["label"], [F.desc("cos_sim"), F.asc("vec_a"), F.asc("vec_b")], 3
         )
+        .select("label", "rnk", "vec_a", "vec_b", "cos_sim")
+        .orderBy("label", "rnk")
+    )
+
+
+def _pairwise_topk_blocked(embeddings: DataFrame) -> DataFrame:
+    """Blocked numpy pair pass + JVM re-rank.  The kernel's candidate
+    set provably contains every pair the rounded-top-3 can select
+    (pairblocks docstring), and row_number over a superset assigns the
+    same ranks 1..3 to the same rows, so this is value-identical to
+    the join form."""
+    tasks = block_pair_tasks(packed_blocks(embeddings, cap=PAIRWISE_LABEL_CAP))
+    cand = tasks.mapInPandas(pairwise_topk_kernel, PAIRWISE_KERNEL_SCHEMA)
+    wfin = Window.partitionBy("label").orderBy(
+        F.desc("cos_sim"), F.asc("vec_a"), F.asc("vec_b")
+    )
+    return (
+        cand.withColumn("cos_sim", F.round(F.col("cos_raw"), 4))
+        .withColumn("rnk", F.row_number().over(wfin).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
         .select("label", "rnk", "vec_a", "vec_b", "cos_sim")
         .orderBy("label", "rnk")
     )
