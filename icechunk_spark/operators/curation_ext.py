@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from icechunk_spark.catalog import load_tables
-from icechunk_spark.functions import tokenize
+from icechunk_spark.functions import ensure_min_partitions, tokenize
 from icechunk_spark.operators.textquality import _grams_col
 
 WIN_K = 4  # gram length for winnowing
@@ -275,20 +275,22 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning; only d² aggregated cells ever reach the driver.
     This is the building block for PCA whitening / decorrelation
     diagnostics over embedding columns."""
-    emb = load_tables(spark, sf_dir)["embeddings"]
+    # r14 2nd pass (guide §2.5): the scan is byte-small (1-2 splits)
+    # and everything downstream — the d-row marginal aggregate AND the
+    # N·d(d+1)/2-term product aggregation — inherited that
+    # partitioning, so the heavy stage ran nearly single-task
+    # (measured 5.5-6.5 s for the product agg alone; spread: ~1 s).
+    emb = ensure_min_partitions(load_tables(spark, sf_dir)["embeddings"])
     comps = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "x")
     ).select("vec_id", "i", F.col("x").cast("double").alias("x"))
-    # r14 optimization (guide §1/§2.3): the cost of this operator is
-    # the DECIMAL machinery, not the join — the double-sum twin of the
-    # original 3-sums-per-cell pipeline runs 2.6 s where the original
-    # runs 14-16 s at sf0.1.  Whenever every vector has the same
-    # length and no NULL components (the normal embedding-table
-    # shape), the per-cell marginals are per-INDEX constants:
-    # sx(i,j) = S(i), sy(i,j) = S(j), n(i,j) = N — so one d-row
-    # marginal aggregate replaces 2/3 of the per-pair decimal
-    # casts+adds, and the per-cell count drops entirely.  Decimal sums
-    # are order-independent and exact, so the derived cells are
+    # r14 optimization (guide §1/§2.3): under uniform vector length
+    # with no NULL components (the normal embedding-table shape), the
+    # per-cell marginals are per-INDEX constants: sx(i,j) = S(i),
+    # sy(i,j) = S(j), n(i,j) = N — so one d-row marginal aggregate
+    # replaces 2/3 of the per-pair decimal casts+adds, and the
+    # per-cell count drops entirely.  Decimal sums are
+    # order-independent and exact, so the derived cells are
     # bit-identical to the original's; ragged or NULL-holed inputs
     # fall back to the original full per-cell aggregation.
     marg_rows = (
@@ -317,16 +319,31 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         mi = broadcast(local_df(spark, means, "idx int, m double"))
         mj = broadcast(local_df(spark, means, "idx int, m double"))
-        prod = (
-            comps.alias("a")
-            .join(comps.alias("b"), on="vec_id")
-            .filter(F.col("a.i") <= F.col("b.i"))
-            .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-            .agg(
-                F.sum((F.col("a.x") * F.col("b.x")).cast("decimal(30,12)")).alias(
-                    "sxy"
+        # r14 2nd pass: generate the upper-triangle product terms with
+        # one flatten(transform²) over each row's array instead of the
+        # comps self-join — the join built d² joined rows per vector
+        # and discarded half at the i<=j filter (8.3 M rows at sf0.1,
+        # 819 M at sf10).  embedding[i] is 0-based, cast chain
+        # double·double → decimal(30,12) identical, so every term —
+        # and the exact decimal sum — is unchanged (A/B'd
+        # value-identical; tri vs spread join: 0.85 vs 1.0 s).
+        # size>0 filter: a zero-length array produced no join rows;
+        # sequence(0,-1) would DESCEND and index out of range.
+        tri = emb.filter(F.size("embedding") > 0).select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(embedding)-1), i ->"
+                    " transform(sequence(i, size(embedding)-1), j ->"
+                    " struct(i AS i, j AS j,"
+                    " CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)"
+                    " AS decimal(30,12)) AS p))))"
                 )
-            )
+            ).alias("t")
+        )
+        prod = (
+            tri.select("t.i", "t.j", "t.p")
+            .groupBy("i", "j")
+            .agg(F.sum("p").alias("sxy"))
         )
         return (
             prod.join(mi, prod["i"] == mi["idx"])
