@@ -153,19 +153,77 @@ ORDER BY l_returnflag
 """
 
 
-def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (sort-based).
+# Two-phase dispatch: below this (footer row count) the single
+# percentile() aggregate wins — its whole cost is one pass + one
+# per-group map merge, and the two-phase form pays ~4 extra exchanges
+# of fixed cost.  Above it the per-group value-count maps become the
+# bottleneck: the final merge deserializes every partial map into
+# n_groups tasks (3 here), memory grows with DISTINCT values per
+# group, and the two-phase form's window only ever sees distinct
+# values.  Measured ladder (interleaved min-of-3 per point): 600 k
+# rows agg 1.6-2.1 s vs twophase 2.2-2.9 s; 6 M agg wins 3.7 vs
+# 4.4 s; 18 M twophase wins 3.6 vs 4.9 s; 60 M twophase wins 4.7 vs
+# 8.8 s (1.9x, growing with volume) — the crossover sits in 6-18 M.
+PCTL_TWOPHASE_MIN_ROWS = 8_000_000
 
-    r14: both price percentiles come from ONE percentile(col, array)
-    aggregate — two scalar percentile aggs each built their own
-    value-count map over the same column (the map build is the whole
-    cost); the array form builds it once and interpolates both
-    points from the same sorted counts, bit-identical (measured
-    1.9 -> 1.3 s at sf0.1, equality pinned)."""
-    t = load_tables(spark, sf_dir)
+
+def _group_percentiles(df, key: str, col: str, ps, names) -> DataFrame:
+    """Per-key exact interpolated percentiles, two-phase: (key, value)
+    counts (codegen HashAggregate, map-side combine), cumulative +
+    total windows over the DISTINCT values only, then a per-key
+    aggregate picks the covering rows for each index and interpolates
+    with Spark's own weighted form (kh-pos)·lo + (pos-kl)·hi — the
+    empirically bit-exact percentile() arithmetic (60/60 random
+    bitwise trials; the lower+frac form differs in 19/60).  Exactly
+    one distinct-value row covers each 0-based index [cum-cnt, cum),
+    so the max() aggregates are pure row-picks."""
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(key, col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy(key)
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(key)
+    cum = counts.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    aggs = [F.max("n").alias("n")]
+    for p, nm in zip(ps, names):
+        pos = F.lit(p) * (F.col("n") - 1).cast("double")
+        kl, kh = F.floor(pos), F.ceil(pos)
+
+        def covers(k):
+            return (F.col("cum") - F.col("cnt") <= k) & (k < F.col("cum"))
+
+        cum = cum.withColumn(f"__lo_{nm}", F.when(covers(kl), F.col(col)))
+        cum = cum.withColumn(f"__hi_{nm}", F.when(covers(kh), F.col(col)))
+        aggs += [
+            F.max(f"__lo_{nm}").alias(f"lo_{nm}"),
+            F.max(f"__hi_{nm}").alias(f"hi_{nm}"),
+        ]
+    g = cum.groupBy(key).agg(*aggs)
+    out = [F.col(key)]
+    for p, nm in zip(ps, names):
+        pos = F.lit(p) * (F.col("n") - 1).cast("double")
+        kl, kh = F.floor(pos), F.ceil(pos)
+        out.append(
+            F.when(kl == kh, F.col(f"lo_{nm}").cast("double"))
+            .otherwise(
+                (kh.cast("double") - pos) * F.col(f"lo_{nm}").cast("double")
+                + (pos - kl.cast("double")) * F.col(f"hi_{nm}").cast("double")
+            )
+            .alias(nm)
+        )
+    return g.select(*out)
+
+
+def _percentiles_agg(li: DataFrame) -> DataFrame:
     return (
-        t["lineitem"]
-        .groupBy("l_returnflag")
+        li.groupBy("l_returnflag")
         .agg(
             F.expr("percentile(l_extendedprice, array(0.5D, 0.9D))").alias("pp"),
             F.expr("percentile(l_quantity, 0.25)").alias("pq"),
@@ -178,6 +236,56 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def _percentiles_twophase(li: DataFrame) -> DataFrame:
+    price = _group_percentiles(
+        li, "l_returnflag", "l_extendedprice", [0.5, 0.9], ["p50_price", "p90_price"]
+    )
+    qty = _group_percentiles(li, "l_returnflag", "l_quantity", [0.25], ["p25_qty"])
+    return (
+        price.join(qty, "l_returnflag", "full")
+        .select(
+            "l_returnflag",
+            F.round("p50_price", 4).alias("p50_price"),
+            F.round("p90_price", 4).alias("p90_price"),
+            F.round("p25_qty", 4).alias("p25_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (sort-based).
+
+    r14: both price percentiles come from ONE percentile(col, array)
+    aggregate — two scalar percentile aggs each built their own
+    value-count map over the same column (the map build is the whole
+    cost); the array form builds it once and interpolates both
+    points from the same sorted counts, bit-identical (measured
+    1.9 -> 1.3 s at sf0.1, equality pinned).
+
+    r14 2nd pass: above PCTL_TWOPHASE_MIN_ROWS the per-group
+    value-count maps (ObjectHashAggregate; the final merge
+    deserializes every partial map into n_groups tasks) give way to
+    the counts+window two-phase form — value-identical bit-for-bit
+    (tests/test_percentiles_twophase.py)."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    import pyarrow.parquet as pq
+
+    from icechunk_spark.catalog import table_parquet_files
+
+    try:
+        n = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in table_parquet_files(sf_dir, "lineitem")
+        )
+    except Exception:
+        n = 0
+    if n >= PCTL_TWOPHASE_MIN_ROWS:
+        return _percentiles_twophase(li)
+    return _percentiles_agg(li)
 
 
 PERCENTILES_SQL = """
