@@ -104,11 +104,112 @@ def _sub_col(m: int) -> Column:
     return F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
 
 
+def _seed_pad(books: list[list[tuple[int, list[float]]]]) -> None:
+    """Shared seed post-processing (both training paths): sort by
+    code id, reject empty input, cycle-pad short codebooks to PQ_K
+    (a duplicated centroid has the same d2 but a higher code id, so
+    it loses every argmin tie, and Lloyd keeps an empty code's
+    previous vector)."""
+    for b in books:
+        b.sort()
+        if not b:
+            raise ValueError("pq: empty embeddings input — cannot train codebooks")
+        n_seed = len(b)
+        while len(b) < PQ_K:
+            b.append((len(b), b[len(b) % n_seed][1]))
+
+
+# The bounded collect either returns the whole training frame or
+# proves it exceeds the bound in one job (BPE-trainer pattern).  The
+# md5 sample targets PQ_TRAIN_CAP rows in expectation; 2x covers any
+# plausible overshoot, and past it the distributed rounds run anyway.
+_PQ_DRIVER_BOUND = 2 * PQ_TRAIN_CAP
+
+
+def _train_driver_fast_path(train: DataFrame):
+    """numpy mirror of the distributed seeds+Lloyd when the (already
+    definitionally bounded) training frame fits a driver collect:
+
+    - seeds: md5(f"{m}_{vec_id}") hexdigest ranked by (hex, vec_id)
+      per m IS the Window orderBy("__r", "vec_id") — hex strings
+      compare lexicographically on both sides;
+    - assignment: the per-dimension loop accumulates exactly the JVM
+      left fold ((0+t1)+t2)+... of (x-c)^2 — d2 is bit-identical
+      pre-round; np.round(·,6) + np.argmin (first minimum = lowest
+      code id) mirrors F.round + the (d2, code) struct array_min,
+      the same precedent test_pq.py pins for _np_encode;
+    - means: per-(m, code, pos) float64 mean.  Spark's F.avg is a
+      partial-sum whose order depends on partitioning — the
+      distributed path is itself only ulp-deterministic, and the
+      operator's declared output is invariant booleans with wide
+      margins by design, so both paths satisfy the same contract
+      (the fast path is additionally run-to-run deterministic).
+
+    Returns None (caller falls through to the distributed rounds)
+    when the bound is exceeded or any value is non-finite (JVM NaN
+    ordering differs from np.argmin's NaN propagation)."""
+    import hashlib
+
+    import numpy as np
+
+    pdf = train.select("vec_id", "embedding").limit(_PQ_DRIVER_BOUND + 1).toPandas()
+    if len(pdf) > _PQ_DRIVER_BOUND:
+        return None
+    if len(pdf) == 0:
+        raise ValueError("pq: empty embeddings input — cannot train codebooks")
+    e = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    if not np.isfinite(e).all():
+        return None
+    vid = pdf["vec_id"].to_numpy()
+
+    books: list[list[tuple[int, list[float]]]] = []
+    for m in range(PQ_M):
+        keys = sorted(
+            range(len(vid)),
+            key=lambda i: (hashlib.md5(f"{m}_{vid[i]}".encode()).hexdigest(), vid[i]),
+        )[:PQ_K]
+        books.append(
+            [
+                (rk, [float(x) for x in e[i, m * PQ_SUB : (m + 1) * PQ_SUB]])
+                for rk, i in enumerate(keys)
+            ]
+        )
+    _seed_pad(books)
+
+    for _ in range(PQ_LLOYD):
+        for m in range(PQ_M):
+            s = e[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+            cents = np.array([c for _, c in books[m]])
+            acc = np.zeros((len(vid), len(cents)))
+            for j in range(PQ_SUB):
+                t = s[:, j][:, None] - cents[None, :, j]
+                acc += t * t
+            code = np.argmin(np.round(acc, 6), axis=1)
+            books[m] = [
+                (
+                    cid,
+                    [float(x) for x in s[code == cid].mean(axis=0)]
+                    if (code == cid).any()
+                    else old,
+                )
+                for cid, old in books[m]
+            ]
+    return books
+
+
 def train_pq_codebooks(emb: DataFrame) -> list[list[tuple[int, list[float]]]]:
     """All M codebooks trained jointly over the exploded
     (vec_id, m, sub) frame: per Lloyd round exactly one assignment +
     one mean-update aggregation, whatever M is.  Deterministic
-    md5-spread seeds; empty codes keep their previous vector."""
+    md5-spread seeds; empty codes keep their previous vector.
+
+    r14 2nd pass: the training input is bounded BY CONSTRUCTION (the
+    md5 sample caps it at ~PQ_TRAIN_CAP vectors), so the whole
+    seeds+Lloyd stage runs driver-side in numpy when one bounded
+    Arrow collect fits (_train_driver_fast_path, the fps_sample /
+    BPE-trainer pattern) — the distributed rounds (a window collect
+    plus PQ_LLOYD assignment+mean jobs over the persisted sub frame)
+    remain the >bound / non-finite fallback."""
     # deterministic md5-bucketed training sample: keep rows whose
     # 32-bit md5 prefix falls under CAP/n of the hash space — a plain
     # distributed filter that preserves partitioning.  NOT an
@@ -129,6 +230,9 @@ def train_pq_codebooks(emb: DataFrame) -> list[list[tuple[int, list[float]]]]:
         )
     else:
         train = emb
+    fast = _train_driver_fast_path(train)
+    if fast is not None:
+        return fast
     sub = train.select(
         "vec_id",
         F.explode(
@@ -156,18 +260,7 @@ def train_pq_codebooks(emb: DataFrame) -> list[list[tuple[int, list[float]]]]:
     books: list[list[tuple[int, list[float]]]] = [[] for _ in range(PQ_M)]
     for r in seeds:
         books[r["m"]].append((r["rk"] - 1, [float(x) for x in r["sub"]]))
-    for b in books:
-        b.sort()
-        if not b:
-            raise ValueError("pq: empty embeddings input — cannot train codebooks")
-        # tiny inputs can yield fewer than PQ_K seed rows; pad by
-        # cycling the existing seeds so element_at(codes, 1..K) never
-        # probes past the end (a duplicated centroid has the same d2
-        # but a higher code id, so it loses every argmin tie, and
-        # Lloyd keeps an empty code's previous vector)
-        n_seed = len(b)
-        while len(b) < PQ_K:
-            b.append((len(b), b[len(b) % n_seed][1]))
+    _seed_pad(books)
     for _ in range(PQ_LLOYD):
         lit = _books_lit(books)
         assigned = sub.withColumn(

@@ -118,3 +118,65 @@ def test_numpy_encode_matches_jvm_argmin(spark, books):
     jvm_codes = {r["vec_id"]: [r[f"c{m}"] for m in range(PQ_M)] for r in jvm}
     for i, r in enumerate(rows):
         assert list(codes[i]) == jvm_codes[r["vec_id"]], r["vec_id"]
+
+
+def _force_distributed(monkeypatch):
+    import icechunk_spark.operators.pq as pqmod
+
+    monkeypatch.setattr(pqmod, "_train_driver_fast_path", lambda *a, **k: None)
+
+
+def test_driver_fast_path_seeds_exactly_equal_distributed(spark, monkeypatch):
+    """With zero Lloyd rounds the books ARE the seeds — no avg is
+    involved, so the fast path must equal the distributed window form
+    EXACTLY (same code ids, bit-identical vectors).  Pins the md5 /
+    (hex, vec_id) ranking mirror."""
+    import icechunk_spark.operators.pq as pqmod
+
+    monkeypatch.setattr(pqmod, "PQ_LLOYD", 0)
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    fast = pqmod.train_pq_codebooks(emb)
+    _force_distributed(monkeypatch)
+    dist = pqmod.train_pq_codebooks(emb)
+    assert fast == dist
+
+
+def test_driver_fast_path_books_match_distributed(spark, monkeypatch):
+    """Full Lloyd: assignment is bit-identical (same left-fold d2),
+    means differ only by float summation order (F.avg partial order
+    vs numpy) — books must agree to ulp-level tolerance and the
+    operator's invariant row must be IDENTICAL on both paths."""
+    import numpy as np
+
+    import icechunk_spark.operators.pq as pqmod
+
+    emb = load_tables(spark, SF_DIR)["embeddings"]
+    fast = pqmod.train_pq_codebooks(emb)
+    fast_row = pq_quantize(spark, SF_DIR).collect()
+    _force_distributed(monkeypatch)
+    dist = pqmod.train_pq_codebooks(emb)
+    dist_row = pq_quantize(spark, SF_DIR).collect()
+    for m in range(PQ_M):
+        assert [cid for cid, _ in fast[m]] == [cid for cid, _ in dist[m]]
+        np.testing.assert_allclose(
+            np.array([c for _, c in fast[m]]),
+            np.array([c for _, c in dist[m]]),
+            rtol=1e-12,
+            atol=1e-12,
+        )
+    assert [tuple(r) for r in fast_row] == [tuple(r) for r in dist_row]
+
+
+def test_driver_fast_path_tiny_and_empty(spark, monkeypatch):
+    """The fast path owns the bounded collect now: tiny inputs pad to
+    PQ_K through the shared _seed_pad and empty inputs raise the same
+    error the distributed path raised."""
+    import icechunk_spark.operators.pq as pqmod
+
+    tiny = load_tables(spark, SF_DIR)["embeddings"].orderBy("vec_id").limit(3)
+    books = pqmod.train_pq_codebooks(tiny)
+    for codes in books:
+        assert [cid for cid, _ in codes] == list(range(PQ_K))
+    empty = load_tables(spark, SF_DIR)["embeddings"].filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty embeddings"):
+        pqmod.train_pq_codebooks(empty)
