@@ -353,39 +353,36 @@ ORDER BY doc_a, doc_b
 
 # --- duplicate clustering (connected components) -------------------------
 
-def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clusters: connected components over the MinHash-LSH
-    pair graph — every document labeled with the smallest doc_id it
-    can reach (its cluster id); singletons label themselves.
+# Above this many documents (parquet-footer count, no job; the
+# pairblocks dispatch pattern) the min-label rounds iterate over the
+# PAIR-GRAPH NODES only and singletons attach once at the end — each
+# round then shuffles O(dup-graph) label rows instead of O(corpus).
+# Below it the all-docs form wins: the final attach join costs more
+# than the tiny rounds save.  Measured (tools/ab_dedup_cluster.py
+# whole-op + tools/ab_cluster_rounds.py component, min-of-N): 5k docs
+# all-docs wins 3.43 vs 3.68 s; 50k all-docs 6.67 vs 7.16 s; 500k TIE
+# (whole-op 25.7 vs 25.2, rounds 1.51 vs 1.66 s); 5M docs subgraph
+# wins the rounds 2.3x (9.09 vs 4.02 s min, 3/4 trials head-to-head).
+# Threshold between the measured tie and the measured win; full data
+# in OPTIMIZATION_r14.md.
+DEDUP_SUBGRAPH_MIN_DOCS = 1_000_000
 
-    Iterative min-label propagation: each round is one join + one
-    groupBy-min, both shuffling only (doc_id, label) pairs, so a round
-    costs O(edges) regardless of cluster shape; rounds needed = graph
-    diameter (near-dup graphs are shallow).  The driver sees only the
-    per-round convergence count, never the labels."""
-    pairs = minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    # symmetrize by exploding both directions from each pair row — a
-    # union of two projections of `pairs` would run the whole LSH
-    # candidate+verify pipeline once PER BRANCH (AQE compiles union
-    # branches as separate query stages, no exchange reuse; the
-    # ngram_containment lesson)
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
-                    F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
-                )
-            ).alias("e")
-        )
-        .select("e.*")
-        .persist()
-    )
-    t = load_tables(spark, sf_dir)
-    labels = t["documents"].select(
-        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
-    ).persist()
-    cached = labels  # the persisted frame backing the current labels
+
+def _docs_rows(docs: DataFrame, sf_dir: str) -> int:
+    """Documents row count for the dispatch: free footer read; zero
+    (nested layout lists no files) is unknown → one Spark count, so
+    the dispatch never misreads a big table as small."""
+    from icechunk_spark.operators.negatives_ann import _table_rows_from_footer
+
+    n = _table_rows_from_footer(sf_dir, "documents")
+    return n if n > 0 else docs.count()
+
+
+def _min_label_propagate(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Min-label propagation rounds shared by both dedup_cluster
+    paths.  ``labels`` seeds (doc_id, cluster_id=doc_id); duplicate
+    seed rows are fine (round-1 groupBy dedups; min unaffected)."""
+    cached = labels  # the (possibly) persisted frame backing labels
     for _ in range(64):  # bound: diameter of the near-dup graph
         prop = edges.join(labels, edges.src == labels.doc_id).select(
             F.col("dst").alias("doc_id"), F.col("cluster_id"), F.lit(False).alias("own")
@@ -410,8 +407,65 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = agg.select("doc_id", "cluster_id")
         if changed == 0:
             break
+    return labels
+
+
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the MinHash-LSH
+    pair graph — every document labeled with the smallest doc_id it
+    can reach (its cluster id); singletons label themselves.
+
+    Iterative min-label propagation: each round is one join + one
+    groupBy-min, both shuffling only (doc_id, label) pairs, so a round
+    costs O(edges) regardless of cluster shape; rounds needed = graph
+    diameter (near-dup graphs are shallow).  The driver sees only the
+    per-round convergence count, never the labels.
+
+    At >= DEDUP_SUBGRAPH_MIN_DOCS documents the rounds run over the
+    pair-graph nodes only (seeded from the edge endpoints) and the
+    corpus attaches once at the end via a left join + coalesce —
+    identical labels (propagation never changes a singleton's label,
+    so excluding singletons from the rounds is value-neutral), but
+    each round's shuffle scales with the dup graph, not the corpus."""
+    pairs = minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # symmetrize by exploding both directions from each pair row — a
+    # union of two projections of `pairs` would run the whole LSH
+    # candidate+verify pipeline once PER BRANCH (AQE compiles union
+    # branches as separate query stages, no exchange reuse; the
+    # ngram_containment lesson)
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+                    F.struct(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
+        .persist()
+    )
+    t = load_tables(spark, sf_dir)
+    if _docs_rows(t["documents"], sf_dir) >= DEDUP_SUBGRAPH_MIN_DOCS:
+        # every pair-graph node appears as src after symmetrization;
+        # duplicate seeds collapse in round 1's groupBy
+        seed = edges.select(F.col("src").alias("doc_id"), F.col("src").alias("cluster_id"))
+        labels = _min_label_propagate(edges, seed)
+        out = (
+            t["documents"]
+            .select("doc_id")
+            .join(labels, "doc_id", "left")
+            .select(
+                "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+            )
+        )
+    else:
+        seed = t["documents"].select(
+            F.col("doc_id"), F.col("doc_id").alias("cluster_id")
+        ).persist()
+        out = _min_label_propagate(edges, seed)
     edges.unpersist()
-    return labels.select("doc_id", "cluster_id").orderBy("doc_id")
+    return out.select("doc_id", "cluster_id").orderBy("doc_id")
 
 
 DEDUP_CLUSTER_SQL = f"""
