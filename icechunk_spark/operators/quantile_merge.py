@@ -128,45 +128,66 @@ def quantiles_over_sketch(
     a finally block (ADVICE r11: the lazy-return version leaked the
     cache in long-lived sessions); the ≤len(pcts)-row result comes
     back as a driver-local frame."""
+    from pyspark.sql import Row
+
     from icechunk_spark.engine import local_df
 
     spark = daily.sparkSession
     daily = daily.persist()
     try:
-        # merge WITHOUT rescanning events: bin-count addition
+        # merge WITHOUT rescanning events: bin-count addition.  The
+        # merged frame is <= B rows, so the cumulative count, the
+        # grand total n (a window total over the same tiny frame) and
+        # ALL pct picks fit in ONE aggregation — the previous shape
+        # built one crossJoin+filter+agg pipeline PER pct plus a
+        # separate mixed count_distinct agg, ~6 extra tiny jobs of
+        # pure floor (2.6 -> 1.1 s at sf0.1; values bit-identical:
+        # min(bin | cum >= ceil(pct*n/100)) is the same integer
+        # algebra, n = sum over merged == sum over daily)
         merged = daily.groupBy("bin").agg(F.sum("cnt").cast("bigint").alias("cnt"))
-        stats = daily.agg(
-            F.sum("cnt").cast("bigint").alias("n"),
-            F.count_distinct("day").alias("n_days"),
-        )
-        cum = merged.withColumn(
-            "cum",
-            F.sum("cnt").over(
-                Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-            ),
-        )
-        picks = None
-        for pct in pcts:
-            p = (
-                cum.crossJoin(stats)
-                .filter(F.col("cum") >= F.expr(f"({pct} * n + 99) div 100"))
-                .agg(F.min("bin").alias("bin"))
-                .select(F.lit(pct).alias("pct"), "bin")
+        cum = merged.select(
+            "bin",
+            F.sum("cnt")
+            .over(Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum"),
+            F.sum("cnt")
+            .over(
+                Window.orderBy("bin").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
             )
-            picks = p if picks is None else picks.unionByName(p)
-        rows = (
-            picks.crossJoin(stats)
-            .select(
-                "pct",
-                (
-                    (F.col("bin") * width + F.lit(lo)).cast("double") / F.lit(100.0)
-                ).alias("est_value"),
-                "n",
-                "n_days",
-            )
-            .orderBy("pct")
-            .collect()
+            .cast("bigint")
+            .alias("n"),
         )
+        pick = cum.agg(
+            F.max("n").alias("n"),
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr(f"({pct} * n + 99) div 100"),
+                        F.col("bin"),
+                    )
+                ).alias(f"b{pct}")
+                for pct in pcts
+            ],
+        ).first()
+        n_days = daily.agg(F.count_distinct("day").alias("n_days")).first()["n_days"]
+        # est_value mirrors the Spark expression cast((bin*width+lo)
+        # as double)/100.0 exactly: ints < 2^53 convert to double
+        # losslessly and the single double division is IEEE-identical
+        rows = [
+            Row(
+                pct=pct,
+                est_value=(
+                    float(pick[f"b{pct}"] * width + lo) / 100.0
+                    if pick[f"b{pct}"] is not None
+                    else None
+                ),
+                n=pick["n"],
+                n_days=n_days,
+            )
+            for pct in sorted(pcts)
+        ]
     finally:
         daily.unpersist()
     return local_df(
