@@ -180,11 +180,27 @@ ORDER BY c_nationkey
 
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join drained with availableNow; the
-    bounded replay arrives in one batch, so no row falls behind the
-    watermark and the result equals the batch interval join."""
+    reader is UNTHROTTLED so the bounded replay genuinely arrives in
+    one batch — no row falls behind the watermark and the result
+    equals the batch interval join AT EVERY LAYOUT.  (r14: the default
+    one-file-per-trigger throttle only satisfied that contract for
+    single-file sources; over a multi-file directory the part files
+    arrive in mod-time order, not event-time order, so the watermark
+    advanced past most rows and the join silently dropped them as late
+    — measured at sf10: 245 of the batch answer's 37 100 rows, in 33
+    micro-batches costing 172 s; unthrottled returns all 37 100 in one
+    batch, 11 s.  The stream_zscore_alerts precedent, same reason.)
+
+    State partitions are volume-derived (scaled_state_partitions): a
+    stream-stream join holds four state stores per shuffle partition,
+    each with a fixed per-batch commit cost that dominates small
+    drains (measured ~linear in partition count at sf0.1)."""
+    from icechunk_spark.streaming.events import _stream_dir, scaled_state_partitions
+
     name = f"ssj_{uuid.uuid4().hex[:8]}"
-    ev = read_event_stream(spark, sf_dir)
-    run_to_memory(purchase_click_join_stream(ev), name)
+    ev = read_event_stream(spark, sf_dir, max_files_per_trigger=None)
+    with scaled_state_partitions(spark, _stream_dir(sf_dir)):
+        run_to_memory(purchase_click_join_stream(ev), name)
     return spark.table(name).orderBy("purchase_id", "click_id")
 
 

@@ -13,6 +13,7 @@ bound the state store size regardless of stream length.
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import os
 import tempfile
@@ -21,6 +22,54 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from icechunk_spark.functions import money_sum
+
+#: Stream bytes per state-store partition for stateful drains.  Every
+#: stateful operator instantiates one state store PER SHUFFLE PARTITION
+#: per operator instance (a stream-stream join holds FOUR per
+#: partition), and each store pays a fixed load+commit cost per
+#: micro-batch that is independent of the rows it holds (measured r14:
+#: the sf0.1 interval-join drain is ~linear in the partition count —
+#: 48.5 / 10.7 / 4.1 s at 32 / 8 / 2 partitions under equal load,
+#: while at sf10 volume 8 vs 32 partitions is a tie, 10.7 vs 11.4 s).
+#: Deriving the state partition count from the stream's input bytes —
+#: floored at 2 (stay distributed), capped at the session's configured
+#: shuffle parallelism (the knob a production deployment sizes for its
+#: cluster; at 100 TB the cap is what rules) — removes the fixed floor
+#: at small volume without touching the scale shape.  Env-overridable
+#: like every scale-dependent setting in this repo.
+STREAM_STATE_TARGET_BYTES = int(
+    os.environ.get("ICS_STREAM_STATE_TARGET_BYTES", str(32 << 20))
+)
+
+
+def _dir_file_bytes(d: str) -> int:
+    """Total bytes of the files under a (possibly remote) stream dir."""
+    from pyarrow import fs as pafs
+
+    from icechunk_spark.repo.fsio import _fs_path
+
+    fs, p = _fs_path(d)
+    infos = fs.get_file_info(pafs.FileSelector(p, recursive=True))
+    return sum(i.size or 0 for i in infos if i.type == pafs.FileType.File)
+
+
+@contextlib.contextmanager
+def scaled_state_partitions(spark: SparkSession, stream_dir: str):
+    """Scope ``spark.sql.shuffle.partitions`` — which fixes a NEW
+    streaming query's state partition count at start — to a
+    volume-derived value while a bounded drain starts.  The session
+    value is restored afterwards, so batch plans built outside the
+    drain are untouched.  The conf is only read at query START; the
+    partition count is then pinned in the query's checkpoint, so the
+    scope need only cover ``.start()``."""
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = max(2, min(sess, -(-_dir_file_bytes(stream_dir) // STREAM_STATE_TARGET_BYTES)))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _stream_dir(sf_dir: str) -> str:
