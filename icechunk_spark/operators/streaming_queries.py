@@ -48,11 +48,30 @@ ORDER BY window_start, event_type
 
 
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    name = f"dedup_{uuid.uuid4().hex[:8]}"
-    ev = read_event_stream(spark, sf_dir)
-    run_to_memory(dedup_stream(ev), name)
+    """Streaming dedup drained UNTHROTTLED into a PARQUET sink.
+
+    Unthrottled (r14): dropDuplicatesWithinWatermark expires an id's
+    state once the watermark passes its first-seen time + delay, so a
+    multi-file non-time-ordered replay drained file-per-trigger could
+    re-emit an id whose duplicate arrives after expiry — one batch
+    sees the whole bounded replay, which is exactly the distinct the
+    oracle computes, at every layout (the stream_interval_join /
+    stream_zscore_alerts contract).  Parquet sink because the output
+    is EVENT VOLUME (10 M rows at sf10): the memory sink parks it on
+    the driver and every downstream read is a serial LocalTableScan
+    (the census-twin lesson, ~5 s per 4 M rows).  State partitions
+    are volume-derived (scaled_state_partitions)."""
+    from icechunk_spark.streaming.events import (
+        _stream_dir,
+        run_to_parquet,
+        scaled_state_partitions,
+    )
+
+    ev = read_event_stream(spark, sf_dir, max_files_per_trigger=None)
+    with scaled_state_partitions(spark, _stream_dir(sf_dir)):
+        deduped = run_to_parquet(spark, dedup_stream(ev), prefix="icdedup")
     return (
-        spark.table(name)
+        deduped
         .select(
             "event_id",
             F.col("ts").cast("timestamp_ntz").alias("ts"),

@@ -62,6 +62,42 @@ def test_interval_join_multifile_equals_batch(spark, tmp_path):
     assert got == want
 
 
+def test_stream_dedup_multifile_equals_batch(spark, tmp_path):
+    """Duplicate ids spread across hash-distributed part files must
+    still collapse to one row each (pre-r14, late-row filtering across
+    non-time-ordered micro-batches dropped ~93 % of rows at sf10)."""
+    from icechunk_spark.operators.streaming_queries import stream_dedup
+
+    src = str(tmp_path / "dup")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # duplicate every event id once, then scatter over 4 files so a
+    # pair's two copies usually land in different files
+    dup = ev.unionByName(ev).repartition(4)
+    dup.write.parquet(f"{src}/events.parquet")
+
+    got = stream_dedup(spark, src)
+    assert got.count() == ev.count()  # one survivor per event_id
+    # survivor values: with both copies identical, full row equality
+    want = ev.select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    mism = (
+        got.groupBy(got.columns).count().withColumnRenamed("count", "na")
+        .join(
+            want.groupBy(got.columns).count().withColumnRenamed("count", "nb"),
+            got.columns,
+            "full_outer",
+        )
+        .filter("na IS NULL OR nb IS NULL OR na <> nb")
+        .count()
+    )
+    assert mism == 0
+
+
 def test_scaled_state_partitions_floor_and_cap(spark, tmp_path):
     small = tmp_path / "small"
     small.mkdir()
