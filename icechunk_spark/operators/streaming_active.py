@@ -110,8 +110,14 @@ def stream_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # set is users × days VOLUME, and the memory sink's driver-local
     # LocalTableScan cost the census ~5 s serial at sf10's ~4M pairs;
     # the file sink keeps the census fully distributed
+    from icechunk_spark.streaming.events import _stream_dir, scaled_state_partitions
+
     ev = read_event_stream(spark, sf_dir, max_files_per_trigger=8)
-    pairs = run_to_parquet(spark, _day_user_stream(ev), prefix="icdaupairs")
+    # volume-derived state partitions (r14): the dedup state store
+    # pays a fixed per-partition per-batch commit cost; cap rule keeps
+    # at-scale parallelism
+    with scaled_state_partitions(spark, _stream_dir(sf_dir)):
+        pairs = run_to_parquet(spark, _day_user_stream(ev), prefix="icdaupairs")
     return census_over_day_user(pairs.select("day", "user_id"))
 
 

@@ -35,8 +35,14 @@ def _daily_bin_counts_stream(events: DataFrame) -> DataFrame:
 
 def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"psidrift_{uuid.uuid4().hex[:8]}"
-    ev = read_event_stream(spark, sf_dir)
-    run_to_memory(_daily_bin_counts_stream(ev), name, output_mode="complete")
+    from icechunk_spark.streaming.events import _stream_dir, scaled_state_partitions
+
+    # 8 files/trigger (r11 convention: commutative complete-mode agg)
+    ev = read_event_stream(spark, sf_dir, max_files_per_trigger=8)
+    # volume-derived state partitions (r14, same rationale as the
+    # other stateful drains)
+    with scaled_state_partitions(spark, _stream_dir(sf_dir)):
+        run_to_memory(_daily_bin_counts_stream(ev), name, output_mode="complete")
     return psi_over_counts(spark, name)
 
 

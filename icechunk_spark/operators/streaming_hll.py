@@ -40,8 +40,14 @@ def _daily_hll_stream(events: DataFrame) -> DataFrame:
 
 def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"shll_{uuid.uuid4().hex[:8]}"
+    from icechunk_spark.streaming.events import _stream_dir, scaled_state_partitions
+
     ev = read_event_stream(spark, sf_dir, max_files_per_trigger=8)
-    run_to_memory(_daily_hll_stream(ev), name, output_mode="complete")
+    # volume-derived state partitions (r14): the per-partition state
+    # store pays a fixed per-batch commit cost; same cap rule as the
+    # other stateful drains so at-scale parallelism is untouched
+    with scaled_state_partitions(spark, _stream_dir(sf_dir)):
+        run_to_memory(_daily_hll_stream(ev), name, output_mode="complete")
     merged = (
         spark.table(name)
         .groupBy("event_type")

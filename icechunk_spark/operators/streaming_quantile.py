@@ -57,8 +57,13 @@ def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multi-batch accumulation at decade scale (4 batches at sf10)
     # without paying the floor 32 times; a production monitor sizes
     # its trigger to arrival rate, not to one file.
+    from icechunk_spark.streaming.events import _stream_dir, scaled_state_partitions
+
     ev = read_event_stream(spark, sf_dir, max_files_per_trigger=8)
-    run_to_memory(_daily_sketch_stream(ev), name, output_mode="complete")
+    # volume-derived state partitions (r14, same rationale as the
+    # other stateful drains)
+    with scaled_state_partitions(spark, _stream_dir(sf_dir)):
+        run_to_memory(_daily_sketch_stream(ev), name, output_mode="complete")
     # the pick algebra is SHARED with the batch op (quantile_merge.py)
     # so the two registered queries cannot diverge
     return quantiles_over_sketch(spark.table(name), SQ_LO, SQ_WIDTH, SQ_PCTS)

@@ -13,21 +13,40 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from icechunk_spark.streaming.events import (
+    _stream_dir,
     dedup_stream,
     purchase_click_join_stream,
     read_event_stream,
     run_to_memory,
     running_totals_stream,
+    scaled_state_partitions,
     sessionize_stream,
     windowed_agg_stream,
     zscore_alerts_stream,
 )
 
+# State partitions for every built-in-stateful drain below are
+# volume-derived (scaled_state_partitions): each stateful operator
+# instantiates one state store per shuffle partition with a fixed
+# per-batch load+commit cost, which dominates bounded drains at small
+# volume (r14, interleaved 32-vs-2 partitions at sf0.1: windowed_agg
+# 7.7->1.8 s, topk 2.6->1.3, static_enrich 5.3->1.9 — same cap rule as
+# the interval join, so at-scale parallelism is untouched).  The two
+# applyInPandasWithState ops (running_totals, zscore_alerts) are left
+# on session parallelism deliberately: their partition count is also
+# the PYTHON-WORKER fan-out per batch, a compute knob at volume, and
+# their measured state-floor saving was marginal (5.9->5.4 s).
+
 
 def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"wagg_{uuid.uuid4().hex[:8]}"
-    ev = read_event_stream(spark, sf_dir)
-    run_to_memory(windowed_agg_stream(ev), name, output_mode="complete")
+    # trigger cadence is protocol for commutative complete-mode aggs
+    # (r11: 1-file cadence = ~0.85 s/micro-batch floor x 32 files at
+    # sf10; 8 files/trigger measured 27.4 -> 4.8 s on the quantile
+    # twin) — same convention as the hll/quantile/census twins
+    ev = read_event_stream(spark, sf_dir, max_files_per_trigger=8)
+    with scaled_state_partitions(spark, _stream_dir(sf_dir)):
+        run_to_memory(windowed_agg_stream(ev), name, output_mode="complete")
     # stream processes in LTZ (watermark requirement); session tz is UTC
     # so the NTZ cast is exact and matches the naive oracle
     return (
@@ -99,11 +118,28 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``sessionize`` operator's closed-boundary convention, and the
     oracle mirrors it with the same lag/cumsum derivation.
     session_end is last event + gap by definition."""
-    name = f"sess_{uuid.uuid4().hex[:8]}"
-    ev = read_event_stream(spark, sf_dir)
-    run_to_memory(sessionize_stream(ev), name, output_mode="complete")
+    # UNTHROTTLED (r14): session-window aggregation filters input rows
+    # behind the watermark EVEN IN COMPLETE MODE (unlike tumbling
+    # windows, where complete mode retains everything — measured: 0
+    # mismatches at any cadence), so over a multi-file non-time-ordered
+    # replay a throttled drain loses sessions (sf10: 653k of the batch
+    # answer's ~4.9M survive file-per-trigger).  One batch sees the
+    # whole bounded replay — the stream_interval_join contract; it is
+    # also the cheapest drain (complete mode re-emits every session
+    # per batch, so fewer batches = fewer full re-emissions)
+    ev = read_event_stream(spark, sf_dir, max_files_per_trigger=None)
+    # foreachBatch-parquet drain: sessions are DATA VOLUME (9.5 M rows
+    # at sf10) and complete mode would park them all on the driver in
+    # the memory sink; the executor-written sink keeps the pipeline
+    # distributed end to end (run_to_parquet_complete)
+    from icechunk_spark.streaming.events import run_to_parquet_complete
+
+    with scaled_state_partitions(spark, _stream_dir(sf_dir)):
+        sessions = run_to_parquet_complete(
+            spark, sessionize_stream(ev), prefix="icsess"
+        )
     return (
-        spark.table(name)
+        sessions
         .withColumn("session_start", F.col("session_start").cast("timestamp_ntz"))
         .withColumn("session_end", F.col("session_end").cast("timestamp_ntz"))
         .orderBy("user_id", "session_start")
@@ -138,7 +174,10 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     per user (max n_events — counts are monotone) must equal the plain
     batch aggregate."""
     name = f"rt_{uuid.uuid4().hex[:8]}"
-    ev = read_event_stream(spark, sf_dir)
+    # 8 files/trigger: running totals are commutative and the reader
+    # takes the max-n_events row per user, so cadence is protocol;
+    # fewer batches = fewer per-user update rows through the sink
+    ev = read_event_stream(spark, sf_dir, max_files_per_trigger=8)
     run_to_memory(running_totals_stream(ev), name, output_mode="update")
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
@@ -176,14 +215,16 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icechunk_spark.functions import money_sum
 
     name = f"enr_{uuid.uuid4().hex[:8]}"
-    ev = read_event_stream(spark, sf_dir)
+    # 8 files/trigger (r11 convention: commutative complete-mode agg)
+    ev = read_event_stream(spark, sf_dir, max_files_per_trigger=8)
     cust = load_tables(spark, sf_dir)["customer"].select("c_custkey", "c_nationkey")
     enriched = ev.join(broadcast(cust), ev.user_id == cust.c_custkey)
     agg = enriched.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_events"),
         money_sum("value").alias("total_value"),
     )
-    run_to_memory(agg, name, output_mode="complete")
+    with scaled_state_partitions(spark, _stream_dir(sf_dir)):
+        run_to_memory(agg, name, output_mode="complete")
     return spark.table(name).orderBy("c_nationkey")
 
 
@@ -244,11 +285,13 @@ def stream_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icechunk_spark.functions import money_sum
 
     name = f"topk_{uuid.uuid4().hex[:8]}"
-    ev = read_event_stream(spark, sf_dir)
+    # 8 files/trigger (r11 convention: commutative complete-mode agg)
+    ev = read_event_stream(spark, sf_dir, max_files_per_trigger=8)
     agg = ev.groupBy("event_type", "user_id").agg(
         money_sum("value").alias("total_value")
     )
-    run_to_memory(agg, name, output_mode="complete")
+    with scaled_state_partitions(spark, _stream_dir(sf_dir)):
+        run_to_memory(agg, name, output_mode="complete")
     w = Window.partitionBy("event_type").orderBy(
         F.desc("total_value"), F.asc("user_id")
     )

@@ -415,6 +415,44 @@ def run_to_parquet(spark: SparkSession, df: DataFrame, prefix: str = "icsink") -
     return spark.read.schema(df.schema).parquet(os.path.join(out, "data"))
 
 
+def run_to_parquet_complete(
+    spark: SparkSession, df: DataFrame, prefix: str = "iccomplete"
+) -> DataFrame:
+    """Drain a bounded COMPLETE-mode stream into parquet without the
+    rows ever visiting the driver: complete mode re-emits the FULL
+    result every micro-batch, so a ``foreachBatch`` that overwrites
+    the sink dir with each batch's (distributed) DataFrame leaves the
+    final batch's full result on disk — semantically the same table
+    the memory sink would hold, but written by executors and read back
+    distributed.  For volume outputs this is the only scale-correct
+    complete-mode drain (r14: stream_sessionize emits 9.5 M sessions
+    at sf10; the memory sink parked them all on the driver and a
+    second drain in the same session lost tasks to driver-memory
+    pressure).  Zero-batch drains (empty source) leave no files; the
+    schema-pinned read still returns an empty frame of the right
+    shape."""
+    import uuid
+
+    _register_sink_reaper()
+    out = tempfile.mkdtemp(prefix=f"{prefix}_{uuid.uuid4().hex[:8]}_")
+    _PARQUET_SINK_DIRS.add(out)
+    data = os.path.join(out, "data")
+    os.makedirs(data)
+
+    def write_batch(bdf: DataFrame, _bid: int) -> None:
+        bdf.write.mode("overwrite").parquet(data)
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(out, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(df.schema).parquet(data)
+
+
 def stream_append_to_repo(
     spark: SparkSession, events: DataFrame, repo, array_path: str, checkpoint_dir: str
 ) -> None:
