@@ -238,15 +238,29 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs: band-bucket candidates, then exact
     Jaccard ≥ 0.5 verification on candidates only."""
     t = load_tables(spark, sf_dir)
-    # persist: signatures feed the band explode AND both sides of the
-    # verify join — compute once.  repartition first: a compact parquet
-    # text file arrives as few input splits, and the per-row shingle+
-    # signature work is the CPU hot spot — spread it across the cluster
-    # before computing, not after.
-    docs = (
+    # repartition first: a compact parquet text file arrives as few
+    # input splits, and the per-row shingle+signature work is the CPU
+    # hot spot — spread it across the cluster before computing, not
+    # after.
+    base = (
         t["documents"]
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", shingles_col(F.col("text")).alias("sh"))
+    )
+    return minhash_pairs_from_shingles(base)
+
+
+def minhash_pairs_from_shingles(sh_docs: DataFrame) -> DataFrame:
+    """The LSH pair pipeline over an existing (doc_id, sh) frame —
+    split from minhash_lsh (r14) so compositions that already hold a
+    shingle frame (lsh_quality shares ONE persisted shingle pass
+    between the exact and LSH sides) skip the second tokenize+shingle
+    pass over the corpus.  Identical construction to the registered
+    query: filter empty, signatures, bands, verify."""
+    # persist: signatures feed the band explode AND both sides of the
+    # verify join — compute once.
+    docs = (
+        sh_docs
         .filter(F.size("sh") > 0)
         .withColumn("sig", _minhash_sigs(F.col("sh")))
         .persist()
@@ -889,13 +903,20 @@ def lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ngram_jaccard pairs (df-capped universe),
     lsh   = minhash_lsh pairs (band-bucket candidates + verify)."""
     t = load_tables(spark, sf_dir)
+    # ONE shingle pass feeds both pipelines (r14): the exact side and
+    # the LSH side previously each tokenized+shingled the corpus;
+    # repartition spreads the CPU-heavy shingle work over the cluster
+    # (the byte-small-scan lesson) before it is computed and cached
     docs = (
-        t["documents"].select("doc_id", shingles_col(F.col("text")).alias("sh")).persist()
+        t["documents"]
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", shingles_col(F.col("text")).alias("sh"))
+        .persist()
     )
     # persist both pair sets: each feeds a count AND the recall join —
     # without it the full exact/LSH pipelines execute twice
     exact = ngram_jaccard_pairs(docs).select("doc_a", "doc_b").persist()
-    lsh = minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
+    lsh = minhash_pairs_from_shingles(docs).select("doc_a", "doc_b").persist()
     matched = exact.join(lsh, ["doc_a", "doc_b"]).count()
     n_exact = exact.count()
     n_lsh = lsh.count()
