@@ -430,7 +430,13 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     back, per-doc and per-source aggregations.  No Python, no
     all-pairs anything; per-term rounding to DECIMAL makes the sums
     bit-identical under any partitioning (and to the oracle)."""
-    docs = load_tables(spark, sf_dir)["documents"]
+    # spread the byte-small documents scan (1-2 splits) so the
+    # CPU-heavy tokenize+bigram+md5 explode runs on every core, not
+    # 1-2 tasks (no-op at real scale — the minhash/lsh_quality
+    # pattern)
+    docs = ensure_min_partitions(
+        load_tables(spark, sf_dir)["documents"].select("doc_id", "source", "text")
+    )
     grams = docs.select(
         "doc_id",
         "source",

@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from icechunk_spark.catalog import load_tables
-from icechunk_spark.functions import cosine, normalized_text, tokenize
+from icechunk_spark.functions import (
+    cosine,
+    ensure_min_partitions,
+    normalized_text,
+    tokenize,
+)
 
 N_HASHES = 16
 N_BANDS = 4
@@ -169,9 +174,14 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles df-capped out of the universe."""
     t = load_tables(spark, sf_dir)
     # persist: the shingle projection feeds several branches — without
-    # it the split+distinct recomputes per branch
+    # it the split+distinct recomputes per branch.  Spread the scan
+    # first: a byte-small documents parquet arrives as 1-2 splits and
+    # would run the CPU-heavy tokenize+shingle pass nearly single-task
+    # (no-op at real scale — the minhash/lsh_quality pattern)
     docs = (
-        t["documents"].select("doc_id", shingles_col(F.col("text")).alias("sh")).persist()
+        ensure_min_partitions(t["documents"].select("doc_id", "text"))
+        .select("doc_id", shingles_col(F.col("text")).alias("sh"))
+        .persist()
     )
     return ngram_jaccard_pairs(docs)
 

@@ -48,7 +48,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from icechunk_spark.catalog import load_tables
-from icechunk_spark.functions import normalized_text, tokenize
+from icechunk_spark.functions import (
+    ensure_min_partitions,
+    normalized_text,
+    tokenize,
+)
 from icechunk_spark.operators.dedup import (
     DUCK_SHINGLES,
     DUCK_TOKS,
@@ -172,9 +176,13 @@ def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     # persist the HASHED exploded frame (24 bytes/row): it feeds the
     # hot-shingle count, the anti-join input, and the per-doc sizes —
-    # one tokenize+shingle+md5 pass instead of three
+    # one tokenize+shingle+md5 pass instead of three.  The scan is
+    # spread first: a byte-small documents parquet arrives as 1-2
+    # splits, which would run the CPU-heavy tokenize+shingle+md5 on
+    # 1-2 tasks (no-op at real scale — the minhash/lsh_quality
+    # pattern)
     ex_all = (
-        t["documents"]
+        ensure_min_partitions(t["documents"].select("doc_id", "text"))
         .select("doc_id", F.explode(shingles_col(F.col("text"))).alias("s0"))
         .select("doc_id", F.substring(F.md5("s0"), 1, 16).alias("s"))
         .persist()
