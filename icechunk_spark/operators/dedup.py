@@ -593,6 +593,9 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash near-dup pairs (hamming ≤ 3), candidates bucketed
     by 8-bit blocks (a pair within hamming 3 shares ≥1 of 4 blocks)."""
     t = load_tables(spark, sf_dir)
+    # scan spread A/B'd and REJECTED here (r14: 1.98 -> 2.19 s): the
+    # 32 per-bit vote sums partial-aggregate map-side, so the explode
+    # stage is lighter than the repartition it would buy
     toks = t["documents"].select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
     )
@@ -773,7 +776,11 @@ def cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     — one window, no per-pair quadratic scan.  A matched diagonal run
     of c grams is a shared span of c + K - 1 tokens."""
     t = load_tables(spark, sf_dir)
-    docs = t["documents"].select("doc_id", tokenize(F.col("text")).alias("toks"))
+    # spread the byte-small scan before the positional-gram explode
+    # (CPU-heavy array_join per gram; no-op at real scale)
+    docs = ensure_min_partitions(t["documents"].select("doc_id", "text")).select(
+        "doc_id", tokenize(F.col("text")).alias("toks")
+    )
     grams_arr = F.when(
         F.size("toks") >= SPAN_K,
         F.expr(

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from icechunk_spark.catalog import load_tables
-from icechunk_spark.functions import tokenize
+from icechunk_spark.functions import ensure_min_partitions, tokenize
 
 NB_B = 4096  # feature buckets (hashing trick)
 NB_TEST_MOD = 5  # md5(doc_id) % 5 == 0 -> test split
@@ -73,7 +73,11 @@ def _re8(col):
 
 def nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    toks = docs.select(
+    # spread the byte-small documents scan (1-2 splits) so the
+    # CPU-heavy tokenize+md5-bucket explode runs on every core (no-op
+    # at real scale — the minhash/lsh_quality pattern); the prior
+    # branch keeps the raw scan (a trivial count by source)
+    toks = ensure_min_partitions(docs.select("doc_id", "source", "text")).select(
         "doc_id",
         "source",
         F.explode(tokenize(F.lower(F.col("text")))).alias("tok"),

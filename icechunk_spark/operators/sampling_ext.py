@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from icechunk_spark.catalog import load_tables
-from icechunk_spark.functions import tokenize
+from icechunk_spark.functions import ensure_min_partitions, tokenize
 from icechunk_spark.operators.dedup import DUCK_TOKS
 from icechunk_spark.operators.textquality import _grams_col
 
@@ -107,9 +107,14 @@ def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode branches would scan the corpus three times (AQE gives
     separate query stages no exchange reuse; the ngram_containment
     union trap, PLANS.md round-8)."""
-    docs = load_tables(spark, sf_dir)["documents"].withColumn(
-        "toks", tokenize(F.col("text"))
-    )
+    # spread the byte-small documents scan so the three-order gram
+    # explode (the CPU-heavy stage) runs on every core, not the 1-2
+    # scan splits (no-op at real scale — the minhash/lsh_quality
+    # pattern); all downstream aggregates are counts/countDistinct,
+    # order-independent under any partitioning
+    docs = ensure_min_partitions(
+        load_tables(spark, sf_dir)["documents"].select("source", "text")
+    ).withColumn("toks", tokenize(F.col("text")))
 
     def tagged(n: int):
         return F.transform(
