@@ -80,6 +80,48 @@ def normalized_text(text: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
+def _size_str_to_bytes(s: str) -> int:
+    """Parse Spark size-conf strings ('134217728b', '128m', '1g')."""
+    s = s.strip().lower()
+    mult = 1
+    for suf, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1)):
+        if s.endswith(suf):
+            s = s[: -len(suf)]
+            mult = m
+            break
+    return int(float(s) * mult)
+
+
+def ensure_min_partitions_files(df, files: list[str], min_factor: float = 0.5):
+    """File-metadata variant of ensure_min_partitions for frames that
+    ARE raw table scans: estimates the scan's split count from the
+    parquet files' sizes (driver-side os.stat) instead of the .rdd
+    probe, which plans the subtree eagerly (~0.2-0.3 s per fresh
+    DataFrame) — a cost a count()-pruned consumer of the spread branch
+    would otherwise never pay (found on decontaminate's bench line).
+    Split estimate mirrors Spark's FilePartition packing: bins of
+    maxPartitionBytes filled with (file_size + openCostInBytes)
+    items.  Same decision rule and same repartition as the .rdd form."""
+    import math
+    import os
+
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    target = sc.defaultParallelism
+    try:
+        mpb = _size_str_to_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        open_cost = _size_str_to_bytes(
+            spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+        )
+        total = sum(os.path.getsize(f) + open_cost for f in files)
+    except (OSError, ValueError):
+        return ensure_min_partitions(df, min_factor)
+    est = max(1, math.ceil(total / max(1, mpb)))
+    if est < max(2, int(target * min_factor)):
+        return df.repartition(target)
+    return df
+
+
 def ensure_min_partitions(df, min_factor: float = 0.5):
     """Guard against scan-parallelism collapse for CPU-heavy per-row
     work on byte-small tables: a compact parquet table (one file, a few

@@ -29,8 +29,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from icechunk_spark.catalog import load_tables
-from icechunk_spark.functions import ensure_min_partitions, tokenize
+from icechunk_spark.catalog import load_tables, table_parquet_files
+from icechunk_spark.functions import ensure_min_partitions_files, tokenize
 from icechunk_spark.operators.textquality import _grams_col
 
 WIN_K = 4  # gram length for winnowing
@@ -280,7 +280,10 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # N·d(d+1)/2-term product aggregation — inherited that
     # partitioning, so the heavy stage ran nearly single-task
     # (measured 5.5-6.5 s for the product agg alone; spread: ~1 s).
-    emb = ensure_min_partitions(load_tables(spark, sf_dir)["embeddings"])
+    emb = ensure_min_partitions_files(
+        load_tables(spark, sf_dir)["embeddings"],
+        table_parquet_files(sf_dir, "embeddings"),
+    )
     comps = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "x")
     ).select("vec_id", "i", F.col("x").cast("double").alias("x"))
@@ -434,8 +437,9 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CPU-heavy tokenize+bigram+md5 explode runs on every core, not
     # 1-2 tasks (no-op at real scale — the minhash/lsh_quality
     # pattern)
-    docs = ensure_min_partitions(
-        load_tables(spark, sf_dir)["documents"].select("doc_id", "source", "text")
+    docs = ensure_min_partitions_files(
+        load_tables(spark, sf_dir)["documents"].select("doc_id", "source", "text"),
+        table_parquet_files(sf_dir, "documents"),
     )
     grams = docs.select(
         "doc_id",

@@ -22,10 +22,10 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from icechunk_spark.catalog import load_tables
+from icechunk_spark.catalog import load_tables, table_parquet_files
 from icechunk_spark.functions import (
     cosine,
-    ensure_min_partitions,
+    ensure_min_partitions_files,
     normalized_text,
     tokenize,
 )
@@ -179,7 +179,10 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would run the CPU-heavy tokenize+shingle pass nearly single-task
     # (no-op at real scale — the minhash/lsh_quality pattern)
     docs = (
-        ensure_min_partitions(t["documents"].select("doc_id", "text"))
+        ensure_min_partitions_files(
+            t["documents"].select("doc_id", "text"),
+            table_parquet_files(sf_dir, "documents"),
+        )
         .select("doc_id", shingles_col(F.col("text")).alias("sh"))
         .persist()
     )
@@ -778,7 +781,10 @@ def cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     # spread the byte-small scan before the positional-gram explode
     # (CPU-heavy array_join per gram; no-op at real scale)
-    docs = ensure_min_partitions(t["documents"].select("doc_id", "text")).select(
+    docs = ensure_min_partitions_files(
+            t["documents"].select("doc_id", "text"),
+            table_parquet_files(sf_dir, "documents"),
+        ).select(
         "doc_id", tokenize(F.col("text")).alias("toks")
     )
     grams_arr = F.when(

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from icechunk_spark.catalog import load_tables
+from icechunk_spark.catalog import load_tables, table_parquet_files
 from icechunk_spark.functions import l2_norm
 from icechunk_spark.operators.retrieval import (
     RET_QUERIES,
@@ -43,13 +43,16 @@ K_RRF = 60  # the standard RRF constant
 
 
 def _dense_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from icechunk_spark.functions import ensure_min_partitions
+    from icechunk_spark.functions import ensure_min_partitions_files
 
     # spread the scan before the broadcast-joined pair-dot stage: the
     # byte-small parquet arrives as 1-2 splits and a broadcast join
     # keeps the stream side's partitioning, so the n_docs x n_queries
     # dot folds otherwise run nearly single-task (r14)
-    emb = ensure_min_partitions(load_tables(spark, sf_dir)["embeddings"]).withColumn(
+    emb = ensure_min_partitions_files(
+        load_tables(spark, sf_dir)["embeddings"],
+        table_parquet_files(sf_dir, "embeddings"),
+    ).withColumn(
         "nb", l2_norm(F.col("embedding"))
     )
     q = emb.filter(F.col("vec_id") < RET_QUERIES).select(

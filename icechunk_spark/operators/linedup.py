@@ -47,9 +47,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from icechunk_spark.catalog import load_tables
+from icechunk_spark.catalog import load_tables, table_parquet_files
 from icechunk_spark.functions import (
-    ensure_min_partitions,
+    ensure_min_partitions_files,
     normalized_text,
     tokenize,
 )
@@ -182,7 +182,10 @@ def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-2 tasks (no-op at real scale — the minhash/lsh_quality
     # pattern)
     ex_all = (
-        ensure_min_partitions(t["documents"].select("doc_id", "text"))
+        ensure_min_partitions_files(
+            t["documents"].select("doc_id", "text"),
+            table_parquet_files(sf_dir, "documents"),
+        )
         .select("doc_id", F.explode(shingles_col(F.col("text"))).alias("s0"))
         .select("doc_id", F.substring(F.md5("s0"), 1, 16).alias("s"))
         .persist()

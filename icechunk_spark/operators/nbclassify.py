@@ -41,8 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from icechunk_spark.catalog import load_tables
-from icechunk_spark.functions import ensure_min_partitions, tokenize
+from icechunk_spark.catalog import load_tables, table_parquet_files
+from icechunk_spark.functions import ensure_min_partitions_files, tokenize
 
 NB_B = 4096  # feature buckets (hashing trick)
 NB_TEST_MOD = 5  # md5(doc_id) % 5 == 0 -> test split
@@ -77,7 +77,10 @@ def nb_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CPU-heavy tokenize+md5-bucket explode runs on every core (no-op
     # at real scale — the minhash/lsh_quality pattern); the prior
     # branch keeps the raw scan (a trivial count by source)
-    toks = ensure_min_partitions(docs.select("doc_id", "source", "text")).select(
+    toks = ensure_min_partitions_files(
+        docs.select("doc_id", "source", "text"),
+        table_parquet_files(sf_dir, "documents"),
+    ).select(
         "doc_id",
         "source",
         F.explode(tokenize(F.lower(F.col("text")))).alias("tok"),

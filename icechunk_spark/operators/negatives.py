@@ -22,8 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from icechunk_spark.catalog import load_tables
-from icechunk_spark.functions import ensure_min_partitions, l2_norm
+from icechunk_spark.catalog import load_tables, table_parquet_files
+from icechunk_spark.functions import ensure_min_partitions_files, l2_norm
 from icechunk_spark.operators.similarity import (
     _D_DOT,
     _D_NORM_A,
@@ -36,7 +36,10 @@ from icechunk_spark.operators.similarity import (
 
 
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = ensure_min_partitions(load_tables(spark, sf_dir)["embeddings"]).withColumn(
+    emb = ensure_min_partitions_files(
+        load_tables(spark, sf_dir)["embeddings"],
+        table_parquet_files(sf_dir, "embeddings"),
+    ).withColumn(
         "nb", l2_norm(F.col("embedding"))
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(

@@ -52,8 +52,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icechunk_spark.catalog import load_tables
-from icechunk_spark.functions import ensure_min_partitions
+from icechunk_spark.catalog import load_tables, table_parquet_files
+from icechunk_spark.functions import ensure_min_partitions_files
 from icechunk_spark.operators.negatives import hard_negative_mining
 from icechunk_spark.operators.similarity import (
     N_CELLS,
@@ -140,7 +140,10 @@ def _train_centroids(emb: DataFrame, n_vec: int) -> np.ndarray:
 def hard_negative_mining_ann_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wrong-label cosine top-K per query over IVF candidates — the
     raw neighbor rows (same schema as hard_negative_mining)."""
-    emb = ensure_min_partitions(load_tables(spark, sf_dir)["embeddings"])
+    emb = ensure_min_partitions_files(
+        load_tables(spark, sf_dir)["embeddings"],
+        table_parquet_files(sf_dir, "embeddings"),
+    )
     C = _train_centroids(emb, _corpus_rows(emb, sf_dir))
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
 

@@ -31,8 +31,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icechunk_spark.catalog import load_tables
-from icechunk_spark.functions import ensure_min_partitions
+from icechunk_spark.catalog import load_tables, table_parquet_files
+from icechunk_spark.functions import ensure_min_partitions_files
 
 PCA_K = 8
 DIM = 64
@@ -71,7 +71,10 @@ def _moment_partials(emb: DataFrame) -> tuple[np.ndarray, np.ndarray, int]:
 def pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from icechunk_spark.engine import local_df
 
-    emb = ensure_min_partitions(load_tables(spark, sf_dir)["embeddings"])
+    emb = ensure_min_partitions_files(
+        load_tables(spark, sf_dir)["embeddings"],
+        table_parquet_files(sf_dir, "embeddings"),
+    )
     xtx, sx, n = _moment_partials(emb)
     mean = sx / n
     cov = xtx / n - np.outer(mean, mean)

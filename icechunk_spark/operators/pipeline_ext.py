@@ -28,8 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from icechunk_spark.catalog import load_tables
-from icechunk_spark.functions import tokenize
+from icechunk_spark.catalog import load_tables, table_parquet_files
+from icechunk_spark.functions import ensure_min_partitions_files, tokenize
 
 # val if the first hex byte of md5(doc_id) sorts below '0d' → 13/256 ≈ 5.1%
 VAL_THRESHOLD = "0d"
@@ -207,8 +207,20 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     train = docs.filter(F.col("doc_id") >= EVAL_MAX_ID)
+    # spread ONLY the hits branch (the CPU-heavy k-gram build +
+    # explode, byte-small-scan lesson) — the output spine below stays
+    # on the raw scan so a count() over the result keeps eliminating
+    # the aggregate-keyed left join instead of paying the exchange.
+    # File-metadata variant: the .rdd probe plans the subtree eagerly
+    # (~0.3 s of build) which the count()-pruned path would pay
     hits = (
-        train.select("doc_id", F.explode("ngs").alias("ng"))
+        ensure_min_partitions_files(
+            t["documents"]
+            .filter(F.col("doc_id") >= EVAL_MAX_ID)
+            .select("doc_id", "text"),
+            table_parquet_files(sf_dir, "documents"),
+        )
+        .select("doc_id", F.explode(_ngrams_col(F.col("text"), DECON_K)).alias("ng"))
         .join(F.broadcast(eval_ngs), "ng")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))

@@ -32,9 +32,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icechunk_spark.catalog import load_tables
+from icechunk_spark.catalog import load_tables, table_parquet_files
 from icechunk_spark.engine import local_df
-from icechunk_spark.functions import ensure_min_partitions
+from icechunk_spark.functions import ensure_min_partitions_files
 from icechunk_spark.operators.similarity import N_QUERIES, TOP_K, _partial_topk
 
 PQ_M = 16  # subspaces
@@ -325,7 +325,10 @@ def pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = ensure_min_partitions(load_tables(spark, sf_dir)["embeddings"])
+    emb = ensure_min_partitions_files(
+        load_tables(spark, sf_dir)["embeddings"],
+        table_parquet_files(sf_dir, "embeddings"),
+    )
     books = train_pq_codebooks(emb)
     book_mat = np.array(
         [[c for _, c in books[m]] for m in range(PQ_M)], dtype=np.float64

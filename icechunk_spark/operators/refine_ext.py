@@ -45,9 +45,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from icechunk_spark.catalog import load_tables
+from icechunk_spark.catalog import load_tables, table_parquet_files
 from icechunk_spark.engine import local_df
-from icechunk_spark.functions import dot, ensure_min_partitions, l2_norm
+from icechunk_spark.functions import dot, ensure_min_partitions_files, l2_norm
 from icechunk_spark.operators.linedup import DUCK_LINES, lines_col
 from icechunk_spark.operators.similarity import DIM, N_QUERIES
 from icechunk_spark.operators.textstats import QUALITY_SQL, quality_score
@@ -289,7 +289,9 @@ def mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a vec_id tie-break in both engines, so the greedy sequence
     is deterministic."""
     t = load_tables(spark, sf_dir)
-    emb = ensure_min_partitions(t["embeddings"]).withColumn(
+    emb = ensure_min_partitions_files(
+        t["embeddings"], table_parquet_files(sf_dir, "embeddings")
+    ).withColumn(
         "nb", l2_norm(F.col("embedding"))
     )
     q = emb.filter(F.col("vec_id") == MMR_QUERY_ID).select(
@@ -473,7 +475,9 @@ def fps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     round.  O(K) scans, no pairwise join, nothing driver-side grows
     with the pool."""
     t = load_tables(spark, sf_dir)
-    emb = ensure_min_partitions(t["embeddings"]).withColumn(
+    emb = ensure_min_partitions_files(
+        t["embeddings"], table_parquet_files(sf_dir, "embeddings")
+    ).withColumn(
         "nb", l2_norm(F.col("embedding"))
     )
     pool = (

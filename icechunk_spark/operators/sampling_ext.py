@@ -34,8 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from icechunk_spark.catalog import load_tables
-from icechunk_spark.functions import ensure_min_partitions, tokenize
+from icechunk_spark.catalog import load_tables, table_parquet_files
+from icechunk_spark.functions import ensure_min_partitions_files, tokenize
 from icechunk_spark.operators.dedup import DUCK_TOKS
 from icechunk_spark.operators.textquality import _grams_col
 
@@ -112,8 +112,9 @@ def ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan splits (no-op at real scale — the minhash/lsh_quality
     # pattern); all downstream aggregates are counts/countDistinct,
     # order-independent under any partitioning
-    docs = ensure_min_partitions(
-        load_tables(spark, sf_dir)["documents"].select("source", "text")
+    docs = ensure_min_partitions_files(
+        load_tables(spark, sf_dir)["documents"].select("source", "text"),
+        table_parquet_files(sf_dir, "documents"),
     ).withColumn("toks", tokenize(F.col("text")))
 
     def tagged(n: int):

@@ -25,11 +25,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from icechunk_spark.catalog import load_tables
+from icechunk_spark.catalog import load_tables, table_parquet_files
 from icechunk_spark.functions import (
     cosine,
     dot,
-    ensure_min_partitions,
+    ensure_min_partitions_files,
     l2_norm,
     money_avg,
 )
@@ -87,7 +87,9 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     # the dot-product stage is per-row expensive on a byte-small scan:
     # spread it across cores when the parquet arrives as 1-2 splits
-    emb = ensure_min_partitions(t["embeddings"]).withColumn(
+    emb = ensure_min_partitions_files(
+        t["embeddings"], table_parquet_files(sf_dir, "embeddings")
+    ).withColumn(
         "nb", l2_norm(F.col("embedding"))
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -308,7 +310,9 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without this the whole candidate stage ran nearly single-task.
     # Norms are hoisted per row (cosine() hot-loop rule): dot/(nq*nb)
     # is the same double arithmetic as _fold_cosine per pair.
-    emb_b = ensure_min_partitions(emb).withColumn(
+    emb_b = ensure_min_partitions_files(
+        emb, table_parquet_files(sf_dir, "embeddings")
+    ).withColumn(
         "bucket", bucket(F.col("embedding"))
     ).withColumn("nb", l2_norm(F.col("embedding")))
     q = emb_b.filter(F.col("vec_id") < N_QUERIES).select(
@@ -482,7 +486,9 @@ def knn_ivf_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast-joined candidate stage (same parallelism-collapse fix
     # as knn_lsh), and hoist each side's norm out of the per-pair
     # cosine (identical doubles: dot/(nq*nb))
-    emb_s = ensure_min_partitions(emb).withColumn("nb", l2_norm(F.col("embedding")))
+    emb_s = ensure_min_partitions_files(
+        emb, table_parquet_files(sf_dir, "embeddings")
+    ).withColumn("nb", l2_norm(F.col("embedding")))
     emb_c = emb_s.withColumn(
         "cell",
         F.element_at(cell_scores(F.col("embedding"), F.col("nb")), 1)["cell"],
