@@ -16,8 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from icechunk_spark.catalog import load_tables
-from icechunk_spark.functions import tokenize
+from icechunk_spark.catalog import load_tables, table_parquet_files
+from icechunk_spark.functions import ensure_min_partitions_files, tokenize
 
 SPAN_K = 5  # gram length for the exact-substring duplication signal
 TFIDF_TOP = 3  # keywords kept per document
@@ -70,8 +70,17 @@ def dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
+    # spread ONLY the occ branch (CPU-heavy gram build + explode on a
+    # 1-2-split scan; no-op at real scale) — the output spine below
+    # stays on the raw scan so a count() over the result keeps
+    # eliminating the aggregate-keyed left join (the decontaminate
+    # bench-line pattern); all aggregates are counts, order-safe
     occ = (
-        docs.withColumn("toks", tokenize(F.lower(F.col("text"))))
+        ensure_min_partitions_files(
+            docs.select("doc_id", "text"),
+            table_parquet_files(sf_dir, "documents"),
+        )
+        .withColumn("toks", tokenize(F.lower(F.col("text"))))
         .select("doc_id", F.explode(_grams_col(F.col("toks"), SPAN_K)).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("c"))
