@@ -99,9 +99,14 @@ def ensure_min_partitions_files(df, files: list[str], min_factor: float = 0.5):
     probe, which plans the subtree eagerly (~0.2-0.3 s per fresh
     DataFrame) — a cost a count()-pruned consumer of the spread branch
     would otherwise never pay (found on decontaminate's bench line).
-    Split estimate mirrors Spark's FilePartition packing: bins of
-    maxPartitionBytes filled with (file_size + openCostInBytes)
-    items.  Same decision rule and same repartition as the .rdd form."""
+    Split estimate mirrors Spark's FilePartitions sizing: the split
+    size is min(maxPartitionBytes, max(openCostInBytes, bytesPerCore))
+    with bytesPerCore = (total + nfiles*openCost)/defaultParallelism —
+    Spark SHRINKS splits to fill the cores, so a mid-size multi-file
+    table (e.g. an 85 MB 32-part sf10 replica) scans as ~32 splits,
+    not total/128MB (the first bin-of-128MB estimate here wrongly
+    repartitioned exactly that case, measured ~10% slower at sf10).
+    Same decision rule and same repartition as the .rdd form."""
     import math
     import os
 
@@ -116,7 +121,9 @@ def ensure_min_partitions_files(df, files: list[str], min_factor: float = 0.5):
         total = sum(os.path.getsize(f) + open_cost for f in files)
     except (OSError, ValueError):
         return ensure_min_partitions(df, min_factor)
-    est = max(1, math.ceil(total / max(1, mpb)))
+    bytes_per_core = total / max(1, target)
+    max_split = min(mpb, max(open_cost, bytes_per_core))
+    est = max(1, math.ceil(total / max(1.0, max_split)))
     if est < max(2, int(target * min_factor)):
         return df.repartition(target)
     return df

@@ -23,8 +23,9 @@ sys.path.insert(0, REPO)
 
 
 def load_old_module(relmod: str):
+    rev = os.environ.get("AB_OLD_REV", "HEAD")
     src = subprocess.run(
-        ["git", "show", f"HEAD:icechunk_spark/operators/{relmod}.py"],
+        ["git", "show", f"{rev}:icechunk_spark/operators/{relmod}.py"],
         capture_output=True,
         text=True,
         cwd=REPO,
