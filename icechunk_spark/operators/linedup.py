@@ -534,8 +534,16 @@ def dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persist: ngram_jaccard_pairs scans its input twice (hot-shingle
     # aggregate + anti-join) — cache the shingle arrays like the
-    # ngram_jaccard wrapper does
-    sh = docs.select("doc_id", shingles_col(F.col("text")).alias("sh")).persist()
+    # ngram_jaccard wrapper does, spread first so the CPU-heavy
+    # shingle pass materializes on every core (no-op at real scale)
+    sh = (
+        ensure_min_partitions_files(
+            docs.select("doc_id", "text"),
+            table_parquet_files(sf_dir, "documents"),
+        )
+        .select("doc_id", shingles_col(F.col("text")).alias("sh"))
+        .persist()
+    )
     near_drop = ngram_jaccard_pairs(sh).select(
         F.col("doc_b").alias("doc_id"), F.lit(2).alias("pri")
     )
