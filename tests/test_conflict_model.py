@@ -24,6 +24,8 @@ per example, as the verdict asked.
 from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
+
+from tests.conftest import scaled_examples
 from hypothesis import strategies as st
 
 from icechunk_spark.repo import Repository
@@ -181,7 +183,7 @@ def _predict_final(a, b, conf, on_chunk, on_node):
 
 
 @settings(
-    max_examples=10,
+    max_examples=scaled_examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -281,7 +283,7 @@ def _apply_create(session, bundle, who):
 
 
 @settings(
-    max_examples=10,
+    max_examples=scaled_examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )

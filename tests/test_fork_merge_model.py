@@ -21,6 +21,8 @@ roundtrip is covered separately by test_fork_executor_writes.py.
 from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
+
+from tests.conftest import scaled_examples
 from hypothesis import strategies as st
 
 from icechunk_spark.repo import Repository
@@ -78,7 +80,7 @@ def _model_fold(bundles, order):
 
 
 @settings(
-    max_examples=10,
+    max_examples=scaled_examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )

@@ -8,6 +8,8 @@ that a failed op never changes any ref."""
 from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
+
+from tests.conftest import scaled_examples
 from hypothesis import strategies as st
 
 from icechunk_spark.repo import RefError, Repository
@@ -66,7 +68,7 @@ class _Model:
 
 
 @settings(
-    max_examples=10,
+    max_examples=scaled_examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )

@@ -81,6 +81,8 @@ def test_valid_move_still_works_across_commits(repo):
 # failure must leave the tree untouched.
 
 from hypothesis import HealthCheck, given, settings
+
+from tests.conftest import scaled_examples
 from hypothesis import strategies as st
 
 _PATHS = ["/a", "/a/b", "/a/b/c", "/g", "/g/x", "/h"]
@@ -129,7 +131,7 @@ def _model_apply(nodes: dict, op) -> bool:
 
 
 @settings(
-    max_examples=12,
+    max_examples=scaled_examples(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )

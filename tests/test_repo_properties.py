@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import pytest
 from hypothesis import HealthCheck, given, settings
+
+from tests.conftest import scaled_examples
 from hypothesis import strategies as st
 
 from icechunk_spark.repo import Repository
@@ -32,7 +34,7 @@ def prop_root(spark, tmp_path_factory):
 
 
 @settings(
-    max_examples=8,
+    max_examples=scaled_examples(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -68,7 +70,7 @@ def test_commit_history_matches_dict_model(spark, tmp_path_factory, history, dat
 
 
 @settings(
-    max_examples=5,
+    max_examples=scaled_examples(5),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -102,7 +104,7 @@ shape_st = st.one_of(
 
 
 @settings(
-    max_examples=6,
+    max_examples=scaled_examples(6),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -173,7 +175,7 @@ range_st = st.tuples(st.integers(min_value=0, max_value=40), st.binary(min_size=
 
 
 @settings(
-    max_examples=10,
+    max_examples=scaled_examples(10),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )

@@ -12,6 +12,8 @@ multi-micro-batch replay (weekly time-ordered files, 1 file/trigger):
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import os
 import shutil
@@ -119,6 +121,7 @@ def test_watermark_bounds_state_and_matches_census(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_watermark_state_constant_as_history_grows(spark, tmp_path):
     """The O() claim, MEASURED: doubling the HISTORY LENGTH (same
     users, a disjoint second span appended) roughly doubles the
