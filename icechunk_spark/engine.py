@@ -28,12 +28,20 @@ def local_df(spark: SparkSession, rows, schema):
     import pandas as pd
 
     rows = list(rows)
-    if not rows:
-        return spark.createDataFrame([], schema)
     if isinstance(schema, str):
         names = [c.strip().split(" ")[0] for c in schema.split(",")]
     else:
         names = list(schema.fieldNames())
+    if not rows:
+        # empty frames must ALSO avoid the RDD path: createDataFrame
+        # over an empty python list (or an empty pandas frame — the
+        # Arrow path falls back on zero rows) parallelizes into
+        # defaultParallelism EMPTY slices, and every consumer still
+        # schedules python workers for them.  A one-NULL-row Arrow
+        # frame + limit(0) optimizes to LocalRelation <empty> — no
+        # tasks anywhere downstream.
+        pdf = pd.DataFrame({n: pd.Series([None], dtype=object) for n in names})
+        return spark.createDataFrame(pdf, schema).limit(0)
     data = [
         r.asDict()
         if hasattr(r, "asDict")

@@ -51,7 +51,12 @@ def read_manifest_files(
     (compaction); the hot read path keeps the fixed schema and pays
     nothing (plan-pinned in test_extensibility_015)."""
     if not relpaths:
-        return spark.createDataFrame([], MANIFEST_SCHEMA)
+        from icechunk_spark.engine import local_df
+
+        # empty LocalRelation, not the RDD path: a fresh repo resolves
+        # manifests often and the RDD-path empty frame schedules
+        # defaultParallelism python tasks in every consumer (r15)
+        return local_df(spark, [], MANIFEST_SCHEMA)
     paths = [data_path(root, p) for p in relpaths]
     if with_extra_columns:
         df = spark.read.option("mergeSchema", "true").parquet(*paths)

@@ -770,16 +770,15 @@ class Session:
             and not self._chunk_buffer
         ):
             return src, None
-        # Level 2: one metadata-only manifest probe (no payload decode)
-        # instead of the per-chunk coverage aggregation over the
-        # incoming data (measured: the coverage job alone added ~1.2 s
-        # of scan+floor to the headline array_store_roundtrip)
-        existing_manifest = self._resolved_manifest(meta.node_id, None)
-        if not existing_manifest.limit(1).collect():
-            return src, None
         # slow path: the write set is consumed by BOTH the coverage
         # check and the encode — cache it so the caller's input plan
-        # runs once
+        # runs once.  (r15: the former level-2 probe — a limit(1) over
+        # the RESOLVED manifest, run before the coverage check — was
+        # dropped: when coverage says no chunk is partial the manifest
+        # never needs probing at all, and when some chunk IS partial
+        # the decode below handles an empty resolve for free, since
+        # the pruned file list is empty and no payload scan exists in
+        # the plan.  One probe job per RMW write instead of two.)
         src = src.persist()
         keyed = src.select(
             "*",
@@ -815,7 +814,7 @@ class Session:
         )
         if not partial.limit(1).collect():
             return src, src
-        manifest = existing_manifest.join(
+        manifest = self._resolved_manifest(meta.node_id, None).join(
             partial, [f"c{d}" for d in range(ndim)], "left_semi"
         )
         existing = decode_chunks_to_rows(
@@ -825,6 +824,13 @@ class Session:
             meta,
             None,
             vcc_map=self._virtual_container_names,
+            # r15: without this, decode enumerates chunk files by
+            # collecting the FULL resolve (window-dedup) plan — the
+            # exact hidden job the r14 read path removed; the pruned
+            # pre-dedup file list is a harmless superset here for the
+            # same reason (decode's left join on chunk_id drops
+            # payload rows no live ref points at)
+            files=self._manifest_file_list(meta.node_id, None),
         )
         keep = existing.join(src.select(*cols), cols, "left_anti").select(
             *cols, "value"
@@ -1798,16 +1804,28 @@ class Session:
             carry = None
         if staged is None and not node_rows and carry is None:
             return
-        tx = (
-            staged.select("node_id", "chunk_key", "op")
-            if staged is not None
-            else local_df(self.spark, [], TXLOG_SCHEMA)
-        )
+        out = _dp(self.root, "txlogs", f"{snap_id}.parquet")
+        if staged is None and carry is None:
+            # node-only commit: the rows ARE driver-resident metadata
+            # (self._node_ops, bounded by the tree ops of one txn), so
+            # the txlog is one pyarrow write — same single-part layout
+            # Spark's coalesce(1) produces, zero Spark jobs.  r15: the
+            # Spark form cost ~4.8 s per metadata commit, nearly all of
+            # it scheduling empty python tasks for the RDD-path empty
+            # base frame.
+            _write_parquet_rows(out, node_rows, _txlog_arrow_schema())
+            return
+        parts = []
+        if staged is not None:
+            parts.append(staged.select("node_id", "chunk_key", "op"))
         if node_rows:
-            tx = tx.unionByName(local_df(self.spark, node_rows, TXLOG_SCHEMA))
+            parts.append(local_df(self.spark, node_rows, TXLOG_SCHEMA))
         if carry is not None:
-            tx = tx.unionByName(self.spark.read.schema(TXLOG_SCHEMA).parquet(carry))
-        tx.coalesce(1).write.parquet(_dp(self.root, "txlogs", f"{snap_id}.parquet"))
+            parts.append(self.spark.read.schema(TXLOG_SCHEMA).parquet(carry))
+        tx = parts[0]
+        for p in parts[1:]:
+            tx = tx.unionByName(p)
+        tx.coalesce(1).write.parquet(out)
 
     def _txlogs_between(self, old_id: str, new_id_: str) -> list[str]:
         """Snapshot ids on the path new_id_ → ... → old_id (exclusive)."""
@@ -1849,12 +1867,12 @@ class Session:
         ours_chunks = (
             staged.select("node_id", "chunk_key").distinct()
             if staged is not None
-            else self.spark.createDataFrame([], "node_id string, chunk_key string")
+            else local_df(self.spark, [], "node_id string, chunk_key string")
         )
         if their_logs:
             theirs = self.spark.read.schema(TXLOG_SCHEMA).parquet(*their_logs)
         else:
-            theirs = self.spark.createDataFrame([], TXLOG_SCHEMA)
+            theirs = local_df(self.spark, [], TXLOG_SCHEMA)
         chunk_conf = (
             ours_chunks.join(
                 theirs.filter(F.col("chunk_key") != ""), ["node_id", "chunk_key"]
@@ -2298,6 +2316,14 @@ def _payload_arrow_schema():
     import pyarrow as pa
 
     return pa.schema([("chunk_id", pa.string()), ("payload", pa.binary())])
+
+
+def _txlog_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [("node_id", pa.string()), ("chunk_key", pa.string()), ("op", pa.string())]
+    )
 
 
 _PAYLOAD_ARROW_SCHEMA = None  # resolved lazily (pyarrow import cost)
