@@ -812,10 +812,39 @@ class Session:
                 ]
             )
         )
-        if not partial.limit(1).collect():
+        # ONE probe job decides the RMW and enumerates the payload
+        # files (r15; was: a partial.limit(1) probe plus a hidden
+        # full-resolve collect inside decode just to list files): the
+        # PRE-dedup manifest rows (+ staged/buffered overlays) of the
+        # partial chunks, distinct on file — with fileless refs
+        # (inline payloads, virtual refs: file IS NULL) kept as a
+        # marker row so "no rows at all" really means "no existing
+        # ref can touch any partial chunk" and the merge can skip.
+        # Pre-dedup is a harmless superset on both axes: a tombstoned
+        # chunk's file only adds payload rows the decode's left join
+        # drops, and the per-partial-chunk semi join keeps the file
+        # list SCALE-pruned (a write touching k chunks reads the
+        # files covering those k chunks, not the whole node).
+        ccols = [f"c{d}" for d in range(ndim)]
+        cand = mf.read_manifest_files(
+            self.spark,
+            self.root,
+            mf.prune_manifest_paths(self._base.manifests, meta.node_id),
+        )
+        for overlay in (self._staged_manifest_df(), self._buffer_manifest_df()):
+            if overlay is not None:
+                cand = cand.unionByName(overlay.select(*cand.columns))
+        probe = (
+            cand.filter(F.col("node_id") == meta.node_id)
+            .join(partial, ccols, "left_semi")
+            .select(F.coalesce(F.col("file"), F.lit("")).alias("f"))
+            .distinct()
+            .collect()
+        )
+        if not probe:
             return src, src
         manifest = self._resolved_manifest(meta.node_id, None).join(
-            partial, [f"c{d}" for d in range(ndim)], "left_semi"
+            partial, ccols, "left_semi"
         )
         existing = decode_chunks_to_rows(
             self.spark,
@@ -824,13 +853,7 @@ class Session:
             meta,
             None,
             vcc_map=self._virtual_container_names,
-            # r15: without this, decode enumerates chunk files by
-            # collecting the FULL resolve (window-dedup) plan — the
-            # exact hidden job the r14 read path removed; the pruned
-            # pre-dedup file list is a harmless superset here for the
-            # same reason (decode's left join on chunk_id drops
-            # payload rows no live ref points at)
-            files=self._manifest_file_list(meta.node_id, None),
+            files=[r["f"] for r in probe if r["f"]],
         )
         keep = existing.join(src.select(*cols), cols, "left_anti").select(
             *cols, "value"
