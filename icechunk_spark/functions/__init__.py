@@ -7,6 +7,9 @@ it stays inside whole-stage codegen instead of crossing into Python.
 
 from __future__ import annotations
 
+import contextlib as _contextlib
+import os as _os
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -81,15 +84,72 @@ def normalized_text(text: Column | str) -> Column:
 
 
 def _size_str_to_bytes(s: str) -> int:
-    """Parse Spark size-conf strings ('134217728b', '128m', '1g')."""
+    """Parse Spark size-conf strings ('134217728b', '128m', '1gb').
+    Two-letter suffixes are matched FIRST (ADVICE r14: '128mb' used to
+    strip only the 'b', raise on float('128m'), and silently fall back
+    to the eager .rdd probe)."""
     s = s.strip().lower()
     mult = 1
-    for suf, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3), ("b", 1)):
+    for suf, m in (
+        ("kb", 1024),
+        ("mb", 1024**2),
+        ("gb", 1024**3),
+        ("tb", 1024**4),
+        ("k", 1024),
+        ("m", 1024**2),
+        ("g", 1024**3),
+        ("t", 1024**4),
+        ("b", 1),
+    ):
         if s.endswith(suf):
             s = s[: -len(suf)]
             mult = m
             break
     return int(float(s) * mult)
+
+
+@_contextlib.contextmanager
+def scoped_shuffle_partitions(spark, n: int):
+    """Scope ``spark.sql.shuffle.partitions`` to ``n`` for the jobs
+    EXECUTED inside the block (batch twin of
+    streaming.events.scaled_state_partitions): iterative small-data
+    rounds (label propagation, star rounds) otherwise shuffle a
+    few-thousand-row frame across the full session width every round,
+    paying per-partition scheduling/commit floors x rounds (the
+    driver's 8-vs-32-core scaling instrument read 0.57 for
+    dedup_cluster at sf0.1 on exactly this).
+
+    CONCURRENCY CAVEAT (documented, deliberate): the conf is
+    SESSION-GLOBAL, so the scope relies on this engine's serial driver
+    — the bench/gate/driver run one query at a time, and no query
+    builds plans concurrently with another in one session.  Two
+    concurrent drains or plan-builds would race on the value; a
+    parallel-query deployment must pin partitioning per-frame
+    (repartition) instead."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(n)))
+    try:
+        yield int(n)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+#: Label-frame rows per shuffle partition for iterative batch rounds —
+#: ~25 B/row in shuffle form, so 500k rows ≈ 12 MB per partition (well
+#: under AQE's 64 MB advisory).  Env-overridable like every
+#: scale-dependent setting in this repo.
+LABEL_ROUND_ROWS_PER_PARTITION = int(
+    _os.environ.get("ICS_LABEL_ROUND_ROWS_PER_PARTITION", "500000")
+)
+
+
+def label_round_partitions(spark, n_rows: int) -> int:
+    """Volume-derived shuffle-partition count for iterative label
+    rounds: floor 2 (stay distributed), cap = the session's configured
+    shuffle parallelism — the knob a real cluster sizes; at 100 TB the
+    cap rules and the scale shape is untouched."""
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(2, min(sess, -(-int(n_rows) // LABEL_ROUND_ROWS_PER_PARTITION)))
 
 
 def ensure_min_partitions_files(df, files: list[str], min_factor: float = 0.5):

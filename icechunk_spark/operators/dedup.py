@@ -26,7 +26,9 @@ from icechunk_spark.catalog import load_tables, table_parquet_files
 from icechunk_spark.functions import (
     cosine,
     ensure_min_partitions_files,
+    label_round_partitions,
     normalized_text,
+    scoped_shuffle_partitions,
     tokenize,
 )
 
@@ -473,24 +475,41 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     t = load_tables(spark, sf_dir)
-    if _docs_rows(t["documents"], sf_dir) >= DEDUP_SUBGRAPH_MIN_DOCS:
-        # every pair-graph node appears as src after symmetrization;
-        # duplicate seeds collapse in round 1's groupBy
-        seed = edges.select(F.col("src").alias("doc_id"), F.col("src").alias("cluster_id"))
-        labels = _min_label_propagate(edges, seed)
-        out = (
-            t["documents"]
-            .select("doc_id")
-            .join(labels, "doc_id", "left")
-            .select(
-                "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    n_docs = _docs_rows(t["documents"], sf_dir)
+    # r15 (VERDICT r14 #3): the min-label rounds shuffle a label frame
+    # of at most n_docs rows; at the session's full shuffle width each
+    # round pays per-partition floors (driver 8-vs-32-core ratio 0.57
+    # at sf0.1).  Scope the rounds to a volume-derived width — at
+    # scale the cap (= session parallelism) rules and this is a no-op.
+    # Materialize `edges` FIRST so the minhash pipeline's own shuffles
+    # keep the session width (only the rounds should narrow).
+    n_parts = label_round_partitions(spark, n_docs)
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if n_parts < sess_parts:
+        edges.count()
+    with scoped_shuffle_partitions(spark, n_parts):
+        if n_docs >= DEDUP_SUBGRAPH_MIN_DOCS:
+            # every pair-graph node appears as src after
+            # symmetrization; duplicate seeds collapse in round 1's
+            # groupBy
+            seed = edges.select(
+                F.col("src").alias("doc_id"), F.col("src").alias("cluster_id")
             )
-        )
-    else:
-        seed = t["documents"].select(
-            F.col("doc_id"), F.col("doc_id").alias("cluster_id")
-        ).persist()
-        out = _min_label_propagate(edges, seed)
+            labels = _min_label_propagate(edges, seed)
+            out = (
+                t["documents"]
+                .select("doc_id")
+                .join(labels, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+                )
+            )
+        else:
+            seed = t["documents"].select(
+                F.col("doc_id"), F.col("doc_id").alias("cluster_id")
+            ).persist()
+            out = _min_label_propagate(edges, seed)
     edges.unpersist()
     return out.select("doc_id", "cluster_id").orderBy("doc_id")
 
@@ -561,19 +580,28 @@ def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     # logical plan doubles per iteration and the driver blows the
     # analyzer stack long before the data is large
     edges = symmetrize(pairs.toDF("u", "v")).localCheckpoint(eager=True)
-    for _ in range(32):  # O(log n) expected; 32 is a far-out backstop
-        stepped = star_round(star_round(edges, large=True), large=False).localCheckpoint(
-            eager=True
-        )
-        changed = (
-            stepped.subtract(edges).limit(1).count()
-            + edges.subtract(stepped).limit(1).count()
-        )
-        edges = stepped
-        if changed == 0:
-            break
-    labels = edges.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("cluster_id"))
+    # r15: the star rounds shuffle O(dup-graph) edge rows — scope them
+    # to a volume-derived width like dedup_cluster's min-label rounds
+    # (the eager checkpoint above already materialized the minhash
+    # pipeline at the session width).  Cap rules at scale: no-op.
     t = load_tables(spark, sf_dir)
+    with scoped_shuffle_partitions(
+        spark, label_round_partitions(spark, _docs_rows(t["documents"], sf_dir))
+    ):
+        for _ in range(32):  # O(log n) expected; 32 is a far-out backstop
+            stepped = star_round(star_round(edges, large=True), large=False).localCheckpoint(
+                eager=True
+            )
+            changed = (
+                stepped.subtract(edges).limit(1).count()
+                + edges.subtract(stepped).limit(1).count()
+            )
+            edges = stepped
+            if changed == 0:
+                break
+        labels = edges.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("cluster_id")
+        )
     out = (
         t["documents"]
         .select("doc_id")
