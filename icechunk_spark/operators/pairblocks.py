@@ -59,6 +59,21 @@ _TILE = 512  # numpy tile edge: acc/tmp (_TILE² doubles = 2 MB) stay cache-hot
 # covers the gap between two values whose rounded order could differ.
 _ROUND4_MARGIN = 1.01e-4
 
+_EPS = 2.220446049250313e-16  # double unit roundoff * 2
+
+
+def _fp_cos_slack(d: int) -> float:
+    """Rigorous bound on |gemm_cos − fold_cos| for FINITE inputs: both
+    the strict left fold and any reordered/blocked (BLAS) summation of
+    the same d products lie within γ_d·Σ|a_k·b_k| of the true sum
+    (standard fp-summation bound, γ_d = d·u/(1−d·u)), and Cauchy–
+    Schwarz gives Σ|a_k·b_k| ≤ ‖a‖·‖b‖, so over the SHARED computed
+    denominator na·nb (the same fold norms feed both paths) the two
+    cosines differ by < ~2·γ_d/(1−δ).  4·d·u + 1e-13 over-covers it
+    by >2x at any d below 10^12.  Non-finite cases never rely on this
+    bound — NaN/±inf screening values are kept as candidates."""
+    return 4.0 * d * _EPS + 1e-13
+
 
 def emb_rows(emb: DataFrame, sf_dir: str) -> int:
     """Embedding-table row count for the path dispatch: free parquet
@@ -225,50 +240,153 @@ def _iter_cos_tiles(ids_a, A, ids_b, B, diagonal):
             yield i0, j0, cos, valid
 
 
-def semdedup_kernel(it: Iterator) -> Iterator:
-    """Per task: for every larger-id (j-side) vector, the MAX pair
-    value over its partners in the task, NaN mapped to +inf (Spark's
-    NaN-greatest ordering; the JVM filter round(max) >= t then equals
-    'any pair passes' because rounding is monotone and NaN/+inf both
-    pass)."""
+def _exact_fold_pairs(A, B, gi, gj, chunk: int = 65536):
+    """Strict-left-fold dots for an arbitrary list of (row-of-A,
+    row-of-B) pairs: per pair this is exactly ((0+p_1)+p_2)+… — the
+    same order as _fold_dots_tile / the JVM aggregate — computed only
+    for the gathered pairs.  Chunked so a dense candidate set never
+    materializes a len(gi)×d gather larger than chunk rows."""
     import numpy as np
-    import pandas as pd
 
-    for pdf in it:
-        out_label, out_id, out_max = [], [], []
-        for _, row in pdf.iterrows():
-            ids_a, A, ids_b, B = _task_mats(row)
-            if A.shape[0] == 0 or B.shape[0] == 0:
+    out = np.empty(len(gi))
+    for s in range(0, len(gi), chunk):
+        ai = A[gi[s : s + chunk]]
+        bj = B[gj[s : s + chunk]]
+        acc = np.zeros(ai.shape[0])
+        for d in range(A.shape[1]):
+            acc += ai[:, d] * bj[:, d]
+        out[s : s + chunk] = acc
+    return out
+
+
+def _iter_screened_cos(ids_a, A, ids_b, B, diagonal, select):
+    """Screened twin of _iter_cos_tiles (guide §4.2): per tile, ONE
+    BLAS gemm produces screening cosines (reordered summation — never
+    emitted), ``select`` picks the candidate cells from the flattened
+    NaN→+inf / invalid→−inf screening tile, and only those cells get
+    the strict-left-fold EXACT dot (bit-identical to the JVM path).
+    Callers' select margins must include 2·_fp_cos_slack(d) on top of
+    whatever exact-value margin they need — see _fp_cos_slack.  The
+    ANSI zero-norm check and the diagonal masking are identical to
+    _iter_cos_tiles.  Yields (gi, gj, cos_exact) index/value arrays
+    (gi/gj are task-local row positions)."""
+    import numpy as np
+
+    na, nb = _fold_norms(A), (None if diagonal else _fold_norms(B))
+    if diagonal:
+        nb = na
+    m, n = A.shape[0], B.shape[0]
+    for i0 in range(0, m, _TILE):
+        i1 = min(i0 + _TILE, m)
+        for j0 in range(0, n, _TILE):
+            j1 = min(j0 + _TILE, n)
+            if diagonal and j1 <= i0:
+                continue  # tile entirely below the diagonal
+            denom = np.multiply.outer(na[i0:i1], nb[j0:j1])
+            zero = denom == 0.0
+            if zero.any():
+                # ANSI parity — identical condition to _iter_cos_tiles
+                ii = np.arange(i0, i0 + zero.shape[0])[:, None]
+                jj = np.arange(j0, j0 + zero.shape[1])[None, :]
+                if (zero & (ii < jj)).any() if diagonal else zero.any():
+                    raise ArithmeticError(
+                        "[DIVIDE_BY_ZERO] zero norm product in pair stage "
+                        "(parity with spark.sql.ansi.enabled=true: the JVM "
+                        "pair join raises here too)"
+                    )
+            approx = A[i0:i1] @ B[j0:j1].T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                approx = approx / denom
+            cp = np.where(np.isnan(approx), np.inf, approx)
+            if diagonal:
+                ii = np.arange(i0, i1)[:, None]
+                jj = np.arange(j0, j1)[None, :]
+                valid = ii < jj
+                cp = np.where(valid, cp, -np.inf)
+            else:
+                valid = None
+            keep = select(cp.ravel())
+            if valid is not None and len(keep):
+                # drop masked cells, NOT valid pairs that happen to
+                # sit at −inf (those must survive to the caller)
+                keep = keep[valid.ravel()[keep]]
+            if len(keep) == 0:
                 continue
-            diagonal = row["blk_a"] == row["blk_b"]
-            best = np.full(B.shape[0], -np.inf)
-            for i0, j0, cos, valid in _iter_cos_tiles(ids_a, A, ids_b, B, diagonal):
-                cp = np.where(np.isnan(cos), np.inf, cos)
-                if valid is not None:
-                    cp = np.where(valid, cp, -np.inf)
-                j1 = j0 + cos.shape[1]
-                np.maximum(best[j0:j1], cp.max(axis=0), out=best[j0:j1])
-            has = best > -np.inf
-            if has.any():
-                out_label.extend([row["label"]] * int(has.sum()))
-                out_id.extend(ids_b[has].tolist())
-                out_max.extend(best[has].tolist())
-        yield pd.DataFrame(
-            {"label": pd.Series(out_label, dtype="int32"),
-             "dup_id": pd.Series(out_id, dtype="int64"),
-             "vmax": pd.Series(out_max, dtype="float64")}
-        )
+            ti, tj = np.unravel_index(keep, cp.shape)
+            gi, gj = ti + i0, tj + j0
+            dots = _exact_fold_pairs(A, B, gi, gj)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (na[gi] * nb[gj])
+            yield gi, gj, cos
+
+
+def semdedup_kernel(threshold: float):
+    """Kernel factory.  Per task: for every larger-id (j-side) vector,
+    the MAX pair value over its CANDIDATE partners in the task, NaN
+    mapped to +inf (Spark's NaN-greatest ordering; the JVM filter
+    round(max) >= t then equals 'any pair passes' because rounding is
+    monotone and NaN/+inf both pass).
+
+    Candidates are BLAS-screened at cutoff = threshold −
+    (_ROUND4_MARGIN + |t|·1e-9 + 2·fp slack): any pair whose EXACT
+    value could round to ≥ threshold has screening value ≥ cutoff, so
+    dropping the rest never changes which per-id maxima pass the JVM
+    filter — a sub-cutoff pair can lower an emitted max only when that
+    max was going to be filtered out anyway (r15; the emitted values
+    themselves stay exact strict-fold doubles)."""
+
+    def kernel(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out_label, out_id, out_max = [], [], []
+            for _, row in pdf.iterrows():
+                ids_a, A, ids_b, B = _task_mats(row)
+                if A.shape[0] == 0 or B.shape[0] == 0:
+                    continue
+                diagonal = row["blk_a"] == row["blk_b"]
+                cutoff = threshold - (
+                    _ROUND4_MARGIN
+                    + abs(threshold) * 1e-9
+                    + 2.0 * _fp_cos_slack(A.shape[1])
+                )
+
+                def select(cp_flat, _c=cutoff):
+                    # ~(x < c) keeps NaN and +inf screening values
+                    return np.flatnonzero(~(cp_flat < _c))
+
+                best = np.full(B.shape[0], -np.inf)
+                seen = np.zeros(B.shape[0], dtype=bool)
+                for gi, gj, cos in _iter_screened_cos(
+                    ids_a, A, ids_b, B, diagonal, select
+                ):
+                    vals = np.where(np.isnan(cos), np.inf, cos)
+                    np.maximum.at(best, gj, vals)
+                    seen[gj] = True
+                if seen.any():
+                    out_label.extend([row["label"]] * int(seen.sum()))
+                    out_id.extend(ids_b[seen].tolist())
+                    out_max.extend(best[seen].tolist())
+            yield pd.DataFrame(
+                {"label": pd.Series(out_label, dtype="int32"),
+                 "dup_id": pd.Series(out_id, dtype="int64"),
+                 "vmax": pd.Series(out_max, dtype="float64")}
+            )
+
+    return kernel
 
 
 def _topk_margin(t3: float) -> float:
     return _ROUND4_MARGIN + abs(t3) * 1e-9
 
 
-def _candidate_cut(vals, k=3):
+def _candidate_cut(vals, k=3, extra=0.0):
     """Indices of entries that could reach rounded-top-k: everything
-    within the round-4 margin of the k-th largest NaN-as-inf value.
-    With fewer than k entries (or an infinite k-th), keep all /
-    everything tied at +inf and above."""
+    within the round-4 margin (+``extra`` — the fp-screening slack
+    when ``vals`` are gemm approximations rather than exact folds) of
+    the k-th largest NaN-as-inf value.  With fewer than k entries (or
+    an infinite k-th), keep all / everything tied at +inf and above."""
     import numpy as np
 
     if len(vals) <= k:
@@ -278,7 +396,7 @@ def _candidate_cut(vals, k=3):
         if t3 == -np.inf:
             return np.arange(len(vals))
         return np.flatnonzero(vals >= t3)  # t3 = +inf: all inf entries
-    return np.flatnonzero(vals >= t3 - _topk_margin(t3))
+    return np.flatnonzero(vals >= t3 - _topk_margin(t3) - extra)
 
 
 def pairwise_topk_kernel(it: Iterator) -> Iterator:
